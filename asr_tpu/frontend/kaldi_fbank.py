@@ -80,7 +80,7 @@ def _fold_frontend(basis: np.ndarray, pre_emphasis: float, remove_dc: bool) -> n
 
 @functools.lru_cache(maxsize=16)
 def _kaldi_constants(cfg: KaldiFbankConfig):
-    """Build the folded DFT basis and mel bank once (host, cached)."""
+    """Build the folded DFT basis and mel bank once (host numpy, cached)."""
     win, n_fft, n_bins = cfg.win_length, cfg.n_fft, cfg.n_bins
     window = {"hamming": hamming_window, "povey": povey_window}[cfg.window](win)
     freqs = np.arange(n_bins, dtype=np.float32)[:, None]
@@ -97,10 +97,10 @@ def _kaldi_constants(cfg: KaldiFbankConfig):
     )  # (2 * n_bins, win)
     if cfg.input_scale != 1.0:
         kernel = kernel * np.float32(cfg.input_scale)
-    basis = framing.pad_basis_to_blocks(
-        jnp.asarray(kernel.T, dtype=jnp.float32), win, cfg.hop_length
-    )  # (K * hop, 2 * n_bins)
-    mel = jnp.asarray(kaldi_mel_banks(cfg.n_mels, n_fft, cfg.sample_rate, cfg.low_freq))
+    k = -(-win // cfg.hop_length)
+    basis = np.zeros((k * cfg.hop_length, 2 * n_bins), dtype=np.float32)
+    basis[:win] = kernel.T  # zero rows past win make the matmul ignore frame scratch
+    mel = kaldi_mel_banks(cfg.n_mels, n_fft, cfg.sample_rate, cfg.low_freq)
     return basis, mel
 
 
@@ -117,7 +117,8 @@ def log_mel_fbank(audio: jnp.ndarray, cfg: KaldiFbankConfig, n_frames: int) -> j
       ``(..., n_frames, n_mels)`` float32 log-mel features,
       floored at log(FLT_EPSILON) like Kaldi.
     """
-    basis, mel = _kaldi_constants(cfg)
+    basis_np, mel_np = _kaldi_constants(cfg)
+    basis, mel = jnp.asarray(basis_np), jnp.asarray(mel_np)
     frames = framing.frame_signal(
         audio.astype(jnp.float32), cfg.win_length, cfg.hop_length, n_frames
     )

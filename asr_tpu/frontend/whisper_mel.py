@@ -60,10 +60,10 @@ def _whisper_constants(cfg: WhisperMelConfig):
     kernel = np.concatenate([cos_basis, sin_basis], axis=0)  # (2*n_bins, n_fft)
     if cfg.input_scale != 1.0:
         kernel = kernel * np.float32(cfg.input_scale)
-    basis = framing.pad_basis_to_blocks(
-        jnp.asarray(kernel.T, dtype=jnp.float32), cfg.n_fft, cfg.hop_length
-    )
-    mel = jnp.asarray(slaney_mel_banks(cfg.n_mels, cfg.n_fft, cfg.sample_rate))
+    k = -(-cfg.n_fft // cfg.hop_length)
+    basis = np.zeros((k * cfg.hop_length, 2 * cfg.n_bins), dtype=np.float32)
+    basis[: cfg.n_fft] = kernel.T
+    mel = slaney_mel_banks(cfg.n_mels, cfg.n_fft, cfg.sample_rate)
     return basis, mel
 
 
@@ -76,7 +76,8 @@ def log_mel_spectrogram(audio: jnp.ndarray, cfg: WhisperMelConfig) -> jnp.ndarra
     Returns:
       ``(..., n_frames, n_mels)`` float32, ``n_frames = num_samples // hop``.
     """
-    basis, mel = _whisper_constants(cfg)
+    basis_np, mel_np = _whisper_constants(cfg)
+    basis, mel = jnp.asarray(basis_np), jnp.asarray(mel_np)
     pad = cfg.n_fft // 2
     x = audio.astype(jnp.float32)
     x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
