@@ -1,0 +1,105 @@
+"""Inference sessions: file/array in -> text out, with RTF reporting.
+
+The runtime equivalent of the reference's per-family ``Inference_*_ONNX.py``
+drivers (SURVEY.md §2.7): sliding-window long-audio orchestration, padded
+fixed-shape device calls, tokenizer decode and real-time-factor metrics —
+but with one jitted function per model instead of ORT sessions + IOBinding
+(state stays device-resident inside the jit, so there is nothing to bind).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from asr_tpu.models import sensevoice as sv
+from asr_tpu.runtime import audio as audio_io
+from asr_tpu.runtime.metadata import ModelMetadata
+
+
+@dataclasses.dataclass
+class TranscribeResult:
+    text: str
+    token_ids: list[int]
+    audio_seconds: float
+    elapsed_seconds: float
+
+    @property
+    def rtf(self) -> float:
+        return self.elapsed_seconds / max(self.audio_seconds, 1e-9)
+
+
+class SenseVoiceSession:
+    """Batched sliding-window SenseVoice inference.
+
+    Long audio is split into fixed windows (reference
+    ``SenseVoice/Inference_SenseVoice_ONNX.py:247-263``), windows run as one
+    padded batch in a single device call, and the per-window token ids are
+    concatenated in order.
+    """
+
+    def __init__(
+        self,
+        params,
+        cfg: sv.SenseVoiceConfig,
+        tokenizer=None,
+        metadata: ModelMetadata | None = None,
+        window_seconds: float = 8.0,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.metadata = metadata
+        self.window_samples = int(window_seconds * cfg.sample_rate)
+
+    def language_index(self, language: str) -> int:
+        for i, (code, desc, aliases, _tok) in enumerate(sv.LANGUAGE_PROFILES):
+            if language.lower() in (code, desc.lower(), *(a.lower() for a in aliases)):
+                return i
+        raise KeyError(f"unsupported language {language!r}")
+
+    def transcribe(
+        self, audio: np.ndarray | str | Path, language: str = "auto"
+    ) -> TranscribeResult:
+        if isinstance(audio, (str, Path)):
+            audio = audio_io.load_audio(audio, self.cfg.sample_rate)
+        audio = np.asarray(audio, dtype=np.float32)
+        n = len(audio)
+        w = self.window_samples
+        num_windows = max(1, -(-n // w))
+        buf = np.zeros((num_windows, w), dtype=np.float32)
+        valid = np.zeros((num_windows,), dtype=np.int32)
+        for i in range(num_windows):
+            chunk = audio[i * w : (i + 1) * w]
+            buf[i, : len(chunk)] = chunk
+            valid[i] = len(chunk)
+        lang_idx = np.full((num_windows,), self.language_index(language), dtype=np.int32)
+
+        t0 = time.perf_counter()
+        toks, counts = sv.forward(
+            self.params, self.cfg, jnp.asarray(buf), jnp.asarray(valid), jnp.asarray(lang_idx)
+        )
+        toks = np.asarray(jax.block_until_ready(toks))
+        counts = np.asarray(counts)
+        elapsed = time.perf_counter() - t0
+
+        ids: list[int] = []
+        for i in range(num_windows):
+            ids.extend(int(t) for t in toks[i, : counts[i]])
+        text = self.tokenizer.decode(ids) if self.tokenizer is not None else ""
+        return TranscribeResult(
+            text=text,
+            token_ids=ids,
+            audio_seconds=n / self.cfg.sample_rate,
+            elapsed_seconds=elapsed,
+        )
+
+    def warmup(self) -> None:
+        silent = np.zeros(self.window_samples, dtype=np.float32)
+        self.transcribe(silent)

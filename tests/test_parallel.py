@@ -1,0 +1,75 @@
+"""Parallelism: 8-virtual-device mesh, dp/tp sharded forward + train step."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from asr_tpu.models import sensevoice as sv
+from asr_tpu.parallel import mesh as pmesh
+from asr_tpu.parallel import train
+
+TINY = sv.SenseVoiceConfig(
+    vocab_size=64, hidden=32, num_heads=4, head_dim=8, ffn_dim=64,
+    num_encoders0=1, num_encoders=1, num_tp_encoders=1, fsmn_kernel=5,
+)
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_dp_forward_matches_single_device():
+    mesh = pmesh.make_mesh(8, model_parallel=1)
+    params = sv.init_params(TINY, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal((8, 4800)) * 2000).astype(np.float32)
+    valid = np.full((8,), 4800, np.int32)
+    lang = np.zeros((8,), np.int32)
+
+    toks_ref, n_ref = sv.forward(params, TINY, jnp.asarray(audio), jnp.asarray(valid), jnp.asarray(lang))
+
+    params_sh = pmesh.shard_params(params, mesh)
+    audio_sh = jax.device_put(jnp.asarray(audio), pmesh.batch_sharded(mesh))
+    valid_sh = jax.device_put(jnp.asarray(valid), pmesh.batch_sharded(mesh))
+    lang_sh = jax.device_put(jnp.asarray(lang), pmesh.batch_sharded(mesh))
+    toks_dp, n_dp = sv.forward(params_sh, TINY, audio_sh, valid_sh, lang_sh)
+
+    np.testing.assert_array_equal(np.asarray(n_ref), np.asarray(n_dp))
+    np.testing.assert_array_equal(np.asarray(toks_ref), np.asarray(toks_dp))
+
+
+def test_tp_train_step_runs_and_matches_unsharded_loss():
+    mesh = pmesh.make_mesh(8, model_parallel=2)
+    params = sv.init_params(TINY, jax.random.PRNGKey(1))
+    specs = pmesh.sensevoice_param_specs(params)
+    params_sh = pmesh.shard_params(params, mesh, specs)
+
+    optimizer = train.make_optimizer()
+    opt_state = optimizer.init(params_sh)
+    opt_state_ref = optimizer.init(params)
+
+    rng = np.random.default_rng(1)
+    batch = 4
+    audio = jnp.asarray((rng.standard_normal((batch, 4800)) * 2000).astype(np.float32))
+    valid = jnp.full((batch,), 4800, jnp.int32)
+    lang = jnp.zeros((batch,), jnp.int32)
+    labels = jnp.asarray(rng.integers(1, TINY.vocab_size, (batch, 6), dtype=np.int32))
+    lv = jnp.full((batch,), 6, jnp.int32)
+
+    audio_sh = jax.device_put(audio, pmesh.batch_sharded(mesh))
+    _, _, loss_sh = train.train_step(
+        params_sh, opt_state, TINY, optimizer, audio_sh, valid, lang, labels, lv
+    )
+    _, _, loss_ref = train.train_step(
+        params, opt_state_ref, TINY, optimizer, audio, valid, lang, labels, lv
+    )
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=1e-4)
+
+
+def test_graft_entry_dryrun_multichip():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("graft_entry", "/root/repo/__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)

@@ -1,0 +1,151 @@
+"""Runtime: audio ingest on real fixtures, tokenizers, artifact roundtrip,
+sliding-window session."""
+
+import struct
+
+import numpy as np
+import pytest
+import jax
+
+from asr_tpu.models import sensevoice as sv
+from asr_tpu.runtime import audio as audio_io
+from asr_tpu.runtime.artifact import flatten_pytree, load_model, save_model, unflatten_pytree
+from asr_tpu.runtime.metadata import LanguageProfile, ModelMetadata
+from asr_tpu.runtime.session import SenseVoiceSession
+from asr_tpu.runtime.tokenizer import SentencePieceDecoder, VocabTxtDecoder
+
+FIXTURE_WAV = "/root/reference/Test_Examples/en/test_sample.wav"
+
+TINY = sv.SenseVoiceConfig(
+    vocab_size=64, hidden=32, num_heads=4, head_dim=8, ffn_dim=48,
+    num_encoders0=1, num_encoders=1, num_tp_encoders=1, fsmn_kernel=5,
+)
+
+
+def test_load_audio_fixture_resampled_mono():
+    audio = audio_io.load_audio(FIXTURE_WAV, 16000)
+    assert audio.ndim == 1
+    assert audio.dtype == np.float32
+    # 268292 frames at 48 kHz -> ~89430 at 16 kHz
+    assert abs(len(audio) - 268292 / 3) < 5
+    assert np.abs(audio).max() > 100  # int16 numeric range
+
+
+def test_resample_identity_and_rate():
+    x = np.sin(np.linspace(0, 100, 48000)).astype(np.float32)
+    assert audio_io.resample(x, 16000, 16000) is x
+    y = audio_io.resample(x, 48000, 16000)
+    assert len(y) == 16000
+
+
+def _encode_varint(v):
+    out = b""
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out += bytes([b | 0x80])
+        else:
+            return out + bytes([b])
+
+
+def _sp_piece(piece, score=0.0, ptype=None):
+    body = b"\x0a" + _encode_varint(len(piece.encode())) + piece.encode()
+    body += b"\x15" + struct.pack("<f", score)
+    if ptype is not None:
+        body += b"\x18" + _encode_varint(ptype)
+    return b"\x0a" + _encode_varint(len(body)) + body
+
+
+def test_sentencepiece_decoder_roundtrip(tmp_path):
+    model = b"".join(
+        [
+            _sp_piece("<unk>", 0.0, 2),
+            _sp_piece("<s>", 0.0, 3),
+            _sp_piece("▁hello", -1.0),
+            _sp_piece("▁wor", -2.0),
+            _sp_piece("ld", -3.0),
+            _sp_piece("<0xE4>", 0.0, 6),
+            _sp_piece("<0xB8>", 0.0, 6),
+            _sp_piece("<0xAD>", 0.0, 6),
+            _sp_piece("<|zh|>", 0.0, 4),
+        ]
+    )
+    p = tmp_path / "sp.model"
+    p.write_bytes(model)
+    dec = SentencePieceDecoder(p)
+    assert len(dec) == 9
+    assert dec.decode([2, 3, 4]) == " hello world"
+    assert dec.decode([5, 6, 7]) == "中"  # byte pieces reassembled as UTF-8
+    assert dec.decode([8, 2]) == "<|zh|> hello"
+
+
+def test_vocab_txt_decoder(tmp_path):
+    p = tmp_path / "vocab.txt"
+    p.write_text("<blank>\n你\n好\n</s>\n", encoding="utf-8")
+    dec = VocabTxtDecoder(p)
+    assert dec.decode([1, 2, 0, 3]) == "你好"
+
+
+def test_metadata_roundtrip(tmp_path):
+    md = ModelMetadata(
+        family="sensevoice",
+        special_token_ids={"blank": 0},
+        supported_languages=[
+            LanguageProfile("zh", "Chinese", ("Mandarin", "zh-CN"), 3, 1),
+            LanguageProfile("en", "English", (), 4, 2),
+        ],
+        tokenizer={"kind": "sentencepiece", "file": "chn_jpn_yue_eng_ko_spectok.bpe.model"},
+        extra={"lfr_m": 7},
+    )
+    md.save(tmp_path)
+    back = ModelMetadata.load(tmp_path)
+    assert back.family == "sensevoice"
+    assert back.resolve_language("Mandarin").prompt_token_id == 3
+    assert back.extra["lfr_m"] == 7
+    with pytest.raises(KeyError):
+        back.resolve_language("klingon")
+
+
+def test_artifact_roundtrip(tmp_path):
+    params = sv.init_params(TINY, jax.random.PRNGKey(0))
+    md = ModelMetadata(family="sensevoice")
+    save_model(tmp_path / "m", params, md)
+    loaded, md2 = load_model(tmp_path / "m")
+    flat_a = flatten_pytree(params)
+    flat_b = flatten_pytree(loaded)
+    assert set(flat_a) == set(flat_b)
+    for k in flat_a:
+        np.testing.assert_array_equal(flat_a[k], flat_b[k])
+    assert md2.family == "sensevoice"
+
+
+def test_flatten_unflatten_lists():
+    tree = {"a": [{"w": np.zeros(2)}, {"w": np.ones(2)}], "b": np.arange(3)}
+    flat = flatten_pytree(tree)
+    assert set(flat) == {"a/0/w", "a/1/w", "b"}
+    back = unflatten_pytree(flat)
+    assert isinstance(back["a"], list) and len(back["a"]) == 2
+
+
+class _IdsTokenizer:
+    def decode(self, ids):
+        return " ".join(str(i) for i in ids)
+
+
+def test_session_sliding_window_long_audio():
+    params = sv.init_params(TINY, jax.random.PRNGKey(1))
+    sess = SenseVoiceSession(params, TINY, tokenizer=_IdsTokenizer(), window_seconds=0.5)
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(int(16000 * 1.3)) * 2000).astype(np.float32)
+    res = sess.transcribe(audio)  # 3 windows: 0.5 + 0.5 + 0.3
+    assert res.audio_seconds == pytest.approx(1.3)
+    assert res.rtf > 0
+    assert isinstance(res.text, str) and res.token_ids is not None
+
+
+def test_session_on_fixture_file():
+    params = sv.init_params(TINY, jax.random.PRNGKey(2))
+    sess = SenseVoiceSession(params, TINY, window_seconds=8.0)
+    res = sess.transcribe(FIXTURE_WAV, language="en")
+    assert res.audio_seconds > 5
