@@ -1,0 +1,135 @@
+"""Whisper inference session: file/array -> text with 30 s windows.
+
+Runtime parity with reference ``Whisper/Inference_Whisper_ONNX.py``:
+30-second zero-padded windows, per-window probe (language detect +
+no-speech), prompt assembly [SOT, lang, task, notimestamps], suppress /
+begin-suppress biasing, greedy / penalty / sampling decode, repeat-part
+removal and RTF reporting — with the whole per-window pipeline as one
+device call.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from asr_tpu.decode.ar import DecodeConfig
+from asr_tpu.models import whisper as wh
+from asr_tpu.runtime import audio as audio_io
+from asr_tpu.runtime.session import TranscribeResult
+
+WINDOW_SECONDS = 30.0
+
+
+def remove_repeated_tail(ids: list[int], min_rep: int = 2, max_span: int = 20) -> list[int]:
+    """Drop a trailing immediate repetition (reference
+    ``Whisper/Inference_Whisper_ONNX.py:129-139`` repeat-part removal)."""
+    n = len(ids)
+    for span in range(1, min(max_span, n // 2) + 1):
+        reps = 1
+        while (reps + 1) * span <= n and ids[n - (reps + 1) * span : n - reps * span] == ids[n - span :]:
+            reps += 1
+        if reps >= min_rep + 1:
+            return ids[: n - (reps - 1) * span]
+    return ids
+
+
+@dataclasses.dataclass
+class WhisperSessionConfig:
+    language: str | None = None          # None -> auto-detect per window
+    task: str = "transcribe"
+    max_new_tokens: int = 440
+    strategy: str = "greedy"
+    penalty: float = 1.0
+    penalty_range: int = 64
+    temperature: float = 1.0
+    top_k: int = 0
+    top_p: float = 1.0
+    no_speech_threshold: float | None = 0.6
+    suppress_ids: tuple[int, ...] = ()
+    begin_suppress_ids: tuple[int, ...] = ()
+
+
+class WhisperSession:
+    def __init__(
+        self,
+        params,
+        cfg: wh.WhisperConfig,
+        tokenizer=None,
+        session_cfg: WhisperSessionConfig | None = None,
+        language_id_map: dict[str, int] | None = None,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.scfg = session_cfg or WhisperSessionConfig()
+        self.window_samples = int(WINDOW_SECONDS * cfg.sample_rate)
+        self.language_id_map = language_id_map or {}
+
+    def _decode_cfg(self) -> DecodeConfig:
+        s = self.scfg
+        return DecodeConfig(
+            max_new_tokens=s.max_new_tokens,
+            eot_id=self.cfg.eot_id,
+            suppress_ids=s.suppress_ids,
+            strategy=s.strategy,
+            penalty=s.penalty,
+            penalty_range=s.penalty_range,
+            temperature=s.temperature,
+            top_k=s.top_k,
+            top_p=s.top_p,
+        )
+
+    def _prompt(self, batch: int) -> np.ndarray:
+        cfg, s = self.cfg, self.scfg
+        lang = -1 if s.language is None else self.language_id_map.get(
+            s.language, cfg.first_language_id
+        )
+        task = cfg.transcribe_id if s.task == "transcribe" else cfg.translate_id
+        row = [cfg.sot_id, lang, task, cfg.no_timestamps_id]
+        return np.tile(np.asarray(row, np.int32), (batch, 1))
+
+    def transcribe(self, audio: np.ndarray | str | Path, rng=None) -> TranscribeResult:
+        if isinstance(audio, (str, Path)):
+            audio = audio_io.load_audio(audio, self.cfg.sample_rate, pcm_scale=1.0)
+        audio = np.asarray(audio, np.float32)
+        n = len(audio)
+        w = self.window_samples
+        num_windows = max(1, -(-n // w))
+        buf = np.zeros((num_windows, w), np.float32)
+        for i in range(num_windows):
+            chunk = audio[i * w : (i + 1) * w]
+            buf[i, : len(chunk)] = chunk
+
+        t0 = time.perf_counter()
+        mel = wh.mel_for_audio(self.cfg, jnp.asarray(buf))
+        out = wh.transcribe_window(
+            self.params,
+            self.cfg,
+            mel,
+            jnp.asarray(self._prompt(num_windows)),
+            self._decode_cfg(),
+            begin_suppress_ids=self.scfg.begin_suppress_ids,
+            rng=rng,
+        )
+        tokens = np.asarray(jax.block_until_ready(out["tokens"]))
+        counts = np.asarray(out["counts"])
+        nsp = np.asarray(out["no_speech_prob"])
+        elapsed = time.perf_counter() - t0
+
+        p_len = 4
+        ids: list[int] = []
+        for i in range(num_windows):
+            if self.scfg.no_speech_threshold is not None and nsp[i] > self.scfg.no_speech_threshold:
+                continue
+            win_ids = [int(t) for t in tokens[i, p_len : p_len + counts[i]] if t != self.cfg.eot_id]
+            ids.extend(remove_repeated_tail(win_ids))
+        text = self.tokenizer.decode(ids) if self.tokenizer is not None else ""
+        return TranscribeResult(
+            text=text, token_ids=ids, audio_seconds=n / self.cfg.sample_rate, elapsed_seconds=elapsed
+        )

@@ -1,0 +1,170 @@
+"""Whisper: parity vs HF transformers torch on a tiny random checkpoint —
+encoder outputs, prefill logits, greedy KV-cache decode token-for-token."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from asr_tpu.decode.ar import DecodeConfig
+from asr_tpu.loaders.whisper_hf import config_from_hf, params_from_state_dict
+from asr_tpu.models import whisper as wh
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    hf_cfg = transformers.WhisperConfig(
+        vocab_size=100,
+        d_model=32,
+        encoder_layers=2,
+        decoder_layers=2,
+        encoder_attention_heads=4,
+        decoder_attention_heads=4,
+        encoder_ffn_dim=64,
+        decoder_ffn_dim=64,
+        num_mel_bins=16,
+        max_source_positions=40,
+        max_target_positions=24,
+        decoder_start_token_id=1,
+        eos_token_id=2,
+        pad_token_id=3,
+    )
+    torch.manual_seed(0)
+    model = transformers.WhisperForConditionalGeneration(hf_cfg).eval()
+    cfg = config_from_hf(hf_cfg)
+    params = params_from_state_dict(model.state_dict(), cfg)
+    return model, cfg, params
+
+
+def _mel(b=2, t=80, m=16, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((b, t, m)).astype(np.float32)
+
+
+def test_encoder_matches_hf(tiny):
+    model, cfg, params = tiny
+    mel = _mel()
+    ours = np.asarray(wh.encode(params, cfg, jnp.asarray(mel)))
+    with torch.no_grad():
+        ref = model.model.encoder(torch.tensor(mel).transpose(1, 2)).last_hidden_state.numpy()
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_prefill_logits_match_hf(tiny):
+    model, cfg, params = tiny
+    mel = _mel()
+    prompt = np.array([[1, 5, 7], [1, 9, 11]], np.int32)
+    enc = wh.encode(params, cfg, jnp.asarray(mel))
+    state = wh.make_state(params, cfg, enc)
+    logits, _ = wh.prefill(params, cfg, state, jnp.asarray(prompt))
+    with torch.no_grad():
+        out = model(
+            input_features=torch.tensor(mel).transpose(1, 2),
+            decoder_input_ids=torch.tensor(prompt, dtype=torch.long),
+        ).logits[:, -1].numpy()
+    np.testing.assert_allclose(np.asarray(logits), out, rtol=2e-4, atol=2e-4)
+
+
+def test_greedy_decode_matches_hf_manual_loop(tiny):
+    model, cfg, params = tiny
+    mel = _mel(b=2)
+    prompt = np.array([[1, 5], [1, 9]], np.int32)
+    steps = 10
+
+    # Torch manual greedy with KV cache.
+    with torch.no_grad():
+        enc_t = model.model.encoder(torch.tensor(mel).transpose(1, 2)).last_hidden_state
+        ids = torch.tensor(prompt, dtype=torch.long)
+        past = None
+        toks_ref = []
+        cur = ids
+        for _ in range(steps):
+            out = model(
+                decoder_input_ids=cur,
+                encoder_outputs=(enc_t,),
+                past_key_values=past,
+                use_cache=True,
+            )
+            past = out.past_key_values
+            nxt = out.logits[:, -1].argmax(-1)
+            toks_ref.append(nxt.numpy())
+            cur = nxt[:, None]
+    toks_ref = np.stack(toks_ref, 1)  # (B, steps)
+
+    # Ours: prefill + step loop (no early stop: eot outside vocab usage).
+    enc = wh.encode(params, cfg, jnp.asarray(mel))
+    state = wh.make_state(params, cfg, enc)
+    logits, state = wh.prefill(params, cfg, state, jnp.asarray(prompt))
+    ours = []
+    tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    pos = prompt.shape[1]
+    for i in range(steps - 1):
+        ours.append(np.asarray(tok))
+        logits, state = wh.step(params, cfg, state, tok[:, None], jnp.asarray(pos, jnp.int32))
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        pos += 1
+    ours.append(np.asarray(tok))
+    ours = np.stack(ours, 1)
+    np.testing.assert_array_equal(ours, toks_ref)
+
+
+def test_transcribe_window_jit_runs(tiny):
+    model, cfg, params = tiny
+    mel = _mel(b=2)
+    prompt = np.array([[1, -1, 4], [1, -1, 4]], np.int32)  # -1 -> detected language
+    dc = DecodeConfig(max_new_tokens=8, eot_id=2, suppress_ids=(3,), strategy="greedy")
+    # tiny vocab: restrict language block to a valid range
+    cfg2 = wh.WhisperConfig(**{**cfg.__dict__, "first_language_id": 10, "num_languages": 5, "no_speech_id": 6})
+    out = wh.transcribe_window(params, cfg2, jnp.asarray(mel), jnp.asarray(prompt), dc)
+    assert out["tokens"].shape[0] == 2
+    assert out["counts"].shape == (2,)
+    lang = np.asarray(out["language"])
+    assert ((lang >= 10) & (lang < 15)).all()
+    nsp = np.asarray(out["no_speech_prob"])
+    assert ((nsp >= 0) & (nsp <= 1)).all()
+    # penalty + sampling strategies also compile and run
+    dc2 = DecodeConfig(max_new_tokens=4, eot_id=2, strategy="penalty", penalty=1.2, penalty_range=8)
+    wh.transcribe_window(params, cfg2, jnp.asarray(mel), jnp.asarray(prompt), dc2)
+    dc3 = DecodeConfig(max_new_tokens=4, eot_id=2, strategy="sampling", temperature=0.8, top_k=5, top_p=0.9, penalty=1.1)
+    out3 = wh.transcribe_window(
+        params, cfg2, jnp.asarray(mel), jnp.asarray(prompt), dc3, rng=jax.random.PRNGKey(0)
+    )
+    assert out3["tokens"].shape[0] == 2
+
+
+def test_remove_repeated_tail():
+    from asr_tpu.runtime.whisper_session import remove_repeated_tail
+
+    assert remove_repeated_tail([1, 2, 3, 4, 3, 4, 3, 4]) == [1, 2, 3, 4]
+    assert remove_repeated_tail([1, 2, 3]) == [1, 2, 3]
+    assert remove_repeated_tail([5, 5, 5, 5, 5]) == [5]
+    assert remove_repeated_tail([]) == []
+
+
+def test_whisper_session_end_to_end(tiny):
+    from asr_tpu.runtime.whisper_session import WhisperSession, WhisperSessionConfig
+
+    model, cfg, params = tiny
+    cfg2 = wh.WhisperConfig(
+        **{**cfg.__dict__, "first_language_id": 10, "num_languages": 5, "no_speech_id": 6,
+           "sot_id": 1, "eot_id": 2, "transcribe_id": 20, "no_timestamps_id": 21,
+           "n_mels": 16, "max_source_positions": 40}
+    )
+
+    class _Tok:
+        def decode(self, ids):
+            return " ".join(map(str, ids))
+
+    # tiny model: 40 source positions = 80 mel frames = 0.8 s windows
+    sess = WhisperSession(params, cfg2, tokenizer=_Tok(),
+                          session_cfg=WhisperSessionConfig(max_new_tokens=6, no_speech_threshold=None))
+    sess.window_samples = 80 * 160
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(20000) * 0.1).astype(np.float32)
+    res = sess.transcribe(audio)
+    assert res.audio_seconds == pytest.approx(1.25)
+    assert isinstance(res.text, str)
+    assert res.rtf > 0
