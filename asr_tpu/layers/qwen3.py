@@ -1,0 +1,175 @@
+"""Qwen3-style decoder stack: RMSNorm + GQA (per-head q/k RMSNorm) + RoPE +
+gated-SiLU MLP, with fixed-shape KV caches.
+
+Shared by the LLM-decoder ASR families (Qwen3-ASR, Fun-ASR-Nano,
+ForcedAligner — reference ``Qwen_ASR/Export_Qwen_ASR.py:145-517,1080-1350``
+re-implements exactly this). The reference's export-time folds (RMSNorm
+weight absorbed into qkv/gate_up, sqrt-scale splits) stay unfolded here.
+
+Works on input **embeddings** (the ASR families feed mixed audio/text
+embeds), with a causal mask supporting dynamic prompt lengths in a static
+buffer (padded prompt slots are later overwritten by generated tokens).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from asr_tpu.layers.attention import NEG_INF
+from asr_tpu.layers.norms import rms_norm
+from asr_tpu.layers.rope import apply_rope, rope_tables
+from asr_tpu.layers.transformer import dense
+
+
+@dataclasses.dataclass(frozen=True)
+class Qwen3Config:
+    vocab_size: int = 151936
+    hidden: int = 1024
+    num_layers: int = 28
+    num_heads: int = 16
+    num_kv_heads: int = 8
+    head_dim: int = 128
+    ffn_dim: int = 3072
+    rms_eps: float = 1e-6
+    rope_theta: float = 5_000_000.0
+    max_seq_len: int = 2048
+    attention_bias: bool = False
+    qk_norm: bool = True
+    tie_embeddings: bool = True
+
+
+def init_params(cfg: Qwen3Config, rng: jax.Array, dtype=jnp.float32) -> dict:
+    keys = iter(jax.random.split(rng, 4096))
+    h = cfg.hidden
+
+    def lin(i, o, bias=False):
+        p = {"w": (jax.random.normal(next(keys), (i, o)) * (i ** -0.5)).astype(dtype)}
+        if bias:
+            p["b"] = jnp.zeros((o,), dtype)
+        return p
+
+    def layer():
+        p = {
+            "input_norm": {"scale": jnp.ones((h,), dtype)},
+            "attn": {
+                "q": lin(h, cfg.num_heads * cfg.head_dim, cfg.attention_bias),
+                "k": lin(h, cfg.num_kv_heads * cfg.head_dim, cfg.attention_bias),
+                "v": lin(h, cfg.num_kv_heads * cfg.head_dim, cfg.attention_bias),
+                "o": lin(cfg.num_heads * cfg.head_dim, h),
+            },
+            "post_norm": {"scale": jnp.ones((h,), dtype)},
+            "mlp": {"gate": lin(h, cfg.ffn_dim), "up": lin(h, cfg.ffn_dim), "down": lin(cfg.ffn_dim, h)},
+        }
+        if cfg.qk_norm:
+            p["attn"]["q_norm"] = {"scale": jnp.ones((cfg.head_dim,), dtype)}
+            p["attn"]["k_norm"] = {"scale": jnp.ones((cfg.head_dim,), dtype)}
+        return p
+
+    return {
+        "embed": (jax.random.normal(next(keys), (cfg.vocab_size, h)) * 0.02).astype(dtype),
+        "layers": [layer() for _ in range(cfg.num_layers)],
+        "final_norm": {"scale": jnp.ones((h,), dtype)},
+        # lm_head absent when tie_embeddings (uses embed.T)
+        **({} if cfg.tie_embeddings else {"lm_head": lin(h, cfg.vocab_size)}),
+    }
+
+
+def make_kv_state(cfg: Qwen3Config, batch: int, t_max: int, dtype=jnp.float32) -> dict:
+    return {
+        "layers": tuple(
+            {
+                "k": jnp.zeros((batch, t_max, cfg.num_kv_heads, cfg.head_dim), dtype),
+                "v": jnp.zeros((batch, t_max, cfg.num_kv_heads, cfg.head_dim), dtype),
+            }
+            for _ in range(cfg.num_layers)
+        )
+    }
+
+
+def _attention(q, k_cache, v_cache, bias, num_kv_groups):
+    """GQA over the full cache with additive bias (B,1,S,Tmax)."""
+    b, s, hq, d = q.shape
+    hkv = k_cache.shape[2]
+    qg = q.reshape(b, s, hkv, num_kv_groups, d)
+    scores = jnp.einsum("bshgd,bthd->bhgst", qg, k_cache).astype(jnp.float32) * (d ** -0.5)
+    scores = scores + bias[:, :, None] if bias.ndim == 4 else scores + bias
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhgst,bthd->bshgd", probs, v_cache)
+    return out.reshape(b, s, hq * d)
+
+
+def decoder_pass(
+    params: dict,
+    cfg: Qwen3Config,
+    x: jnp.ndarray,
+    state: dict,
+    pos: jnp.ndarray,
+    bias: jnp.ndarray,
+) -> tuple[jnp.ndarray, dict]:
+    """Run S embeddings through all layers, updating KV caches at ``pos``.
+
+    Args:
+      x: (B, S, H) input embeddings.
+      state: KV caches (B, T_max, Hkv, D) per layer.
+      pos: scalar int32 — slot of x[:, 0].
+      bias: (B, 1, S, T_max) additive attention bias (causal + validity).
+
+    Returns (hidden (B, S, H), new state).
+    """
+    t_max = state["layers"][0]["k"].shape[1]
+    cs = jnp.asarray(rope_tables(t_max, cfg.head_dim, cfg.rope_theta))
+    s = x.shape[1]
+    cos = jax.lax.dynamic_slice(cs[0], (pos, 0), (s, cfg.head_dim))
+    sin = jax.lax.dynamic_slice(cs[1], (pos, 0), (s, cfg.head_dim))
+    groups = cfg.num_heads // cfg.num_kv_heads
+    b = x.shape[0]
+    new_layers = []
+    for p, lstate in zip(params["layers"], state["layers"]):
+        y = rms_norm(x, p["input_norm"]["scale"], cfg.rms_eps)
+        q = dense(y, p["attn"]["q"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
+        k = dense(y, p["attn"]["k"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        v = dense(y, p["attn"]["v"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        if cfg.qk_norm:
+            q = rms_norm(q, p["attn"]["q_norm"]["scale"], cfg.rms_eps)
+            k = rms_norm(k, p["attn"]["k_norm"]["scale"], cfg.rms_eps)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        k_cache = jax.lax.dynamic_update_slice(lstate["k"], k.astype(lstate["k"].dtype), (0, pos, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(lstate["v"], v.astype(lstate["v"].dtype), (0, pos, 0, 0))
+        attn = _attention(q, k_cache, v_cache, bias, groups)
+        x = x + dense(attn, p["attn"]["o"])
+        y = rms_norm(x, p["post_norm"]["scale"], cfg.rms_eps)
+        h = jax.nn.silu(dense(y, p["mlp"]["gate"])) * dense(y, p["mlp"]["up"])
+        x = x + dense(h, p["mlp"]["down"])
+        new_layers.append({"k": k_cache, "v": v_cache})
+    return x, {"layers": tuple(new_layers)}
+
+
+def logits_from_hidden(params: dict, cfg: Qwen3Config, hidden: jnp.ndarray) -> jnp.ndarray:
+    y = rms_norm(hidden, params["final_norm"]["scale"], cfg.rms_eps)
+    if cfg.tie_embeddings:
+        return jnp.dot(y, params["embed"].T)
+    return dense(y, params["lm_head"])
+
+
+def causal_prefill_bias(valid_len: jnp.ndarray, s: int, t_max: int) -> jnp.ndarray:
+    """(B,1,S,T_max) bias for prefill at pos 0: causal + key-validity
+    (keys beyond per-sample valid prompt length are masked — they are
+    padded slots not yet overwritten by generated tokens)."""
+    qpos = jnp.arange(s, dtype=jnp.int32)[:, None]
+    kpos = jnp.arange(t_max, dtype=jnp.int32)[None, :]
+    causal = kpos <= qpos  # (S, T_max)
+    keep = causal[None] & (kpos[None] < valid_len[:, None, None])
+    return jnp.where(keep, 0.0, NEG_INF)[:, None].astype(jnp.float32)
+
+
+def step_bias(valid_len: jnp.ndarray, pos: jnp.ndarray, t_max: int) -> jnp.ndarray:
+    """(B,1,1,T_max) bias for a single-token step at slot ``pos``: attends
+    the valid prompt prefix and all generated slots up to ``pos``."""
+    kpos = jnp.arange(t_max, dtype=jnp.int32)[None, :]
+    keep = (kpos < valid_len[:, None]) | ((kpos >= valid_len[:, None]) & (kpos <= pos))
+    return jnp.where(keep, 0.0, NEG_INF)[:, None, None].astype(jnp.float32)

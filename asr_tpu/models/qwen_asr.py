@@ -1,0 +1,256 @@
+"""Qwen3-ASR: chunk-windowed audio tower + Qwen3 LLM decoder.
+
+Capability parity with reference ``Qwen_ASR/Export_Qwen_ASR.py`` +
+``Inference_Qwen_ASR_ONNX.py`` (7,305 LoC): Whisper-mel front-end, audio
+tower that convs each 100-frame mel chunk to 13 tokens (3x stride-2
+conv2d), windowed self-attention over 8-chunk (104-token) windows with
+per-window valid-count key masks, projection into the LLM embedding space,
+prompt assembly [head | context(query) | suffix | audio | tail], and the
+Qwen3 decoder (GQA + RoPE + per-head q/k RMSNorm) with greedy /
+penalty-greedy / top-k-top-p decode via the shared AR loop.
+
+TPU-first: the reference's dynamic-length ONNX axes become a static
+prompt buffer with a **gather-compacted** embed sequence (audio's valid
+prefix is packed against the tail; padded slots are masked and then
+overwritten by generated tokens), so the whole pipeline jits once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from asr_tpu.decode.ar import DecodeConfig, ar_decode
+from asr_tpu.frontend.whisper_mel import WhisperMelConfig, log_mel_spectrogram
+from asr_tpu.layers import qwen3
+from asr_tpu.layers.attention import NEG_INF
+from asr_tpu.layers.norms import layer_norm
+from asr_tpu.layers.transformer import dense, merge_heads, mha, split_heads
+from asr_tpu.models.sensevoice import sinusoid_position_encoding
+
+
+@dataclasses.dataclass(frozen=True)
+class QwenAsrConfig:
+    # Audio tower (Qwen3-ASR-0.6B geometry).
+    n_mels: int = 128
+    tower_dim: int = 1280
+    tower_layers: int = 32
+    tower_heads: int = 20
+    tower_ffn: int = 5120
+    downsample_hidden: int = 480
+    chunk_frames: int = 100          # mel frames per conv chunk
+    tokens_per_chunk: int = 13
+    chunks_per_window: int = 8
+    output_dim: int = 1024           # LLM hidden
+    llm: qwen3.Qwen3Config = qwen3.Qwen3Config()
+    eot_id: int = 151645             # <|im_end|>
+    sample_rate: int = 16000
+
+    @property
+    def tokens_per_window(self) -> int:
+        return self.chunks_per_window * self.tokens_per_chunk
+
+    def mel_config(self) -> WhisperMelConfig:
+        return WhisperMelConfig(n_mels=self.n_mels, sample_rate=self.sample_rate)
+
+
+def feat_output_len(frames: jnp.ndarray, chunk: int = 100) -> jnp.ndarray:
+    """Audio-token count for ``frames`` mel frames (reference
+    ``_get_feat_extract_output_lengths``, ``Export_Qwen_ASR.py:518-526``)."""
+    leave = frames % chunk
+    f1 = jnp.maximum(leave - 1, 0) // 2 + 1
+    f1 = f1 * (leave > 0)
+    f2 = jnp.maximum(f1 - 1, 0) // 2 + 1
+    f2 = f2 * (f1 > 0)
+    f3 = jnp.maximum(f2 - 1, 0) // 2 + 1
+    f3 = f3 * (f2 > 0)
+    return f3 + (frames // chunk) * 13
+
+
+def init_tower_params(cfg: QwenAsrConfig, rng: jax.Array, dtype=jnp.float32) -> dict:
+    keys = iter(jax.random.split(rng, 4096))
+    d, c = cfg.tower_dim, cfg.downsample_hidden
+
+    def lin(i, o, bias=True):
+        p = {"w": (jax.random.normal(next(keys), (i, o)) * (i ** -0.5)).astype(dtype)}
+        if bias:
+            p["b"] = jnp.zeros((o,), dtype)
+        return p
+
+    def norm(dd=d):
+        return {"scale": jnp.ones((dd,), dtype), "bias": jnp.zeros((dd,), dtype)}
+
+    def block():
+        return {
+            "ln1": norm(),
+            "attn": {"q": lin(d, d), "k": lin(d, d), "v": lin(d, d), "o": lin(d, d)},
+            "ln2": norm(),
+            "mlp": {"fc1": lin(d, cfg.tower_ffn), "fc2": lin(cfg.tower_ffn, d)},
+        }
+
+    freq_out = cfg.n_mels
+    for _ in range(3):
+        freq_out = (freq_out + 1) // 2
+    return {
+        "conv1": {"w": (jax.random.normal(next(keys), (3, 3, 1, c)) * 0.05).astype(dtype), "b": jnp.zeros((c,), dtype)},
+        "conv2": {"w": (jax.random.normal(next(keys), (3, 3, c, c)) * 0.05).astype(dtype), "b": jnp.zeros((c,), dtype)},
+        "conv3": {"w": (jax.random.normal(next(keys), (3, 3, c, c)) * 0.05).astype(dtype), "b": jnp.zeros((c,), dtype)},
+        "conv_out": lin(c * freq_out, d, bias=False),
+        "blocks": [block() for _ in range(cfg.tower_layers)],
+        "ln_post": norm(),
+        "proj1": lin(d, d),
+        "proj2": lin(d, cfg.output_dim),
+    }
+
+
+def _conv2d_s2(x, p):
+    y = jax.lax.conv_general_dilated(
+        x, p["w"], (2, 2), [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    return y + p["b"]
+
+
+def encode_audio(
+    tower: dict, cfg: QwenAsrConfig, mel: jnp.ndarray, valid_frames: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """mel (1, T, n_mels) -> (audio tokens (1, A_max, output_dim), valid count).
+
+    T must be a multiple of chunk_frames * chunks_per_window (pad with
+    zeros); invalid mel frames are zero-masked.
+    """
+    t = mel.shape[1]
+    chunk = cfg.chunk_frames
+    num_chunks = t // chunk
+    keep = jnp.arange(t, dtype=jnp.int32)[None, :] < valid_frames[:, None]
+    mel = jnp.where(keep[..., None], mel, 0.0)
+
+    # (1, T, M) -> chunks (num_chunks, M, chunk) -> NHWC (N, M, chunk, 1)
+    x = mel.reshape(num_chunks, chunk, cfg.n_mels).transpose(0, 2, 1)[..., None]
+    x = jax.nn.gelu(_conv2d_s2(x, tower["conv1"]), approximate=False)
+    x = jax.nn.gelu(_conv2d_s2(x, tower["conv2"]), approximate=False)
+    x = jax.nn.gelu(_conv2d_s2(x, tower["conv3"]), approximate=False)  # (N, 16, 13, C)
+    n, f, tt, c = x.shape
+    x = x.transpose(0, 2, 3, 1).reshape(n, tt, c * f)  # channel-major (C, mel)
+    x = dense(x, tower["conv_out"])  # (N, 13, d)
+    pe = jnp.asarray(sinusoid_position_encoding(cfg.tokens_per_chunk, cfg.tower_dim, start=0))
+    x = x + pe[None]
+
+    # Per-chunk valid token counts.
+    chunk_starts = jnp.arange(num_chunks, dtype=jnp.int32) * chunk
+    raw_lens = jnp.clip(valid_frames[0] - chunk_starts, 0, chunk)
+    aftercnn = feat_output_len(raw_lens.astype(jnp.int32), chunk)  # partial-chunk formula
+    # Window packing: (num_windows, tokens_per_window, d)
+    cpw = cfg.chunks_per_window
+    num_windows = num_chunks // cpw
+    tw = cfg.tokens_per_window
+    hidden = x.reshape(num_windows, tw, cfg.tower_dim)
+    valid_counts = aftercnn.reshape(num_windows, cpw).sum(axis=1)  # (num_windows,)
+    kpos = jnp.arange(tw, dtype=jnp.int32)[None, :]
+    bias = jnp.where(kpos < valid_counts[:, None], 0.0, -128.0)[:, None, None, :].astype(jnp.float32)
+
+    h = hidden
+    for p in tower["blocks"]:
+        y = layer_norm(h, p["ln1"]["scale"], p["ln1"]["bias"])
+        q = split_heads(dense(y, p["attn"]["q"]), cfg.tower_heads)
+        k = split_heads(dense(y, p["attn"]["k"]), cfg.tower_heads)
+        v = split_heads(dense(y, p["attn"]["v"]), cfg.tower_heads)
+        h = h + dense(merge_heads(mha(q, k, v, bias=bias)), p["attn"]["o"])
+        y = layer_norm(h, p["ln2"]["scale"], p["ln2"]["bias"])
+        h = h + dense(jax.nn.gelu(dense(y, p["mlp"]["fc1"]), approximate=False), p["mlp"]["fc2"])
+    h = layer_norm(h, tower["ln_post"]["scale"], tower["ln_post"]["bias"])
+    h = dense(jax.nn.gelu(dense(h, tower["proj1"]), approximate=False), tower["proj2"])
+    audio = h.reshape(1, num_windows * tw, cfg.output_dim)
+    return audio, jnp.sum(aftercnn)[None]
+
+
+def assemble_prompt(
+    head: jnp.ndarray, query: jnp.ndarray, suffix: jnp.ndarray,
+    audio: jnp.ndarray, audio_valid: jnp.ndarray, tail: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather-compact [head|query|suffix|audio_valid|tail] into a static
+    buffer with padding at the END. All inputs (1, L_i, H)."""
+    base = head.shape[1] + query.shape[1] + suffix.shape[1]
+    a_max = audio.shape[1]
+    full = jnp.concatenate([head, query, suffix, audio, tail], axis=1)
+    lf = full.shape[1]
+    a = audio_valid[0]
+    idx = jnp.arange(lf, dtype=jnp.int32)
+    src = jnp.where(idx < base + a, idx, jnp.minimum(idx + (a_max - a), lf - 1))
+    embeds = jnp.take(full, src, axis=1)
+    valid = base + a + tail.shape[1]
+    return embeds, jnp.asarray(valid, jnp.int32)[None]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "decode_cfg"))
+def transcribe_embeds(
+    llm_params: dict,
+    cfg: QwenAsrConfig,
+    embeds: jnp.ndarray,
+    valid_len: jnp.ndarray,
+    decode_cfg: DecodeConfig,
+    rng: jax.Array | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Prompt embeds (1, L, H) + valid length -> generated ids.
+
+    Returns (tokens (1, L + max_new + 1), counts (1,), prompt_len (1,)).
+    """
+    lcfg = cfg.llm
+    b, lf, _ = embeds.shape
+    t_max = lf + decode_cfg.max_new_tokens + 1
+    state = qwen3.make_kv_state(lcfg, b, t_max, embeds.dtype)
+    bias = qwen3.causal_prefill_bias(valid_len, lf, t_max)
+    hidden, state = qwen3.decoder_pass(llm_params, lcfg, embeds, state, jnp.asarray(0, jnp.int32), bias)
+    # Logits at the last VALID position (per-sample dynamic).
+    last = jnp.take_along_axis(hidden, (valid_len - 1)[:, None, None], axis=1)[:, 0]
+    logits0 = qwen3.logits_from_hidden(llm_params, lcfg, last)
+    first = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+
+    buf = jnp.zeros((b, t_max), jnp.int32)
+    prompt_len = valid_len[0]
+
+    def step(state, token, pos):
+        emb = llm_params["embed"][token].astype(embeds.dtype)
+        sbias = qwen3.step_bias(valid_len, pos, t_max)
+        h, state = qwen3.decoder_pass(llm_params, lcfg, emb, state, pos, sbias)
+        return qwen3.logits_from_hidden(llm_params, lcfg, h[:, -1]), state
+
+    tokens, counts = ar_decode(step, state, prompt_len, first, buf, decode_cfg, rng)
+    return tokens, counts, valid_len
+
+
+def forward(
+    tower_params: dict,
+    llm_params: dict,
+    cfg: QwenAsrConfig,
+    audio: jnp.ndarray,
+    valid_samples: jnp.ndarray,
+    prompt_ids: dict,
+    decode_cfg: DecodeConfig,
+    rng: jax.Array | None = None,
+):
+    """Raw audio (1, S) [-1,1] + prompt id lists -> generated token ids.
+
+    ``prompt_ids``: dict of int32 arrays {"head": (1, Lh), "query": (1, Lq),
+    "suffix": (1, Ls), "tail": (1, Lt)} (reference prompt layout
+    ``Inference_Qwen_ASR_ONNX.py:106-127``).
+    """
+    mel_cfg = cfg.mel_config()
+    mel = log_mel_spectrogram(audio, mel_cfg)
+    window_frames = cfg.chunk_frames * cfg.chunks_per_window
+    t = mel.shape[1]
+    pad = (-t) % window_frames
+    if pad:
+        mel = jnp.pad(mel, ((0, 0), (0, pad), (0, 0)))
+    valid_frames = (valid_samples // mel_cfg.hop_length).astype(jnp.int32)
+    audio_tokens, audio_valid = encode_audio(tower_params, cfg, mel, valid_frames)
+
+    emb = lambda ids: llm_params["embed"][ids].astype(audio_tokens.dtype)
+    embeds, valid_len = assemble_prompt(
+        emb(prompt_ids["head"]), emb(prompt_ids["query"]), emb(prompt_ids["suffix"]),
+        audio_tokens, audio_valid, emb(prompt_ids["tail"]),
+    )
+    return transcribe_embeds(llm_params, cfg, embeds, valid_len, decode_cfg, rng)
