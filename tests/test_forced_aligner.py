@@ -1,0 +1,61 @@
+"""ForcedAligner: NAR pass shapes, timestamp monotone repair semantics."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from asr_tpu.layers import qwen3
+from asr_tpu.models import forced_aligner as fa
+from asr_tpu.models import qwen_asr as qa
+
+
+def test_fix_timestamps_monotone_repair():
+    # already monotone -> unchanged
+    assert fa.fix_timestamps([1, 2, 2, 5]) == [1, 2, 2, 5]
+    # single glitch snaps to neighbor anchor
+    assert fa.fix_timestamps([1, 2, 100, 3, 4])[2] in (2, 3)
+    out = fa.fix_timestamps([1, 2, 100, 3, 4])
+    assert all(out[i] <= out[i + 1] for i in range(len(out) - 1))
+    # long anomaly run -> interpolation between surrounding anchors
+    out = fa.fix_timestamps([1, 2, 50, 50, 50, 50, 3, 4, 5, 6, 7])
+    assert out[:2] == [1, 2] and out[6:] == [3, 4, 5, 6, 7]
+    assert all(2 <= v <= 3 for v in out[2:6])
+    assert fa.fix_timestamps([]) == []
+
+
+def test_word_timestamps_grouping():
+    words = ["foo", "bar"]
+    buckets = [1, 2, 5, 6]
+    out = fa.word_timestamps(words, buckets, tokens_per_word=2, segment_ms=80)
+    assert out[0] == {"text": "foo", "start_ms": 80, "end_ms": 160}
+    assert out[1] == {"text": "bar", "start_ms": 400, "end_ms": 480}
+
+
+def test_nar_forward_shapes():
+    lcfg = qwen3.Qwen3Config(vocab_size=100, hidden=48, num_layers=1, num_heads=4,
+                             num_kv_heads=2, head_dim=16, ffn_dim=64, rope_theta=1e4)
+    acfg = qa.QwenAsrConfig(
+        n_mels=16, tower_dim=32, tower_layers=1, tower_heads=4, tower_ffn=48,
+        downsample_hidden=8, chunks_per_window=2, output_dim=lcfg.hidden, llm=lcfg,
+    )
+    cfg = fa.ForcedAlignerConfig(asr=acfg, classify_num=25)
+    tower = qa.init_tower_params(acfg, jax.random.PRNGKey(0))
+    llm = qwen3.init_params(lcfg, jax.random.PRNGKey(1))
+    head = {"w": jax.random.normal(jax.random.PRNGKey(2), (lcfg.hidden, 25)) * 0.1}
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal((1, 32000)) * 0.1).astype(np.float32)
+    start = llm["embed"][jnp.asarray([[7]])]
+    end = llm["embed"][jnp.asarray([[8]])]
+    text_ids = jnp.asarray([[11, 12, 5, 5, 13, 5, 5]], jnp.int32)  # 5 = <timestamp>
+    buckets, valid = fa.forward(
+        tower, llm, head, cfg, jnp.asarray(audio), jnp.asarray([32000]), start, end, text_ids
+    )
+    assert buckets.shape[0] == 1
+    v = int(valid[0])
+    b = np.asarray(buckets)[0]
+    assert ((b >= 0) & (b < 25)).all()
+    # timestamp positions live at 1 + audio_valid + 1 + idx
+    mel_frames = 32000 // 160
+    audio_valid = int(qa.feat_output_len(jnp.asarray(mel_frames)))
+    assert v == 1 + audio_valid + 1 + text_ids.shape[1]
