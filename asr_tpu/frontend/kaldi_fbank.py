@@ -52,6 +52,7 @@ class KaldiFbankConfig:
     window: str = "hamming"    # "hamming" | "povey"
     remove_dc: bool = True
     low_freq: float = 20.0
+    mel_style: str = "kaldi"   # "kaldi" | "htk" (FireRedASR uses HTK banks)
     input_scale: float = 1.0   # multiply waveform before analysis (32768.0 for [-1,1] PCM)
 
     @property
@@ -100,7 +101,12 @@ def _kaldi_constants(cfg: KaldiFbankConfig):
     k = -(-win // cfg.hop_length)
     basis = np.zeros((k * cfg.hop_length, 2 * n_bins), dtype=np.float32)
     basis[:win] = kernel.T  # zero rows past win make the matmul ignore frame scratch
-    mel = kaldi_mel_banks(cfg.n_mels, n_fft, cfg.sample_rate, cfg.low_freq)
+    if cfg.mel_style == "htk":
+        from asr_tpu.frontend.mel_banks import htk_mel_banks
+
+        mel = htk_mel_banks(cfg.n_mels, n_fft, cfg.sample_rate, cfg.low_freq)
+    else:
+        mel = kaldi_mel_banks(cfg.n_mels, n_fft, cfg.sample_rate, cfg.low_freq)
     return basis, mel
 
 

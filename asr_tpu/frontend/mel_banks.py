@@ -111,3 +111,34 @@ def slaney_mel_banks(
     enorm = 2.0 / (hz_pts[2 : n_mels + 2] - hz_pts[:n_mels])
     weights *= enorm[None, :]
     return weights.astype(np.float32)
+
+
+def htk_mel_banks(
+    n_mels: int,
+    n_fft: int,
+    sample_rate: float,
+    fmin: float = 20.0,
+    fmax: float | None = None,
+) -> np.ndarray:
+    """HTK-scale triangular mel bank without normalization, shape
+    ``(n_fft // 2 + 1, n_mels)`` — matches ``torchaudio.functional.
+    melscale_fbanks(..., mel_scale='htk', norm=None)`` as used by
+    FireRedASR (reference ``FireRedASR/Export_FireRedASR_AED.py:779``)."""
+    if fmax is None:
+        fmax = sample_rate / 2.0
+    n_freqs = n_fft // 2 + 1
+    fft_freqs = np.arange(n_freqs, dtype=np.float64) * sample_rate / n_fft
+
+    def hz_to_mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+    def mel_to_hz(m):
+        return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+    mel_pts = np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_mels + 2)
+    hz_pts = mel_to_hz(mel_pts)
+    fdiff = np.diff(hz_pts)
+    ramps = hz_pts[None, :] - fft_freqs[:, None]
+    lower = -ramps[:, :-2] / fdiff[None, :-1]
+    upper = ramps[:, 2:] / fdiff[None, 1:]
+    return np.maximum(0.0, np.minimum(lower, upper)).astype(np.float32)
