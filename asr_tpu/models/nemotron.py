@@ -190,15 +190,11 @@ def conv_module_causal(x: jnp.ndarray, p: dict, key_mask) -> jnp.ndarray:
     return dense(y, p["pw2"])
 
 
-def encode(
-    params: dict, cfg: NemotronConfig, audio: jnp.ndarray, valid_samples: jnp.ndarray,
+def encode_features(
+    params: dict, cfg: NemotronConfig, mel: jnp.ndarray, valid_frames: jnp.ndarray,
     prompt_id: jnp.ndarray,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Raw audio -> (joint-projected encoder frames (B, T', joint_hidden), valid)."""
-    mel = log_mel(audio, cfg.mel)
-    valid_frames = cfg.mel.valid_frames(valid_samples)
-    keep = jnp.arange(mel.shape[1], dtype=jnp.int32)[None, :] < valid_frames[:, None]
-    mel = jnp.where(keep[..., None], mel, 0.0)
+    """Zero-masked mel (B, T, M) -> (joint-projected frames, valid counts)."""
     x, valid = pre_encode(params, cfg, mel.astype(params["prompt"]["w0_enc"].dtype), valid_frames)
 
     t = x.shape[1]
@@ -220,6 +216,18 @@ def encode(
     h0 = dense(h0, pr["w2"])
     enc_proj = dense(h0, pr["joint_enc"])
     return enc_proj, valid
+
+
+def encode(
+    params: dict, cfg: NemotronConfig, audio: jnp.ndarray, valid_samples: jnp.ndarray,
+    prompt_id: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Raw audio -> (joint-projected encoder frames (B, T', joint_hidden), valid)."""
+    mel = log_mel(audio, cfg.mel)
+    valid_frames = cfg.mel.valid_frames(valid_samples)
+    keep = jnp.arange(mel.shape[1], dtype=jnp.int32)[None, :] < valid_frames[:, None]
+    mel = jnp.where(keep[..., None], mel, 0.0)
+    return encode_features(params, cfg, mel, valid_frames, prompt_id)
 
 
 def joint_step(params: dict, token: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray, enc_frame: jnp.ndarray):
