@@ -78,3 +78,67 @@ class ParaformerStreamingSession:
             audio_seconds=n / self.cfg.base.sample_rate,
             elapsed_seconds=self.elapsed,
         )
+
+
+def snip_edges_false_pad(waveform: np.ndarray, win_length: int, hop_length: int) -> np.ndarray:
+    """Reflection-pad so snip_edges=True framing of the padded signal equals
+    Kaldi ``snip_edges=False`` fbank of the original (reference
+    ``Inference_X_ASR_ONNX.py:204-217``)."""
+    pad = win_length // 2 - hop_length // 2
+    rev = waveform[::-1]
+    if pad > 0:
+        return np.concatenate([rev[-pad:], waveform, rev])
+    return np.concatenate([waveform[-pad:], rev])
+
+
+class XasrStreamingSession:
+    """X-ASR Zipformer2 chunked transcription (reference
+    ``Inference_X_ASR_ONNX.py:399-433``): snip_edges=False padding, 0.3 s
+    tail padding, fixed windows, per-chunk greedy transducer."""
+
+    def __init__(self, params, cfg, tokenizer=None):
+        from asr_tpu.models import zipformer as zf
+
+        self.zf = zf
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.reset()
+
+    def reset(self) -> None:
+        self.state = self.zf.init_state(self.cfg)
+        self.token_ids: list[int] = []
+        self.elapsed = 0.0
+
+    def transcribe(self, audio: np.ndarray | str | Path) -> TranscribeResult:
+        cfg = self.cfg
+        if isinstance(audio, (str, Path)):
+            audio = audio_io.load_audio(audio, cfg.fbank.sample_rate)
+        audio = np.asarray(audio, np.float32)
+        n_orig = len(audio)
+        fb = cfg.fbank
+        padded = snip_edges_false_pad(audio, fb.win_length, fb.hop_length)
+        padded = np.concatenate([padded, np.zeros(int(0.3 * fb.sample_rate), np.float32)])
+        self.reset()
+        w, adv = cfg.window_samples, cfg.advance_samples
+        pos = 0
+        while pos + w <= len(padded) or pos == 0:
+            window = np.zeros(w, np.float32)
+            chunk = padded[pos : pos + w]
+            window[: len(chunk)] = chunk
+            t0 = time.perf_counter()
+            self.state, enc = self.zf.encoder_step(
+                self.params, cfg, self.state, jnp.asarray(window)
+            )
+            self.state, ids, count = self.zf.greedy_chunk(self.params, cfg, self.state, enc)
+            jax.block_until_ready(ids)
+            self.elapsed += time.perf_counter() - t0
+            self.token_ids.extend(int(t) for t in np.asarray(ids)[: int(count)])
+            pos += adv
+        text = self.tokenizer.decode(self.token_ids) if self.tokenizer else ""
+        return TranscribeResult(
+            text=text,
+            token_ids=list(self.token_ids),
+            audio_seconds=n_orig / fb.sample_rate,
+            elapsed_seconds=self.elapsed,
+        )
