@@ -22,7 +22,15 @@ from asr_tpu.layers.norms import layer_norm
 
 
 def dense(x, p):
-    y = jnp.dot(x, p["w"])
+    w = p["w"]
+    if isinstance(w, dict) and "q" in w:
+        # Weight-only quantized leaf ({"q","scale","zero","bits","block"}):
+        # dequant-fused matmul (Pallas on TPU, XLA dequant elsewhere).
+        from asr_tpu.ops.quant_matmul import quant_dense
+
+        y = quant_dense(x, w)
+    else:
+        y = jnp.dot(x, w)
     if "b" in p and p["b"] is not None:
         y = y + p["b"]
     return y

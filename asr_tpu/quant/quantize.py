@@ -1,0 +1,156 @@
+"""Weight-only quantization (int8 / int4, block-wise) for serving.
+
+The reference ships a 4,306-line ONNX quantization pipeline
+(``Optimize_ONNX_Common.py``: Q2/Q4/Q8 weight-only via MatMulNBits with
+DEFAULT/HQQ/RTN/k_quant/AFFINE_REFINE_V2 algorithms, a numba-JIT
+refinement kernel :3120-3245, dynamic INT8, and an elaborate F16-overflow
+guard system). The TPU equivalents here are deliberately smaller:
+
+- **bf16 serving** needs no machinery at all — bfloat16's exponent range
+  removes the f16 overflow problem the reference fights (SURVEY.md §7.7);
+  cast the pytree.
+- **int8/int4 weight-only**: block-wise affine quantization of linear
+  weights with (a) RTN (round-to-nearest) and (b) an iterative
+  **affine refinement** that alternately re-fits scale/zero-point to
+  minimize weight MSE — the reference's AFFINE_REFINE_V2 idea, expressed
+  as a vectorized jitted JAX loop instead of a numba kernel.
+
+Quantized leaves are dicts ``{"q", "scale", "zero", "bits", "block"}``;
+``asr_tpu.layers.transformer.dense`` consumes them transparently (XLA
+dequant-fused path) and ``asr_tpu.ops.quant_matmul`` provides the Pallas
+kernel that dequantizes tiles in VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _fit_rtn(blocks: jnp.ndarray, qmax: int):
+    """Symmetric-range affine fit per block. blocks (NB, B, N)."""
+    wmin = jnp.min(blocks, axis=1, keepdims=True)
+    wmax = jnp.max(blocks, axis=1, keepdims=True)
+    scale = (wmax - wmin) / qmax
+    scale = jnp.where(scale <= 1e-12, 1.0, scale)
+    zero = jnp.round(-wmin / scale)
+    return scale, zero
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "block", "refine_iters"))
+def quantize_weight(
+    w: jnp.ndarray, bits: int = 8, block: int = 128, refine_iters: int = 0
+):
+    """Quantize a (K, N) weight block-wise along K.
+
+    Returns (q uint8 (K, N), scale (NB, N), zero (NB, N)) with
+    ``w ≈ (q - zero) * scale`` per block.
+    """
+    k, n = w.shape
+    assert k % block == 0, (k, block)
+    qmax = (1 << bits) - 1
+    blocks = w.reshape(k // block, block, n).astype(jnp.float32)
+    scale, zero = _fit_rtn(blocks, qmax)
+
+    def quant(scale, zero):
+        return jnp.clip(jnp.round(blocks / scale + zero), 0, qmax)
+
+    def refine(carry, _):
+        scale, zero = carry
+        q = quant(scale, zero)
+        # Re-fit scale by least squares on (q - zero) vs blocks, then re-fit zero.
+        centered = q - zero
+        num = jnp.sum(centered * blocks, axis=1, keepdims=True)
+        den = jnp.sum(centered * centered, axis=1, keepdims=True)
+        scale = jnp.where(den > 1e-12, num / jnp.maximum(den, 1e-12), scale)
+        scale = jnp.where(jnp.abs(scale) <= 1e-12, 1.0, scale)
+        q2 = quant(scale, zero)
+        zero_f = jnp.mean(q2 - blocks / scale, axis=1, keepdims=True)
+        zero = jnp.clip(jnp.round(zero_f), 0, qmax)
+        return (scale, zero), None
+
+    if refine_iters:
+        (scale, zero), _ = jax.lax.scan(refine, (scale, zero), None, length=refine_iters)
+    # Store centered int8 (q - 128, zero - 128): algebraically identical and
+    # Mosaic supports int8 -> f32 casts (uint8 is unsupported on TPU).
+    q = (quant(scale, zero) - 128.0).astype(jnp.int8).reshape(k, n)
+    return q, scale[:, 0, :], zero[:, 0, :] - 128.0
+
+
+def dequantize_weight(qleaf: dict, dtype=jnp.float32) -> jnp.ndarray:
+    """{"q","scale","zero","bits","block"} -> dense (K, N) weight."""
+    q = qleaf["q"].astype(jnp.float32)
+    k, n = q.shape
+    block = qleaf["block"]
+    blocks = q.reshape(k // block, block, n)
+    w = (blocks - qleaf["zero"][:, None, :]) * qleaf["scale"][:, None, :]
+    return w.reshape(k, n).astype(dtype)
+
+
+def quantize_linear(w: jnp.ndarray, bits: int = 8, block: int = 128, refine_iters: int = 0) -> dict:
+    k = w.shape[0]
+    if k % block != 0:
+        # Fall back to one block per remainder-safe size.
+        block = k
+    q, scale, zero = quantize_weight(w, bits, block, refine_iters)
+    return {"q": q, "scale": scale, "zero": zero, "bits": bits, "block": block}
+
+
+def is_quantized(leaf) -> bool:
+    return isinstance(leaf, dict) and "q" in leaf and "scale" in leaf and "bits" in leaf
+
+
+def quantize_pytree(
+    params,
+    bits: int = 8,
+    block: int = 128,
+    refine_iters: int = 2,
+    min_size: int = 1 << 16,
+    predicate: Callable[[str, jnp.ndarray], bool] | None = None,
+):
+    """Quantize every 2-D ``{"w": ...}`` linear weight above ``min_size``
+    elements (mirrors the reference's >=1024-element shared-initializer and
+    node include/exclude plans, ``Optimize_ONNX_Common.py:85-135``)."""
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            out = {}
+            for key, value in node.items():
+                p = f"{path}/{key}"
+                if (
+                    key == "w"
+                    and isinstance(value, jnp.ndarray)
+                    and value.ndim == 2
+                    and value.size >= min_size
+                    and (predicate is None or predicate(p, value))
+                ):
+                    out[key] = quantize_linear(value, bits, block, refine_iters)
+                else:
+                    out[key] = walk(value, p)
+            return out
+        if isinstance(node, (list, tuple)):
+            walked = [walk(v, f"{path}/{i}") for i, v in enumerate(node)]
+            return type(node)(walked) if isinstance(node, tuple) else walked
+        return node
+
+    return walk(params, "")
+
+
+def quantization_error(w: jnp.ndarray, qleaf: dict) -> float:
+    """Relative Frobenius error of the quantized representation."""
+    deq = dequantize_weight(qleaf)
+    return float(jnp.linalg.norm(w - deq) / jnp.maximum(jnp.linalg.norm(w), 1e-9))
+
+
+def cast_pytree(params, dtype):
+    """bf16/f32 serving cast (inexact leaves only)."""
+    def cast(x):
+        if isinstance(x, jnp.ndarray) and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree.map(cast, params)
