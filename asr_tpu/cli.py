@@ -1,0 +1,135 @@
+"""Command-line interface: transcribe / quantize / inspect model artifacts.
+
+The reference drives everything through per-family scripts with edit-me
+constants (``SenseVoice/Inference_SenseVoice_ONNX.py:44-46`` "CLI options
+are intentionally limited... Edit this section"); here a single CLI covers
+the common operations over self-describing artifact folders.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+
+def _build_session(folder: Path):
+    from asr_tpu.runtime.artifact import load_model
+    from asr_tpu.runtime.metadata import ModelMetadata
+
+    params, meta = load_model(folder)
+    family = meta.family
+    tokenizer = _build_tokenizer(folder, meta)
+    if family == "sensevoice":
+        from asr_tpu.models.sensevoice import SenseVoiceConfig
+        from asr_tpu.runtime.session import SenseVoiceSession
+
+        cfg = SenseVoiceConfig(**meta.extra.get("config", {}))
+        return SenseVoiceSession(params, cfg, tokenizer=tokenizer, metadata=meta)
+    if family == "whisper":
+        from asr_tpu.models.whisper import WhisperConfig
+        from asr_tpu.runtime.whisper_session import WhisperSession
+
+        cfg = WhisperConfig(**meta.extra.get("config", {}))
+        return WhisperSession(params, cfg, tokenizer=tokenizer)
+    if family == "paraformer_streaming":
+        from asr_tpu.models.paraformer import ParaformerConfig
+        from asr_tpu.streaming.paraformer_online import ParaformerStreamConfig
+        from asr_tpu.runtime.streaming_session import ParaformerStreamingSession
+
+        base = ParaformerConfig(**meta.extra.get("config", {}))
+        return ParaformerStreamingSession(params, ParaformerStreamConfig(base=base), tokenizer=tokenizer)
+    raise SystemExit(f"no session wired for family {family!r} yet; "
+                     f"use the python API (asr_tpu.models.{family})")
+
+
+def _build_tokenizer(folder: Path, meta):
+    kind = meta.tokenizer.get("kind", "")
+    file = meta.tokenizer.get("file", "")
+    path = folder / file if file else None
+    if not path or not path.exists():
+        return None
+    from asr_tpu.runtime import tokenizer as tok
+
+    if kind == "sentencepiece":
+        return tok.SentencePieceDecoder(path)
+    if kind == "vocab_txt":
+        return tok.VocabTxtDecoder(path, meta.extra.get("decode_mode", "zh"))
+    if kind == "hf":
+        return tok.HFTokenizerDecoder(path)
+    if kind == "json":
+        return tok.JsonVocabDecoder(path)
+    return None
+
+
+def cmd_transcribe(args) -> int:
+    sess = _build_session(Path(args.model_dir))
+    for audio in args.audio:
+        kwargs = {}
+        if args.language and hasattr(sess, "language_index"):
+            kwargs["language"] = args.language
+        res = sess.transcribe(audio, **kwargs)
+        print(f"{audio}\t({res.audio_seconds:.2f}s, RTF {res.rtf:.4f})")
+        print(res.text if res.text else res.token_ids)
+    return 0
+
+
+def cmd_inspect(args) -> int:
+    from asr_tpu.runtime.metadata import ModelMetadata
+    from asr_tpu.runtime.artifact import WEIGHTS_FILENAME
+
+    folder = Path(args.model_dir)
+    meta = ModelMetadata.load(folder)
+    print(json.dumps({
+        "family": meta.family,
+        "sample_rate": meta.sample_rate,
+        "audio_pcm_scale": meta.audio_pcm_scale,
+        "special_token_ids": meta.special_token_ids,
+        "languages": [p.code for p in meta.supported_languages],
+        "weights_bytes": (folder / WEIGHTS_FILENAME).stat().st_size,
+    }, indent=2))
+    return 0
+
+
+def cmd_quantize(args) -> int:
+    from asr_tpu.quant.quantize import quantize_pytree
+    from asr_tpu.runtime.artifact import load_model, save_model
+
+    params, meta = load_model(Path(args.model_dir))
+    qparams = quantize_pytree(params, bits=args.bits, block=args.block,
+                              refine_iters=args.refine_iters)
+    meta.extra["quantization"] = {"bits": args.bits, "block": args.block}
+    save_model(Path(args.out), qparams, meta)
+    print(f"quantized ({args.bits}-bit, block {args.block}) -> {args.out}")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="asr_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("transcribe", help="transcribe audio files with a model artifact")
+    p.add_argument("--model-dir", required=True)
+    p.add_argument("--language", default=None)
+    p.add_argument("audio", nargs="+")
+    p.set_defaults(fn=cmd_transcribe)
+
+    p = sub.add_parser("inspect", help="print a model artifact's metadata")
+    p.add_argument("--model-dir", required=True)
+    p.set_defaults(fn=cmd_inspect)
+
+    p = sub.add_parser("quantize", help="weight-only quantize an artifact")
+    p.add_argument("--model-dir", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--bits", type=int, default=8, choices=(4, 8))
+    p.add_argument("--block", type=int, default=128)
+    p.add_argument("--refine-iters", type=int, default=2)
+    p.set_defaults(fn=cmd_quantize)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

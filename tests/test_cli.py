@@ -1,0 +1,47 @@
+"""CLI: artifact inspect / quantize / transcribe round trip."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from asr_tpu.cli import main
+from asr_tpu.models import sensevoice as sv
+from asr_tpu.runtime.artifact import save_model
+from asr_tpu.runtime.metadata import ModelMetadata
+
+TINY = sv.SenseVoiceConfig(
+    vocab_size=64, hidden=32, num_heads=4, head_dim=8, ffn_dim=48,
+    num_encoders0=1, num_encoders=1, num_tp_encoders=1, fsmn_kernel=5,
+)
+TINY_DICT = dict(vocab_size=64, hidden=32, num_heads=4, head_dim=8, ffn_dim=48,
+                 num_encoders0=1, num_encoders=1, num_tp_encoders=1, fsmn_kernel=5)
+
+
+def _make_artifact(folder):
+    params = sv.init_params(TINY, jax.random.PRNGKey(0))
+    meta = ModelMetadata(family="sensevoice", extra={"config": TINY_DICT})
+    save_model(folder, params, meta)
+
+
+def test_inspect_and_transcribe(tmp_path, capsys):
+    _make_artifact(tmp_path / "m")
+    assert main(["inspect", "--model-dir", str(tmp_path / "m")]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["family"] == "sensevoice"
+
+    wav = "/root/reference/Test_Examples/en/test_sample.wav"
+    assert main(["transcribe", "--model-dir", str(tmp_path / "m"), "--language", "en", wav]) == 0
+    text = capsys.readouterr().out
+    assert "RTF" in text
+
+
+def test_quantize_roundtrip(tmp_path, capsys):
+    _make_artifact(tmp_path / "m")
+    assert main(["quantize", "--model-dir", str(tmp_path / "m"),
+                 "--out", str(tmp_path / "q"), "--bits", "8", "--block", "32"]) == 0
+    meta = json.loads((tmp_path / "q" / "metadata.json").read_text())
+    assert meta["extra"]["quantization"]["bits"] == 8
