@@ -1,0 +1,105 @@
+"""ctypes bindings for the native audio DSP library.
+
+Builds ``libasr_audio_dsp.so`` from ``audio_dsp.cc`` on first use (g++,
+no external deps) and exposes numpy-friendly wrappers. Every entry point
+has a pure-Python fallback in ``asr_tpu.runtime.audio``; import failure or
+a missing toolchain silently disables the native path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import math
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_DIR = Path(__file__).resolve().parent
+_SO = _DIR / "libasr_audio_dsp.so"
+_lib = None
+
+
+def _build() -> bool:
+    src = _DIR / "audio_dsp.cc"
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", str(src), "-o", str(_SO)],
+            check=True, capture_output=True,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    """Load (building if needed) the native library, or None."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _SO.exists() and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(str(_SO))
+    except OSError:
+        return None
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    lib.design_lowpass.argtypes = [ctypes.c_double, ctypes.c_double, ctypes.c_double,
+                                   ctypes.c_long, f32p]
+    lib.resample_poly.argtypes = [f32p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+                                  f32p, ctypes.c_long, f32p, ctypes.c_long]
+    lib.downmix_interleaved.argtypes = [f32p, ctypes.c_long, ctypes.c_int, f32p]
+    lib.pcm16_to_float.argtypes = [i16p, ctypes.c_long, f32p]
+    lib.rms.argtypes = [f32p, ctypes.c_long]
+    lib.rms.restype = ctypes.c_double
+    lib.scale_inplace.argtypes = [f32p, ctypes.c_long, ctypes.c_float]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _fptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def resample(x: np.ndarray, src_rate: int, dst_rate: int) -> np.ndarray:
+    """Polyphase resample (Kaiser windowed-sinc, scipy-compatible length)."""
+    lib = get_lib()
+    assert lib is not None
+    g = math.gcd(src_rate, dst_rate)
+    up, down = dst_rate // g, src_rate // g
+    if up == down:
+        return np.ascontiguousarray(x, np.float32)
+    x = np.ascontiguousarray(x, np.float32)
+    max_ud = max(up, down)
+    half_len = 10 * max_ud                       # scipy resample_poly default
+    taps = 2 * half_len + 1
+    filt = np.empty(taps, np.float32)
+    # scipy uses kaiser beta 5.0 with cutoff 1/max(up,down), gain up.
+    lib.design_lowpass(1.0 / max_ud, 5.0, float(up), taps, _fptr(filt))
+    n_out = -(-len(x) * up // down)
+    out = np.empty(n_out, np.float32)
+    lib.resample_poly(_fptr(x), len(x), up, down, _fptr(filt), taps, _fptr(out), n_out)
+    return out
+
+
+def downmix(x: np.ndarray) -> np.ndarray:
+    """(channels, n) -> (n,) via the native kernel."""
+    lib = get_lib()
+    assert lib is not None
+    channels, frames = x.shape
+    inter = np.ascontiguousarray(x.T, np.float32)  # interleaved
+    out = np.empty(frames, np.float32)
+    lib.downmix_interleaved(_fptr(inter), frames, channels, _fptr(out))
+    return out
+
+
+def rms(x: np.ndarray) -> float:
+    lib = get_lib()
+    assert lib is not None
+    x = np.ascontiguousarray(x, np.float32)
+    return float(lib.rms(_fptr(x), len(x)))

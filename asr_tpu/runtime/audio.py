@@ -54,9 +54,19 @@ def downmix(samples: np.ndarray) -> np.ndarray:
 
 
 def resample(samples: np.ndarray, src_rate: int, dst_rate: int) -> np.ndarray:
-    """Polyphase resample 1-D samples from src_rate to dst_rate."""
+    """Polyphase resample 1-D samples from src_rate to dst_rate.
+
+    Uses the native C++ resampler (``asr_tpu.native``) when available, else
+    scipy."""
     if src_rate == dst_rate:
         return samples
+    try:
+        from asr_tpu import native
+
+        if native.available():
+            return native.resample(samples, src_rate, dst_rate)
+    except Exception:
+        pass
     from scipy.signal import resample_poly
 
     g = math.gcd(src_rate, dst_rate)

@@ -1,0 +1,57 @@
+"""Native C++ audio DSP: builds with g++, matches scipy/numpy references."""
+
+import numpy as np
+import pytest
+
+from asr_tpu import native
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="g++ toolchain unavailable")
+
+
+def test_resample_matches_scipy_on_bandlimited_signal():
+    from scipy.signal import resample_poly
+
+    rng = np.random.default_rng(0)
+    t = np.arange(48000) / 48000.0
+    # Band-limited content well below the target Nyquist.
+    x = sum(np.sin(2 * np.pi * f * t + p) for f, p in [(440, 0.1), (1200, 1.0), (3000, 2.0)])
+    x = (x / 3).astype(np.float32)
+    ours = native.resample(x, 48000, 16000)
+    ref = resample_poly(x, 1, 3).astype(np.float32)
+    assert len(ours) == len(ref)
+    # Interior samples (edges differ slightly due to filter design details).
+    s = slice(100, -100)
+    err = np.abs(ours[s] - ref[s]).max()
+    assert err < 5e-3, err
+
+
+def test_resample_preserves_tone_frequency():
+    sr1, sr2, f0 = 48000, 16000, 1000.0
+    t = np.arange(sr1) / sr1
+    x = np.sin(2 * np.pi * f0 * t).astype(np.float32)
+    y = native.resample(x, sr1, sr2)
+    spec = np.abs(np.fft.rfft(y[200:-200] * np.hanning(len(y) - 400)))
+    peak = np.argmax(spec) * sr2 / (len(y) - 400)
+    assert abs(peak - f0) < 5.0
+
+
+def test_downmix_and_rms():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 1000)).astype(np.float32)
+    np.testing.assert_allclose(native.downmix(x), x.mean(axis=0), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        native.rms(x[0]), float(np.sqrt(np.mean(x[0] ** 2))), rtol=1e-6
+    )
+
+
+def test_upsample_length_convention():
+    x = np.zeros(16000, np.float32)
+    y = native.resample(x, 16000, 48000)
+    assert len(y) == 48000
+
+
+def test_audio_ingest_uses_native_when_available():
+    from asr_tpu.runtime import audio as audio_io
+
+    out = audio_io.load_audio("/root/reference/Test_Examples/en/test_sample.wav", 16000)
+    assert out.ndim == 1 and out.dtype == np.float32
