@@ -1,0 +1,125 @@
+"""Offline sessions for the transducer / AED families.
+
+Runtime parity with the per-family reference drivers: fixed windows,
+batched device calls, tokenizer decode, RTF reporting. Each session wraps
+a model-module ``forward`` with the family's PCM convention.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from asr_tpu.runtime import audio as audio_io
+from asr_tpu.runtime.session import TranscribeResult
+
+
+class _WindowedSession:
+    """Shared machinery: pad/window audio, run forward per window batch."""
+
+    pcm_scale = 1.0         # 32768.0 = int16 numeric range convention
+    window_seconds = 30.0
+    sample_rate = 16000
+
+    def __init__(self, params, cfg, tokenizer=None, window_seconds=None):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        if window_seconds is not None:
+            self.window_seconds = window_seconds
+        self.window_samples = int(self.window_seconds * self.sample_rate)
+
+    def _forward(self, audio: jnp.ndarray, valid: jnp.ndarray):
+        raise NotImplementedError
+
+    def transcribe(self, audio: np.ndarray | str | Path, **kw) -> TranscribeResult:
+        if isinstance(audio, (str, Path)):
+            audio = audio_io.load_audio(audio, self.sample_rate, pcm_scale=self.pcm_scale)
+        audio = np.asarray(audio, np.float32)
+        n = len(audio)
+        w = self.window_samples
+        num = max(1, -(-n // w))
+        buf = np.zeros((num, w), np.float32)
+        valid = np.zeros((num,), np.int32)
+        for i in range(num):
+            chunk = audio[i * w : (i + 1) * w]
+            buf[i, : len(chunk)] = chunk
+            valid[i] = len(chunk)
+        t0 = time.perf_counter()
+        toks, counts = self._forward(jnp.asarray(buf), jnp.asarray(valid), **kw)
+        toks = np.asarray(jax.block_until_ready(toks))
+        counts = np.asarray(counts)
+        elapsed = time.perf_counter() - t0
+        ids = [int(t) for i in range(num) for t in toks[i, : counts[i]]]
+        text = self.tokenizer.decode(ids) if self.tokenizer else ""
+        return TranscribeResult(text=text, token_ids=ids,
+                                audio_seconds=n / self.sample_rate,
+                                elapsed_seconds=elapsed)
+
+
+class ParakeetSession(_WindowedSession):
+    """Parakeet-TDT offline (reference ``Inference_Parakeet_ASR_ONNX.py``).
+    NeMo convention: [-1, 1] PCM via ``mel.input_scale`` in the config."""
+
+    window_seconds = 24.0   # bounded by the baked PE table (~123 s max)
+
+    def _forward(self, audio, valid):
+        from asr_tpu.models import parakeet as pk
+
+        return pk.forward(self.params, self.cfg, audio, valid)
+
+
+class NemotronSession(_WindowedSession):
+    """Nemotron offline RNN-T with multilingual prompt id (reference
+    ``Inference_Nemotron_ASR_ONNX.py``)."""
+
+    def __init__(self, params, cfg, tokenizer=None, prompt_id: int = 0, **kw):
+        super().__init__(params, cfg, tokenizer, **kw)
+        self.prompt_id = prompt_id
+
+    def _forward(self, audio, valid):
+        from asr_tpu.models import nemotron as nm
+
+        pid = jnp.full((audio.shape[0],), self.prompt_id, jnp.int32)
+        return nm.forward(self.params, self.cfg, audio, valid, pid)
+
+
+class FireRedSession(_WindowedSession):
+    """FireRedASR-AED offline (reference ``Inference_FireRedASR_AED_ONNX.py``);
+    Kaldi int16-range convention, AR greedy/penalty/sampling decode."""
+
+    pcm_scale = 32768.0
+
+    def __init__(self, params, cfg, tokenizer=None, decode_cfg=None, **kw):
+        super().__init__(params, cfg, tokenizer, **kw)
+        from asr_tpu.decode.ar import DecodeConfig
+
+        self.decode_cfg = decode_cfg or DecodeConfig(
+            max_new_tokens=224, eot_id=cfg.eos_id, strategy="greedy"
+        )
+
+    def _forward(self, audio, valid):
+        from asr_tpu.models import firered as fr
+
+        toks, counts = fr.transcribe(self.params, self.cfg, audio, valid, self.decode_cfg)
+        return toks[:, 1:], counts  # drop the SOS slot
+
+
+class ParaformerSession(_WindowedSession):
+    """Paraformer non-streaming (reference ``Inference_Paraformer_ONNX.py``)."""
+
+    pcm_scale = 32768.0
+    window_seconds = 30.0
+
+    def __init__(self, params, cfg, tokenizer=None, max_tokens=256, **kw):
+        super().__init__(params, cfg, tokenizer, **kw)
+        self.max_tokens = max_tokens
+
+    def _forward(self, audio, valid):
+        from asr_tpu.models import paraformer as pf
+
+        return pf.forward(self.params, self.cfg, audio, valid, max_tokens=self.max_tokens)

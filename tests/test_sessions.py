@@ -1,0 +1,90 @@
+"""Offline family sessions + example-audio registry."""
+
+import numpy as np
+import pytest
+import jax
+
+from asr_tpu.frontend.nemo_mel import NemoMelConfig
+from asr_tpu.runtime.examples import model_audio_cases
+from asr_tpu.runtime.transducer_session import (
+    FireRedSession,
+    NemotronSession,
+    ParakeetSession,
+    ParaformerSession,
+)
+
+
+class _Tok:
+    def decode(self, ids):
+        return " ".join(map(str, ids))
+
+
+def test_examples_registry():
+    cases = model_audio_cases("sensevoice")
+    assert any(lang == "en" for lang, _ in cases)
+    for _, p in cases:
+        assert p.exists()
+    assert model_audio_cases("nonexistent") == []
+
+
+def test_parakeet_session():
+    from asr_tpu.models import parakeet as pk
+
+    cfg = pk.ParakeetConfig(
+        vocab_size=40, blank_id=39, d_model=64, num_layers=1, num_heads=4,
+        ffn_dim=96, sub_channels=16, dec_hidden=32, lstm_layers=1,
+        mel=NemoMelConfig(n_mels=80),
+    )
+    params = pk.init_params(cfg, jax.random.PRNGKey(0))
+    sess = ParakeetSession(params, cfg, tokenizer=_Tok(), window_seconds=1.0)
+    rng = np.random.default_rng(0)
+    res = sess.transcribe((rng.standard_normal(24000) * 0.1).astype(np.float32))
+    assert res.audio_seconds == pytest.approx(1.5)
+    assert res.rtf > 0
+
+
+def test_nemotron_session():
+    from asr_tpu.models import nemotron as nm
+
+    cfg = nm.NemotronConfig(
+        vocab_size=30, d_model=32, num_layers=1, num_heads=4, ffn_dim=48,
+        conv_kernel=5, sub_channels=8, pred_hidden=16, joint_hidden=16,
+        prompt_hidden=16, lstm_layers=1, num_prompts=4, left_context=6,
+        right_context=3, mel=NemoMelConfig(n_mels=40),
+    )
+    params = nm.init_params(cfg, jax.random.PRNGKey(1))
+    sess = NemotronSession(params, cfg, tokenizer=_Tok(), prompt_id=2, window_seconds=1.0)
+    rng = np.random.default_rng(1)
+    res = sess.transcribe((rng.standard_normal(17000) * 0.1).astype(np.float32))
+    assert isinstance(res.text, str)
+
+
+def test_firered_session():
+    from asr_tpu.decode.ar import DecodeConfig
+    from asr_tpu.models import firered as fr
+
+    cfg = fr.FireRedConfig(
+        vocab_size=60, d_model=32, enc_layers=1, enc_heads=4, conv_kernel=9,
+        dec_layers=1, dec_heads=4, dec_ffn=48, max_target_positions=16,
+    )
+    params = fr.init_params(cfg, jax.random.PRNGKey(2))
+    dc = DecodeConfig(max_new_tokens=6, eot_id=cfg.eos_id, strategy="greedy")
+    sess = FireRedSession(params, cfg, tokenizer=_Tok(), decode_cfg=dc, window_seconds=0.6)
+    rng = np.random.default_rng(2)
+    res = sess.transcribe((rng.standard_normal(12000) * 2000).astype(np.float32))
+    assert isinstance(res.token_ids, list)
+
+
+def test_paraformer_session_on_fixture():
+    from asr_tpu.models import paraformer as pf
+
+    cfg = pf.ParaformerConfig(
+        vocab_size=50, hidden=32, num_heads=4, head_dim=8, ffn_dim=48,
+        num_encoders0=1, num_encoders=1, num_decoders=1, num_decoder_ffn=1,
+        fsmn_kernel=5, predictor_kernel=3,
+    )
+    params = pf.init_params(cfg, jax.random.PRNGKey(3))
+    sess = ParaformerSession(params, cfg, tokenizer=_Tok(), max_tokens=64, window_seconds=8.0)
+    res = sess.transcribe("/root/reference/Test_Examples/zh/zh-Shanghai.wav")
+    assert res.audio_seconds > 5
+    assert res.rtf > 0
