@@ -61,9 +61,11 @@ def sanm_block(
     out{w,b}, norm2{scale,bias}, ffn{w1,b1,w2,b2}.
     ``key_mask``: (B, T) bool validity; zero-masks v for FSMN + attention.
     """
+    from asr_tpu.layers.transformer import dense
+
     hidden = num_heads * head_dim
     y = layer_norm(x, p["norm1"]["scale"], p["norm1"]["bias"])
-    qkv = jnp.dot(y, p["qkv"]["w"]) + p["qkv"]["b"]
+    qkv = dense(y, p["qkv"])
     q, k, v = jnp.split(qkv, 3, axis=-1)
     if key_mask is not None:
         v = jnp.where(key_mask[..., None], v, 0)
@@ -76,8 +78,8 @@ def sanm_block(
     ).reshape(b, t, hidden)
     pad = (p["fsmn_w"].shape[0] - 1) // 2
     mem = depthwise_conv1d_time(v, p["fsmn_w"], pad, pad) + v
-    branch = jnp.dot(ctx, p["out"]["w"]) + p["out"]["b"] + mem
+    branch = dense(ctx, p["out"]) + mem
     a = branch + x if residual else branch
     y2 = layer_norm(a, p["norm2"]["scale"], p["norm2"]["bias"])
-    h = jnp.maximum(jnp.dot(y2, p["ffn"]["w1"]) + p["ffn"]["b1"], 0)
-    return a + jnp.dot(h, p["ffn"]["w2"]) + p["ffn"]["b2"]
+    h = jnp.maximum(dense(y2, {"w": p["ffn"]["w1"], "b": p["ffn"]["b1"]}), 0)
+    return a + dense(h, {"w": p["ffn"]["w2"], "b": p["ffn"]["b2"]})

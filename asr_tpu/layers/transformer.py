@@ -23,7 +23,7 @@ from asr_tpu.layers.norms import layer_norm
 
 def dense(x, p):
     w = p["w"]
-    if isinstance(w, dict) and "q" in w:
+    if not isinstance(w, jnp.ndarray) and "q" in w:
         # Weight-only quantized leaf ({"q","scale","zero","bits","block"}):
         # dequant-fused matmul (Pallas on TPU, XLA dequant elsewhere).
         from asr_tpu.ops.quant_matmul import quant_dense

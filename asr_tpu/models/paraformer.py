@@ -114,9 +114,11 @@ def init_params(cfg: ParaformerConfig, rng: jax.Array, dtype=jnp.float32) -> dic
 
 def _ffn_sanm_decoder(x: jnp.ndarray, p: dict) -> jnp.ndarray:
     """FunASR PositionwiseFeedForwardDecoderSANM: w2(norm(relu(w1(x))))."""
-    h = jnp.maximum(jnp.dot(x, p["w1"]["w"]) + p["w1"]["b"], 0)
+    from asr_tpu.layers.transformer import dense
+
+    h = jnp.maximum(dense(x, p["w1"]), 0)
     h = layer_norm(h, p["norm"]["scale"], p["norm"]["bias"])
-    return jnp.dot(h, p["w2"]["w"]) + p["w2"]["b"]
+    return dense(h, p["w2"])
 
 
 def encode(params: dict, cfg: ParaformerConfig, x: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
@@ -169,19 +171,21 @@ def decode_tokens(
         fsmn = depthwise_conv1d_time(sa_in, p["fsmn_w"], pad, pad) + sa_in
         x = x + fsmn
         c_in = layer_norm(x, p["norm3"]["scale"], p["norm3"]["bias"])
-        q = (jnp.dot(c_in, p["cross"]["q"]["w"]) + p["cross"]["q"]["b"]).reshape(
-            b, n, cfg.num_heads, cfg.head_dim
-        )
-        kv = jnp.dot(memory, p["cross"]["kv"]["w"]) + p["cross"]["kv"]["b"]
+        from asr_tpu.layers.transformer import dense as _dense
+
+        q = _dense(c_in, p["cross"]["q"]).reshape(b, n, cfg.num_heads, cfg.head_dim)
+        kv = _dense(memory, p["cross"]["kv"])
         k, v = jnp.split(kv, 2, axis=-1)
         k = k.reshape(b, -1, cfg.num_heads, cfg.head_dim)
         v = v.reshape(b, -1, cfg.num_heads, cfg.head_dim)
         ctx = mha(q, k, v, bias=mem_bias).reshape(b, n, cfg.hidden)
-        x = x + jnp.dot(ctx, p["cross"]["out"]["w"]) + p["cross"]["out"]["b"]
+        x = x + _dense(ctx, p["cross"]["out"])
     for p in params["decoder_ffn"]:
         x = _ffn_sanm_decoder(layer_norm(x, p["norm1"]["scale"], p["norm1"]["bias"]), p["ffn"])
+    from asr_tpu.layers.transformer import dense as _dense2
+
     x = layer_norm(x, params["decoder_after_norm"]["scale"], params["decoder_after_norm"]["bias"])
-    return jnp.dot(x, params["output"]["w"]) + params["output"]["b"]
+    return _dense2(x, params["output"])
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_tokens"))

@@ -190,6 +190,9 @@ def encode_logits(
         [lang[:, None, :], jnp.broadcast_to(system[None], (b,) + system.shape), feats], axis=1
     )
     valid_seq = valid_lfr + prompt_len
-    enc = encode(params, cfg, x.astype(params["ctc"]["w"].dtype), valid_seq)
-    logits = jnp.dot(enc, params["ctc"]["w"]) + params["ctc"]["b"]
+    from asr_tpu.layers.transformer import dense
+
+    dtype = params["ctc"]["b"].dtype
+    enc = encode(params, cfg, x.astype(dtype), valid_seq)
+    logits = dense(enc, params["ctc"])
     return logits, valid_seq

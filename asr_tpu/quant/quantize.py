@@ -81,26 +81,55 @@ def quantize_weight(
     return q, scale[:, 0, :], zero[:, 0, :] - 128.0
 
 
-def dequantize_weight(qleaf: dict, dtype=jnp.float32) -> jnp.ndarray:
-    """{"q","scale","zero","bits","block"} -> dense (K, N) weight."""
+@jax.tree_util.register_pytree_node_class
+class QuantizedLinear:
+    """Block-quantized linear weight; ``bits``/``block`` are static pytree
+    aux data so jitted functions see them as Python ints."""
+
+    def __init__(self, q, scale, zero, bits: int, block: int):
+        self.q = q
+        self.scale = scale
+        self.zero = zero
+        self.bits = int(bits)
+        self.block = int(block)
+
+    def tree_flatten(self):
+        return (self.q, self.scale, self.zero), (self.bits, self.block)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    # dict-style access kept for convenience / serialization.
+    def __getitem__(self, key):
+        return getattr(self, key)
+
+    def __contains__(self, key):
+        return key in ("q", "scale", "zero", "bits", "block")
+
+
+def dequantize_weight(qleaf, dtype=jnp.float32) -> jnp.ndarray:
+    """QuantizedLinear (or equivalent dict) -> dense (K, N) weight."""
     q = qleaf["q"].astype(jnp.float32)
     k, n = q.shape
-    block = qleaf["block"]
+    block = int(qleaf["block"])
     blocks = q.reshape(k // block, block, n)
     w = (blocks - qleaf["zero"][:, None, :]) * qleaf["scale"][:, None, :]
     return w.reshape(k, n).astype(dtype)
 
 
-def quantize_linear(w: jnp.ndarray, bits: int = 8, block: int = 128, refine_iters: int = 0) -> dict:
+def quantize_linear(w: jnp.ndarray, bits: int = 8, block: int = 128, refine_iters: int = 0):
     k = w.shape[0]
     if k % block != 0:
         # Fall back to one block per remainder-safe size.
         block = k
     q, scale, zero = quantize_weight(w, bits, block, refine_iters)
-    return {"q": q, "scale": scale, "zero": zero, "bits": bits, "block": block}
+    return QuantizedLinear(q, scale, zero, bits, block)
 
 
 def is_quantized(leaf) -> bool:
+    if isinstance(leaf, QuantizedLinear):
+        return True
     return isinstance(leaf, dict) and "q" in leaf and "scale" in leaf and "bits" in leaf
 
 
@@ -122,7 +151,7 @@ def quantize_pytree(
             for key, value in node.items():
                 p = f"{path}/{key}"
                 if (
-                    key == "w"
+                    key in ("w", "w1", "w2")
                     and isinstance(value, jnp.ndarray)
                     and value.ndim == 2
                     and value.size >= min_size

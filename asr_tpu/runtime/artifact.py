@@ -21,8 +21,15 @@ WEIGHTS_FILENAME = "weights.safetensors"
 
 
 def flatten_pytree(tree: Any, prefix: str = "") -> dict[str, np.ndarray]:
+    from asr_tpu.quant.quantize import QuantizedLinear
+
     out: dict[str, np.ndarray] = {}
-    if isinstance(tree, dict):
+    if isinstance(tree, QuantizedLinear):
+        for k in ("q", "scale", "zero"):
+            out[f"{prefix}__quant__/{k}"] = np.ascontiguousarray(np.asarray(tree[k]))
+        out[f"{prefix}__quant__/bits"] = np.asarray(tree.bits, np.int32)
+        out[f"{prefix}__quant__/block"] = np.asarray(tree.block, np.int32)
+    elif isinstance(tree, dict):
         for k, v in tree.items():
             out.update(flatten_pytree(v, f"{prefix}{k}/"))
     elif isinstance(tree, (list, tuple)):
@@ -47,6 +54,12 @@ def unflatten_pytree(flat: dict[str, np.ndarray]) -> Any:
     def listify(node):
         if not isinstance(node, dict):
             return node
+        if "__quant__" in node and len(node) == 1:
+            from asr_tpu.quant.quantize import QuantizedLinear
+
+            q = node["__quant__"]
+            return QuantizedLinear(q["q"], q["scale"], q["zero"],
+                                   int(q["bits"]), int(q["block"]))
         keys = list(node.keys())
         if keys and all(k.isdigit() for k in keys):
             return [listify(node[str(i)]) for i in range(len(keys))]
@@ -77,6 +90,13 @@ def load_model(folder: str | Path, dtype=None) -> tuple[Any, ModelMetadata]:
 
 
 def _to_device(tree: Any) -> Any:
+    from asr_tpu.quant.quantize import QuantizedLinear
+
+    if isinstance(tree, QuantizedLinear):
+        return QuantizedLinear(
+            jnp.asarray(tree.q), jnp.asarray(tree.scale), jnp.asarray(tree.zero),
+            tree.bits, tree.block,
+        )
     if isinstance(tree, dict):
         return {k: _to_device(v) for k, v in tree.items()}
     if isinstance(tree, list):

@@ -75,14 +75,13 @@ def test_quantize_pytree_walks_and_model_runs():
     )
     params = sv.init_params(cfg, jax.random.PRNGKey(0))
     qparams = quantize_pytree(params, bits=8, block=64, min_size=4096)
+    from asr_tpu.quant.quantize import QuantizedLinear
+
     # ffn weights (64*256 = 16k >= 4096) got quantized
-    assert "q" in qparams["encoders"][0]["ffn"]["w1"] or isinstance(
-        qparams["encoders"][0]["qkv"]["w"], dict
-    )
-    # note: sensevoice uses raw jnp.dot internally, so run a dense() check
+    assert isinstance(qparams["encoders"][0]["ffn"]["w1"], QuantizedLinear)
+    assert isinstance(qparams["encoders"][0]["qkv"]["w"], QuantizedLinear)
     x = jnp.ones((1, 3, 64))
-    y = dense(x, {"w": qparams["encoders"][0]["out"]["w"]} if isinstance(
-        qparams["encoders"][0]["out"]["w"], dict) else qparams["encoders"][0]["out"])
+    y = dense(x, qparams["encoders"][0]["out"])
     assert y.shape[-1] == 64
 
 
@@ -91,3 +90,24 @@ def test_cast_pytree_bf16():
     out = cast_pytree(tree, jnp.bfloat16)
     assert out["a"].dtype == jnp.bfloat16
     assert out["b"].dtype == jnp.int32
+
+
+def test_quantized_sensevoice_forward_agrees():
+    """A q8-quantized SenseVoice must produce near-identical CTC tokens."""
+    from asr_tpu.models import sensevoice as sv
+
+    cfg = sv.SenseVoiceConfig(
+        vocab_size=300, hidden=64, num_heads=4, head_dim=16, ffn_dim=256,
+        num_encoders0=1, num_encoders=2, num_tp_encoders=1, fsmn_kernel=5,
+    )
+    params = sv.init_params(cfg, jax.random.PRNGKey(5))
+    qparams = quantize_pytree(params, bits=8, block=64, min_size=4096)
+    rng = np.random.default_rng(5)
+    audio = jnp.asarray((rng.standard_normal((1, 8000)) * 2000).astype(np.float32))
+    t1, n1 = sv.forward(params, cfg, audio, jnp.asarray([8000]), jnp.asarray([1]))
+    t2, n2 = sv.forward(qparams, cfg, audio, jnp.asarray([8000]), jnp.asarray([1]))
+    # random weights produce near-uniform logits; require strong agreement
+    k = min(int(n1[0]), int(n2[0]))
+    agree = (np.asarray(t1)[0, :k] == np.asarray(t2)[0, :k]).mean() if k else 1.0
+    assert abs(int(n1[0]) - int(n2[0])) <= max(2, int(0.2 * int(n1[0])))
+    assert agree > 0.7
