@@ -73,3 +73,40 @@ def test_graft_entry_dryrun_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_data_parallel_runner_pads_and_matches():
+    from asr_tpu.parallel.serve import DataParallelRunner
+
+    runner = DataParallelRunner(pmesh.make_mesh(8, model_parallel=1))
+    params = sv.init_params(TINY, jax.random.PRNGKey(5))
+    params_sh = runner.shard_params(params)
+    rng = np.random.default_rng(5)
+    audio = (rng.standard_normal((5, 4800)) * 2000).astype(np.float32)  # 5 % 8 != 0
+    valid = np.full((5,), 4800, np.int32)
+    lang = np.zeros((5,), np.int32)
+
+    def fn(p, a, v, l):
+        return sv.forward(p, TINY, a, v, l)
+
+    toks, counts = runner(fn, params_sh, audio, valid, lang)
+    ref_t, ref_n = sv.forward(params, TINY, jnp.asarray(audio), jnp.asarray(valid), jnp.asarray(lang))
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(ref_n))
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref_t))
+
+
+def test_train_checkpoint_roundtrip(tmp_path):
+    from asr_tpu.parallel import checkpoint as ckpt
+    from asr_tpu.parallel import train
+
+    params = sv.init_params(TINY, jax.random.PRNGKey(6))
+    optimizer = train.make_optimizer()
+    opt_state = optimizer.init(params)
+    ckpt.save_train_state(tmp_path / "ck", params, opt_state, step=7)
+    assert ckpt.latest_step(tmp_path / "ck") == 7
+    template = {"params": params, "opt_state": opt_state, "step": jnp.asarray(7)}
+    p2, o2, s2 = ckpt.restore_train_state(tmp_path / "ck", template)
+    assert s2 == 7
+    np.testing.assert_array_equal(
+        np.asarray(p2["ctc"]["w"]), np.asarray(params["ctc"]["w"])
+    )
