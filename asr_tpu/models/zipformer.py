@@ -461,3 +461,11 @@ def greedy_chunk(params: dict, cfg: ZipformerConfig, state: dict, enc: jnp.ndarr
     init = (state["context"], jnp.zeros((max_new + 1,), jnp.int32), jnp.asarray(0, jnp.int32))
     (context, buf, count), _ = jax.lax.scan(body, init, enc)
     return {**state, "context": context}, buf[:max_new], count
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_new"))
+def transcribe_chunk(params: dict, cfg: ZipformerConfig, state: dict, window: jnp.ndarray, max_new: int = 8):
+    """Fused encoder_step + greedy_chunk (one device dispatch per chunk —
+    the reference needs 1 encoder + per-frame joiner ORT launches)."""
+    state, enc = encoder_step.__wrapped__(params, cfg, state, window)
+    return greedy_chunk.__wrapped__(params, cfg, state, enc, max_new)

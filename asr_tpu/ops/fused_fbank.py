@@ -10,6 +10,12 @@ log floor — one HBM read of audio, one HBM write of (T, n_mels).
 Covers SURVEY.md §7.1 ("the single most-shared component"); the same
 grid/DMA structure serves all four front-end conventions since they differ
 only in basis/mel constants and the log epilogue.
+
+Measured on TPU v5e (batch 8 x 8 s): matches the XLA path to 1e-5 at
+HIGHEST precision but is not faster (854us vs 733us — XLA already fuses
+this chain well and both are dispatch-bound at this size), so the XLA path
+remains the default; this kernel is the opt-in building block for deeper
+fusions (e.g. fbank+LFR+CMVN in one pass).
 """
 
 from __future__ import annotations

@@ -127,10 +127,9 @@ class XasrStreamingSession:
             chunk = padded[pos : pos + w]
             window[: len(chunk)] = chunk
             t0 = time.perf_counter()
-            self.state, enc = self.zf.encoder_step(
+            self.state, ids, count = self.zf.transcribe_chunk(
                 self.params, cfg, self.state, jnp.asarray(window)
             )
-            self.state, ids, count = self.zf.greedy_chunk(self.params, cfg, self.state, enc)
             jax.block_until_ready(ids)
             self.elapsed += time.perf_counter() - t0
             self.token_ids.extend(int(t) for t in np.asarray(ids)[: int(count)])
