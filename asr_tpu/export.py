@@ -1,0 +1,143 @@
+"""Checkpoint -> artifact-folder builders (the reference's Export_*.py analog).
+
+Each builder loads a source checkpoint directly into a pytree, stamps the
+family's metadata contract (sample_rate, pcm scale, special tokens,
+language catalog — reference ``SenseVoice/Export_SenseVoice.py:311-351``),
+copies tokenizer assets, and writes a self-describing folder that
+``asr_tpu.cli`` / the sessions consume. No ONNX, no graph surgery: the
+"export" is a name-mapped weight load plus metadata.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import shutil
+from pathlib import Path
+
+from asr_tpu.runtime.artifact import save_model
+from asr_tpu.runtime.metadata import LanguageProfile, ModelMetadata
+
+
+def _copy_asset(src_dir: Path, name: str, dst_dir: Path) -> str | None:
+    src = src_dir / name
+    if src.exists():
+        shutil.copy2(src, dst_dir / name)
+        return name
+    return None
+
+
+def build_sensevoice_artifact(
+    checkpoint_dir: str | Path, out_dir: str | Path, cfg=None
+) -> Path:
+    """FunASR SenseVoiceSmall folder (model.pt + am.mvn + *.bpe.model) ->
+    artifact."""
+    from asr_tpu.loaders import funasr
+    from asr_tpu.models.sensevoice import LANGUAGE_PROFILES, SenseVoiceConfig
+
+    checkpoint_dir = Path(checkpoint_dir)
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    cfg = cfg or SenseVoiceConfig()
+    sd = funasr.load_checkpoint_file(checkpoint_dir / "model.pt")
+    neg_means, istd = funasr.parse_kaldi_mvn(checkpoint_dir / "am.mvn")
+    params = funasr.sensevoice_params_from_state_dict(sd, cfg, neg_means, istd)
+
+    tok_file = None
+    for cand in checkpoint_dir.glob("*.bpe.model"):
+        tok_file = _copy_asset(checkpoint_dir, cand.name, out_dir)
+        break
+    meta = ModelMetadata(
+        family="sensevoice",
+        sample_rate=cfg.sample_rate,
+        audio_pcm_scale=32768.0,
+        special_token_ids={"blank": cfg.blank_id},
+        supported_languages=[
+            LanguageProfile(code, desc, tuple(aliases), tok, i)
+            for i, (code, desc, aliases, tok) in enumerate(LANGUAGE_PROFILES)
+        ],
+        tokenizer={"kind": "sentencepiece", "file": tok_file or ""},
+        extra={"config": dataclasses.asdict(cfg) | {"fbank": None}},
+    )
+    meta.extra["config"].pop("fbank", None)
+    save_model(out_dir, params, meta)
+    return out_dir
+
+
+def build_whisper_artifact(checkpoint_dir: str | Path, out_dir: str | Path) -> Path:
+    """HF Whisper snapshot (config.json + model.safetensors + tokenizer.json
+    + generation_config.json) -> artifact."""
+    import json
+
+    from asr_tpu.loaders.whisper_hf import load_from_pretrained_dir
+
+    checkpoint_dir = Path(checkpoint_dir)
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    params, cfg = load_from_pretrained_dir(checkpoint_dir)
+
+    special = {"sot": cfg.sot_id, "eot": cfg.eot_id}
+    suppress: list[int] = []
+    begin_suppress: list[int] = []
+    lang_map: dict[str, int] = {}
+    gen_path = checkpoint_dir / "generation_config.json"
+    if gen_path.exists():
+        gen = json.loads(gen_path.read_text())
+        suppress = list(gen.get("suppress_tokens", []) or [])
+        begin_suppress = list(gen.get("begin_suppress_tokens", []) or [])
+        lang_map = {
+            code.strip("<|>"): int(tok)
+            for code, tok in (gen.get("lang_to_id") or {}).items()
+        }
+        for key in ("no_timestamps_token_id", "no_speech_token_id"):
+            if gen.get(key) is not None:
+                special[key.removesuffix("_token_id")] = int(gen[key])
+        task_map = gen.get("task_to_id") or {}
+        for task, tok in task_map.items():
+            special[task] = int(tok)
+    tok_file = _copy_asset(checkpoint_dir, "tokenizer.json", out_dir)
+    meta = ModelMetadata(
+        family="whisper",
+        sample_rate=cfg.sample_rate,
+        audio_pcm_scale=1.0,
+        special_token_ids=special,
+        supported_languages=[
+            LanguageProfile(code, code, (), tok) for code, tok in sorted(lang_map.items())
+        ],
+        max_seq_len=cfg.max_target_positions,
+        tokenizer={"kind": "hf", "file": tok_file or ""},
+        extra={
+            "config": dataclasses.asdict(cfg),
+            "suppress_tokens": suppress,
+            "begin_suppress_tokens": begin_suppress,
+        },
+    )
+    save_model(out_dir, params, meta)
+    return out_dir
+
+
+def build_parakeet_artifact(checkpoint_dir: str | Path, out_dir: str | Path, cfg=None) -> Path:
+    """HF parakeet-tdt safetensors snapshot -> artifact."""
+    from safetensors.numpy import load_file
+
+    from asr_tpu.loaders.parakeet_hf import tdt_params_from_state_dict
+    from asr_tpu.models.parakeet import ParakeetConfig
+
+    checkpoint_dir = Path(checkpoint_dir)
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    cfg = cfg or ParakeetConfig()
+    sd: dict = {}
+    for f in sorted(checkpoint_dir.glob("*.safetensors")):
+        sd.update(load_file(str(f)))
+    params = tdt_params_from_state_dict(sd, cfg)
+    tok_file = _copy_asset(checkpoint_dir, "tokenizer.json", out_dir)
+    meta = ModelMetadata(
+        family="parakeet",
+        sample_rate=cfg.sample_rate,
+        audio_pcm_scale=1.0,
+        special_token_ids={"blank": cfg.blank_id},
+        tokenizer={"kind": "hf", "file": tok_file or ""},
+        extra={"durations": list(cfg.durations)},
+    )
+    save_model(out_dir, params, meta)
+    return out_dir

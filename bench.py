@@ -30,6 +30,14 @@ def main() -> None:
     # f32 parity precision: matmuls at HIGHEST so the number is honest for
     # the token-for-token configuration, not a silent bf16 downgrade.
     jax.config.update("jax_default_matmul_precision", "highest")
+    # Persistent compile cache: the axon remote-compile path is slow and
+    # occasionally hangs; cache hits skip it entirely on re-runs.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
 
     from asr_tpu.models import sensevoice as sv
 

@@ -1,0 +1,68 @@
+"""Artifact builders: synthetic checkpoint folders -> self-describing
+artifacts consumable by the CLI/sessions."""
+
+import json
+
+import numpy as np
+import pytest
+import jax
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from asr_tpu import export as ex
+from asr_tpu.runtime.metadata import ModelMetadata
+
+
+def test_build_whisper_artifact(tmp_path):
+    hf_cfg = transformers.WhisperConfig(
+        vocab_size=100, d_model=32, encoder_layers=1, decoder_layers=1,
+        encoder_attention_heads=4, decoder_attention_heads=4,
+        encoder_ffn_dim=64, decoder_ffn_dim=64, num_mel_bins=16,
+        max_source_positions=40, max_target_positions=24,
+        decoder_start_token_id=1, eos_token_id=2, pad_token_id=3,
+    )
+    torch.manual_seed(0)
+    model = transformers.WhisperForConditionalGeneration(hf_cfg)
+    src = tmp_path / "ckpt"
+    src.mkdir()
+    model.save_pretrained(src, safe_serialization=True)
+    (src / "generation_config.json").write_text(json.dumps({
+        "suppress_tokens": [5, 6], "begin_suppress_tokens": [7],
+        "lang_to_id": {"<|en|>": 10, "<|zh|>": 11},
+        "no_timestamps_token_id": 21,
+        "task_to_id": {"transcribe": 20, "translate": 19},
+    }))
+    out = ex.build_whisper_artifact(src, tmp_path / "artifact")
+    meta = ModelMetadata.load(out)
+    assert meta.family == "whisper"
+    assert meta.extra["suppress_tokens"] == [5, 6]
+    assert meta.resolve_language("en").prompt_token_id == 10
+    assert meta.special_token_ids["transcribe"] == 20
+    from asr_tpu.runtime.artifact import load_model
+
+    params, _ = load_model(out)
+    assert params["decoder"]["embed"].shape == (100, 32)
+
+
+def test_build_sensevoice_artifact(tmp_path):
+    from asr_tpu.models import sensevoice as sv
+    from tests.test_loaders import SV_CFG, _sensevoice_sd
+
+    rng = np.random.default_rng(0)
+    sd = {k: v for k, v in _sensevoice_sd(SV_CFG, rng).items()}
+    src = tmp_path / "SenseVoiceSmall"
+    src.mkdir()
+    torch.save(sd, src / "model.pt")
+    f = SV_CFG.feature_size
+    (src / "am.mvn").write_text(
+        "<Nnet>\n<AddShift> %d %d\n<LearnRateCoef> 0 [ %s ]\n"
+        "<Rescale> %d %d\n<LearnRateCoef> 0 [ %s ]\n</Nnet>\n"
+        % (f, f, " ".join(["-0.5"] * f), f, f, " ".join(["2.0"] * f))
+    )
+    (src / "chn_jpn_yue_eng_ko_spectok.bpe.model").write_bytes(b"")
+    out = ex.build_sensevoice_artifact(src, tmp_path / "artifact", cfg=SV_CFG)
+    meta = ModelMetadata.load(out)
+    assert meta.family == "sensevoice"
+    assert meta.resolve_language("Mandarin").prompt_token_id == 3
+    assert meta.tokenizer["kind"] == "sentencepiece"
