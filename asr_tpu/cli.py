@@ -29,10 +29,17 @@ def _build_session(folder: Path):
         return SenseVoiceSession(params, cfg, tokenizer=tokenizer, metadata=meta)
     if family == "whisper":
         from asr_tpu.models.whisper import WhisperConfig
-        from asr_tpu.runtime.whisper_session import WhisperSession
+        from asr_tpu.runtime.whisper_session import WhisperSession, WhisperSessionConfig
 
         cfg = WhisperConfig(**meta.extra.get("config", {}))
-        return WhisperSession(params, cfg, tokenizer=tokenizer)
+        scfg = WhisperSessionConfig(
+            suppress_ids=tuple(meta.extra.get("suppress_tokens", [])),
+            begin_suppress_ids=tuple(meta.extra.get("begin_suppress_tokens", [])),
+        )
+        lang_map = {p.code: p.prompt_token_id for p in meta.supported_languages
+                    if p.prompt_token_id is not None}
+        return WhisperSession(params, cfg, tokenizer=tokenizer,
+                              session_cfg=scfg, language_id_map=lang_map)
     if family == "paraformer_streaming":
         from asr_tpu.models.paraformer import ParaformerConfig
         from asr_tpu.streaming.paraformer_online import ParaformerStreamConfig
@@ -65,9 +72,11 @@ def _build_tokenizer(folder: Path, meta):
 
 def cmd_transcribe(args) -> int:
     sess = _build_session(Path(args.model_dir))
+    import inspect
+
     for audio in args.audio:
         kwargs = {}
-        if args.language and hasattr(sess, "language_index"):
+        if args.language and "language" in inspect.signature(sess.transcribe).parameters:
             kwargs["language"] = args.language
         res = sess.transcribe(audio, **kwargs)
         print(f"{audio}\t({res.audio_seconds:.2f}s, RTF {res.rtf:.4f})")

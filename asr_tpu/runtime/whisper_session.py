@@ -85,16 +85,19 @@ class WhisperSession:
             top_p=s.top_p,
         )
 
-    def _prompt(self, batch: int) -> np.ndarray:
+    def _prompt(self, batch: int, language: str | None = None) -> np.ndarray:
         cfg, s = self.cfg, self.scfg
-        lang = -1 if s.language is None else self.language_id_map.get(
-            s.language, cfg.first_language_id
+        language = language if language is not None else s.language
+        lang = -1 if language is None else self.language_id_map.get(
+            language, cfg.first_language_id
         )
         task = cfg.transcribe_id if s.task == "transcribe" else cfg.translate_id
         row = [cfg.sot_id, lang, task, cfg.no_timestamps_id]
         return np.tile(np.asarray(row, np.int32), (batch, 1))
 
-    def transcribe(self, audio: np.ndarray | str | Path, rng=None) -> TranscribeResult:
+    def transcribe(
+        self, audio: np.ndarray | str | Path, language: str | None = None, rng=None
+    ) -> TranscribeResult:
         if isinstance(audio, (str, Path)):
             audio = audio_io.load_audio(audio, self.cfg.sample_rate, pcm_scale=1.0)
         audio = np.asarray(audio, np.float32)
@@ -112,7 +115,7 @@ class WhisperSession:
             self.params,
             self.cfg,
             mel,
-            jnp.asarray(self._prompt(num_windows)),
+            jnp.asarray(self._prompt(num_windows, language)),
             self._decode_cfg(),
             begin_suppress_ids=self.scfg.begin_suppress_ids,
             rng=rng,
