@@ -107,7 +107,7 @@ def cmd_quantize(args) -> int:
 
     params, meta = load_model(Path(args.model_dir))
     qparams = quantize_pytree(params, bits=args.bits, block=args.block,
-                              refine_iters=args.refine_iters)
+                              refine_iters=args.refine_iters, pack=args.pack)
     meta.extra["quantization"] = {"bits": args.bits, "block": args.block}
     save_model(Path(args.out), qparams, meta)
     print(f"quantized ({args.bits}-bit, block {args.block}) -> {args.out}")
@@ -134,6 +134,8 @@ def main(argv=None) -> int:
     p.add_argument("--bits", type=int, default=8, choices=(4, 8))
     p.add_argument("--block", type=int, default=128)
     p.add_argument("--refine-iters", type=int, default=2)
+    p.add_argument("--pack", action="store_true",
+                   help="pack 4-bit weights two-per-byte (halved HBM traffic)")
     p.set_defaults(fn=cmd_quantize)
 
     args = parser.parse_args(argv)

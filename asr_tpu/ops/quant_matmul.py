@@ -115,19 +115,105 @@ def _pick_tile_k(k: int, block: int) -> int | None:
 def quant_dense(x: jnp.ndarray, qleaf: dict) -> jnp.ndarray:
     """Batched dense through a quantized weight; dispatches Pallas/XLA."""
     q, scale, zero, block = qleaf["q"], qleaf["scale"], qleaf["zero"], qleaf["block"]
+    packed = bool(qleaf["packed"]) if "packed" in qleaf else False
     orig_shape = x.shape
     k = orig_shape[-1]
     x2 = x.reshape(-1, k)
     m = x2.shape[0]
     n = q.shape[1]
-    tile_k = _pick_tile_k(k, block)
     tile_m = 256 if m % 256 == 0 else (m if m % 8 == 0 else None)
     tile_n = 256 if n % 256 == 0 else (n if n % 128 == 0 else None)
-    if jax.default_backend() == "tpu" and tile_k and tile_m and tile_n:
-        out = quant_matmul_pallas(
-            x2, q, scale.astype(jnp.float32), zero.astype(jnp.float32), block,
-            tile_m=tile_m, tile_n=tile_n, tile_k=tile_k,
-        )
-    else:
-        out = _xla_quant_dense(x2, qleaf)
+    if jax.default_backend() == "tpu" and tile_m and tile_n:
+        if packed:
+            k2 = k // 2
+            tile_k2 = _pick_tile_k(k2, block)
+            # scale/zero row slices must stay 8-aligned for both halves.
+            if tile_k2 and (k2 // block) % 8 == 0:
+                out = quant_matmul_pallas_p4(
+                    x2, q, scale.astype(jnp.float32), zero.astype(jnp.float32), block,
+                    tile_m=tile_m, tile_n=tile_n, tile_k2=tile_k2,
+                )
+                return out.reshape(orig_shape[:-1] + (n,))
+        else:
+            tile_k = _pick_tile_k(k, block)
+            if tile_k:
+                out = quant_matmul_pallas(
+                    x2, q, scale.astype(jnp.float32), zero.astype(jnp.float32), block,
+                    tile_m=tile_m, tile_n=tile_n, tile_k=tile_k,
+                )
+                return out.reshape(orig_shape[:-1] + (n,))
+    out = _xla_quant_dense(x2, qleaf)
     return out.reshape(orig_shape[:-1] + (n,))
+
+
+def _kernel_p4(x_lo_ref, x_hi_ref, q_ref, scale_ref, zero_ref, o_ref, acc_ref, *,
+               block: int, n_k2_tiles: int, nb_half: int):
+    """Packed-int4 grid (M_tiles, N_tiles, K2_tiles): each K2-tile covers
+    matching row ranges of BOTH K-halves (low/high nibble planes)."""
+    kt = pl.program_id(2)
+
+    @pl.when(kt == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    u = q_ref[:].astype(jnp.int32) & 0xFF   # int8 -> unsigned byte view
+    lo = (u & 0xF).astype(jnp.float32)
+    hi = ((u >> 4) & 0xF).astype(jnp.float32)
+    tk2, tn = lo.shape
+    nb = tk2 // block
+
+    def deq(vals, base_row):
+        s = scale_ref[pl.ds(pl.multiple_of(base_row, nb), nb), :]
+        z = zero_ref[pl.ds(pl.multiple_of(base_row, nb), nb), :]
+        vb = vals.reshape(nb, block, tn)
+        return ((vb - z[:, None, :]) * s[:, None, :]).reshape(tk2, tn)
+
+    w_lo = deq(lo, kt * nb)
+    w_hi = deq(hi, nb_half + kt * nb)
+    acc_ref[:] += jnp.dot(x_lo_ref[:].astype(jnp.float32), w_lo,
+                          preferred_element_type=jnp.float32)
+    acc_ref[:] += jnp.dot(x_hi_ref[:].astype(jnp.float32), w_hi,
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(kt == n_k2_tiles - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "tile_m", "tile_n", "tile_k2", "interpret"))
+def quant_matmul_pallas_p4(
+    x: jnp.ndarray,
+    packed: jnp.ndarray,
+    scale: jnp.ndarray,
+    zero: jnp.ndarray,
+    block: int,
+    tile_m: int = 256,
+    tile_n: int = 256,
+    tile_k2: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x (M, K) @ dequant(packed (K/2, N) int4-halves) -> (M, N)."""
+    m, k = x.shape
+    k2, n = packed.shape
+    assert k == 2 * k2
+    n_k2_tiles = k2 // tile_k2
+    nb_half = k2 // block
+    grid = (m // tile_m, n // tile_n, n_k2_tiles)
+    kernel = functools.partial(_kernel_p4, block=block, n_k2_tiles=n_k2_tiles, nb_half=nb_half)
+    k2_blocks = k2 // tile_k2
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_m, tile_k2), lambda i, j, kt: (i, kt), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, tile_k2), lambda i, j, kt, kb=k2_blocks: (i, kt + kb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_k2, tile_n), lambda i, j, kt: (kt, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k // block, tile_n), lambda i, j, kt: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k // block, tile_n), lambda i, j, kt: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, tile_n), lambda i, j, kt: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((tile_m, tile_n), jnp.float32)],
+        interpret=interpret,
+    )(x, x, packed, scale, zero)

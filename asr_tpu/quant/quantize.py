@@ -83,18 +83,24 @@ def quantize_weight(
 
 @jax.tree_util.register_pytree_node_class
 class QuantizedLinear:
-    """Block-quantized linear weight; ``bits``/``block`` are static pytree
-    aux data so jitted functions see them as Python ints."""
+    """Block-quantized linear weight; ``bits``/``block``/``packed`` are
+    static pytree aux data so jitted functions see them as Python values.
 
-    def __init__(self, q, scale, zero, bits: int, block: int):
+    ``packed`` (4-bit only): rows ``[0, K/2)`` live in the LOW nibble and
+    rows ``[K/2, K)`` in the HIGH nibble of a ``(K/2, N)`` int8 array —
+    the halves stay K-contiguous so dequant decomposes into two partial
+    matmuls with no interleaving."""
+
+    def __init__(self, q, scale, zero, bits: int, block: int, packed: bool = False):
         self.q = q
         self.scale = scale
         self.zero = zero
         self.bits = int(bits)
         self.block = int(block)
+        self.packed = bool(packed)
 
     def tree_flatten(self):
-        return (self.q, self.scale, self.zero), (self.bits, self.block)
+        return (self.q, self.scale, self.zero), (self.bits, self.block, self.packed)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -105,12 +111,38 @@ class QuantizedLinear:
         return getattr(self, key)
 
     def __contains__(self, key):
-        return key in ("q", "scale", "zero", "bits", "block")
+        return key in ("q", "scale", "zero", "bits", "block", "packed")
+
+    @property
+    def k(self) -> int:
+        return self.q.shape[0] * (2 if self.packed else 1)
+
+
+def pack4_halves(q_unsigned: jnp.ndarray) -> jnp.ndarray:
+    """(K, N) uint4-valued -> (K/2, N) int8: low nibble = rows [0, K/2),
+    high nibble = rows [K/2, K)."""
+    k = q_unsigned.shape[0]
+    lo = q_unsigned[: k // 2].astype(jnp.uint8)
+    hi = q_unsigned[k // 2 :].astype(jnp.uint8)
+    return (lo | (hi << 4)).astype(jnp.int8)
+
+
+def unpack4_halves(packed: jnp.ndarray) -> jnp.ndarray:
+    """(K/2, N) int8 -> (K, N) float32 unsigned nibble values."""
+    u = packed.astype(jnp.uint8)
+    lo = (u & 0xF).astype(jnp.int32).astype(jnp.float32)
+    hi = ((u >> 4) & 0xF).astype(jnp.int32).astype(jnp.float32)
+    return jnp.concatenate([lo, hi], axis=0)
 
 
 def dequantize_weight(qleaf, dtype=jnp.float32) -> jnp.ndarray:
-    """QuantizedLinear (or equivalent dict) -> dense (K, N) weight."""
-    q = qleaf["q"].astype(jnp.float32)
+    """QuantizedLinear (or equivalent dict) -> dense (K, N) weight.
+
+    Unpacked storage is CENTERED (q - 128, zero - 128); packed-4-bit
+    storage keeps raw unsigned nibbles with an unsigned zero. Both give
+    ``w = (q - zero) * scale`` per block."""
+    packed = bool(qleaf["packed"]) if "packed" in qleaf else False
+    q = unpack4_halves(qleaf["q"]) if packed else qleaf["q"].astype(jnp.float32)
     k, n = q.shape
     block = int(qleaf["block"])
     blocks = q.reshape(k // block, block, n)
@@ -118,12 +150,19 @@ def dequantize_weight(qleaf, dtype=jnp.float32) -> jnp.ndarray:
     return w.reshape(k, n).astype(dtype)
 
 
-def quantize_linear(w: jnp.ndarray, bits: int = 8, block: int = 128, refine_iters: int = 0):
+def quantize_linear(
+    w: jnp.ndarray, bits: int = 8, block: int = 128, refine_iters: int = 0,
+    pack: bool = False,
+):
     k = w.shape[0]
     if k % block != 0:
         # Fall back to one block per remainder-safe size.
         block = k
     q, scale, zero = quantize_weight(w, bits, block, refine_iters)
+    if pack and bits == 4 and k % 2 == 0 and (k // 2) % block == 0:
+        # Store raw unsigned nibbles; zero stays in unsigned convention.
+        q_unsigned = (q.astype(jnp.int32) + 128).astype(jnp.uint8)
+        return QuantizedLinear(pack4_halves(q_unsigned), scale, zero + 128.0, 4, block, packed=True)
     return QuantizedLinear(q, scale, zero, bits, block)
 
 
@@ -140,6 +179,7 @@ def quantize_pytree(
     refine_iters: int = 2,
     min_size: int = 1 << 16,
     predicate: Callable[[str, jnp.ndarray], bool] | None = None,
+    pack: bool = False,
 ):
     """Quantize every 2-D ``{"w": ...}`` linear weight above ``min_size``
     elements (mirrors the reference's >=1024-element shared-initializer and
@@ -157,7 +197,7 @@ def quantize_pytree(
                     and value.size >= min_size
                     and (predicate is None or predicate(p, value))
                 ):
-                    out[key] = quantize_linear(value, bits, block, refine_iters)
+                    out[key] = quantize_linear(value, bits, block, refine_iters, pack=pack)
                 else:
                     out[key] = walk(value, p)
             return out

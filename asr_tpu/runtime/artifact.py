@@ -29,6 +29,7 @@ def flatten_pytree(tree: Any, prefix: str = "") -> dict[str, np.ndarray]:
             out[f"{prefix}__quant__/{k}"] = np.ascontiguousarray(np.asarray(tree[k]))
         out[f"{prefix}__quant__/bits"] = np.asarray(tree.bits, np.int32)
         out[f"{prefix}__quant__/block"] = np.asarray(tree.block, np.int32)
+        out[f"{prefix}__quant__/packed"] = np.asarray(int(tree.packed), np.int32)
     elif isinstance(tree, dict):
         for k, v in tree.items():
             out.update(flatten_pytree(v, f"{prefix}{k}/"))
@@ -59,7 +60,8 @@ def unflatten_pytree(flat: dict[str, np.ndarray]) -> Any:
 
             q = node["__quant__"]
             return QuantizedLinear(q["q"], q["scale"], q["zero"],
-                                   int(q["bits"]), int(q["block"]))
+                                   int(q["bits"]), int(q["block"]),
+                                   packed=bool(int(q.get("packed", 0))))
         keys = list(node.keys())
         if keys and all(k.isdigit() for k in keys):
             return [listify(node[str(i)]) for i in range(len(keys))]
@@ -95,7 +97,7 @@ def _to_device(tree: Any) -> Any:
     if isinstance(tree, QuantizedLinear):
         return QuantizedLinear(
             jnp.asarray(tree.q), jnp.asarray(tree.scale), jnp.asarray(tree.zero),
-            tree.bits, tree.block,
+            tree.bits, tree.block, packed=tree.packed,
         )
     if isinstance(tree, dict):
         return {k: _to_device(v) for k, v in tree.items()}

@@ -111,3 +111,44 @@ def test_quantized_sensevoice_forward_agrees():
     agree = (np.asarray(t1)[0, :k] == np.asarray(t2)[0, :k]).mean() if k else 1.0
     assert abs(int(n1[0]) - int(n2[0])) <= max(2, int(0.2 * int(n1[0])))
     assert agree > 0.7
+
+
+def test_packed_int4_roundtrip_and_matmul():
+    from asr_tpu.quant.quantize import quantize_linear, dequantize_weight, pack4_halves, unpack4_halves
+    from asr_tpu.ops.quant_matmul import quant_matmul_pallas_p4
+
+    rng = np.random.default_rng(9)
+    k, n, block = 2048, 256, 128
+    w = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32))
+    qleaf = quantize_linear(w, bits=4, block=block, pack=True)
+    assert qleaf.packed and qleaf["q"].shape == (k // 2, n)
+    # packed dequant error comparable to unpacked int4
+    unpacked = quantize_linear(w, bits=4, block=block, pack=False)
+    e_p = quantization_error(w, qleaf)
+    e_u = quantization_error(w, unpacked)
+    np.testing.assert_allclose(e_p, e_u, rtol=1e-5)
+
+    x = jnp.asarray(rng.standard_normal((128, k)).astype(np.float32))
+    ref = x @ dequantize_weight(qleaf)
+    out = quant_matmul_pallas_p4(
+        x, qleaf["q"], qleaf["scale"], qleaf["zero"], block,
+        tile_m=128, tile_n=128, tile_k2=1024, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_packed_artifact_roundtrip(tmp_path):
+    from asr_tpu.quant.quantize import quantize_linear, dequantize_weight
+    from asr_tpu.runtime.artifact import save_model, load_model
+    from asr_tpu.runtime.metadata import ModelMetadata
+
+    rng = np.random.default_rng(10)
+    w = jnp.asarray(rng.standard_normal((256, 64)).astype(np.float32))
+    qleaf = quantize_linear(w, bits=4, block=128, pack=True)
+    save_model(tmp_path / "m", {"layer": {"w": qleaf}}, ModelMetadata(family="x"))
+    loaded, _ = load_model(tmp_path / "m")
+    q2 = loaded["layer"]["w"]
+    assert q2.packed and q2.bits == 4
+    np.testing.assert_allclose(
+        np.asarray(dequantize_weight(q2)), np.asarray(dequantize_weight(qleaf)), atol=1e-6
+    )
