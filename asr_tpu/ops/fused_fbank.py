@@ -36,7 +36,7 @@ LANE = 256  # hop blocks zero-padded to this lane width (128-aligned)
 
 
 def _kernel(audio_hbm, basis_ref, mel_ref, out_ref, scratch, sem, *,
-            tile_frames: int, hop: int, k_blocks: int, span: int, log_eps: float):
+            tile_frames: int, hop: int, k_blocks: int, log_eps: float):
     b = pl.program_id(0)
     ft = pl.program_id(1)
     # DMA span rounded up to a sublane multiple (Mosaic requires 8-aligned
@@ -108,7 +108,7 @@ def fused_log_mel_fbank(
     out = pl.pallas_call(
         functools.partial(
             _kernel, tile_frames=tile_frames, hop=hop, k_blocks=k_blocks,
-            span=span, log_eps=float(np.finfo(np.float32).eps),
+            log_eps=float(np.finfo(np.float32).eps),
         ),
         grid=(b, n_frames // tile_frames),
         in_specs=[

@@ -15,7 +15,7 @@ guard system). The TPU equivalents here are deliberately smaller:
   minimize weight MSE — the reference's AFFINE_REFINE_V2 idea, expressed
   as a vectorized jitted JAX loop instead of a numba kernel.
 
-Quantized leaves are dicts ``{"q", "scale", "zero", "bits", "block"}``;
+Quantized leaves are ``QuantizedLinear`` pytree nodes;
 ``asr_tpu.layers.transformer.dense`` consumes them transparently (XLA
 dequant-fused path) and ``asr_tpu.ops.quant_matmul`` provides the Pallas
 kernel that dequantizes tiles in VMEM.

@@ -160,6 +160,12 @@ class HFTokenizerDecoder:
     def decode(self, ids: Sequence[int]) -> str:
         return self.tok.decode(list(ids), skip_special_tokens=True)
 
+    def encode(self, text: str) -> list[int]:
+        return list(self.tok.encode(text, add_special_tokens=False).ids)
+
+    def token_to_id(self, token: str) -> int | None:
+        return self.tok.token_to_id(token)
+
 
 class JsonVocabDecoder:
     """tiktoken-style CTC vocab: JSON mapping of token -> id (Fun-ASR-Nano)."""

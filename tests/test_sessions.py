@@ -88,3 +88,34 @@ def test_paraformer_session_on_fixture():
     res = sess.transcribe("/root/reference/Test_Examples/zh/zh-Shanghai.wav")
     assert res.audio_seconds > 5
     assert res.rtf > 0
+
+
+def test_qwen_session():
+    import jax.numpy as jnp
+    from asr_tpu.layers import qwen3
+    from asr_tpu.models import qwen_asr as qa
+    from asr_tpu.runtime.qwen_session import QwenAsrSession, QwenPromptTemplate
+
+    lcfg = qwen3.Qwen3Config(vocab_size=120, hidden=48, num_layers=1, num_heads=4,
+                             num_kv_heads=2, head_dim=16, ffn_dim=64, rope_theta=1e4)
+    cfg = qa.QwenAsrConfig(
+        n_mels=16, tower_dim=32, tower_layers=1, tower_heads=4, tower_ffn=48,
+        downsample_hidden=8, chunks_per_window=2, output_dim=lcfg.hidden, llm=lcfg, eot_id=-1,
+    )
+    tower = qa.init_tower_params(cfg, jax.random.PRNGKey(0))
+    llm = qwen3.init_params(lcfg, jax.random.PRNGKey(1))
+
+    class _Tok:
+        def encode(self, text):
+            return [ord(c) % 100 for c in text][:4]
+
+        def decode(self, ids):
+            return ",".join(map(str, ids))
+
+    sess = QwenAsrSession(tower, llm, cfg, tokenizer=_Tok(),
+                          template=QwenPromptTemplate(head_ids=(1, 2), suffix_ids=(3,), tail_ids=(4,)),
+                          max_new_tokens=5, max_seconds=2.0)
+    rng = np.random.default_rng(0)
+    res = sess.transcribe((rng.standard_normal(24000) * 0.1).astype(np.float32), context="hi")
+    assert isinstance(res.text, str)
+    assert res.audio_seconds == pytest.approx(1.5)
