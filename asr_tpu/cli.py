@@ -14,24 +14,29 @@ import sys
 from pathlib import Path
 
 
-def _build_session(folder: Path):
+def _build_session(folder: Path, language: str | None = None):
+    """Artifact folder -> ready session, for every family (the reference's
+    per-family inference scripts collapsed into one dispatch)."""
     from asr_tpu.runtime.artifact import load_model
-    from asr_tpu.runtime.metadata import ModelMetadata
+    from asr_tpu.runtime.metadata import config_from_dict
 
     params, meta = load_model(folder)
     family = meta.family
     tokenizer = _build_tokenizer(folder, meta)
+    cfg_dict = meta.extra.get("config", {})
+
     if family == "sensevoice":
         from asr_tpu.models.sensevoice import SenseVoiceConfig
         from asr_tpu.runtime.session import SenseVoiceSession
 
-        cfg = SenseVoiceConfig(**meta.extra.get("config", {}))
+        cfg = config_from_dict(SenseVoiceConfig, cfg_dict)
         return SenseVoiceSession(params, cfg, tokenizer=tokenizer, metadata=meta)
+
     if family == "whisper":
         from asr_tpu.models.whisper import WhisperConfig
         from asr_tpu.runtime.whisper_session import WhisperSession, WhisperSessionConfig
 
-        cfg = WhisperConfig(**meta.extra.get("config", {}))
+        cfg = config_from_dict(WhisperConfig, cfg_dict)
         scfg = WhisperSessionConfig(
             suppress_ids=tuple(meta.extra.get("suppress_tokens", [])),
             begin_suppress_ids=tuple(meta.extra.get("begin_suppress_tokens", [])),
@@ -40,13 +45,87 @@ def _build_session(folder: Path):
                     if p.prompt_token_id is not None}
         return WhisperSession(params, cfg, tokenizer=tokenizer,
                               session_cfg=scfg, language_id_map=lang_map)
+
+    if family == "paraformer":
+        from asr_tpu.models.paraformer import ParaformerConfig
+        from asr_tpu.runtime.transducer_session import ParaformerSession
+
+        cfg = config_from_dict(ParaformerConfig, cfg_dict)
+        return ParaformerSession(params, cfg, tokenizer=tokenizer)
+
     if family == "paraformer_streaming":
         from asr_tpu.models.paraformer import ParaformerConfig
         from asr_tpu.streaming.paraformer_online import ParaformerStreamConfig
         from asr_tpu.runtime.streaming_session import ParaformerStreamingSession
 
-        base = ParaformerConfig(**meta.extra.get("config", {}))
+        base = config_from_dict(ParaformerConfig, cfg_dict)
         return ParaformerStreamingSession(params, ParaformerStreamConfig(base=base), tokenizer=tokenizer)
+
+    if family == "parakeet":
+        from asr_tpu.models.parakeet import ParakeetConfig
+        from asr_tpu.runtime.transducer_session import ParakeetSession
+
+        cfg = config_from_dict(ParakeetConfig, cfg_dict)
+        return ParakeetSession(params, cfg, tokenizer=tokenizer)
+
+    if family == "nemotron":
+        from asr_tpu.models.nemotron import NemotronConfig
+        from asr_tpu.runtime.transducer_session import NemotronSession
+
+        cfg = config_from_dict(NemotronConfig, cfg_dict)
+        prompt_id = 0
+        if language:
+            prof = meta.resolve_language(language)
+            prompt_id = prof.prompt_token_id if prof.prompt_token_id is not None else (prof.index or 0)
+        return NemotronSession(params, cfg, tokenizer=tokenizer, prompt_id=prompt_id)
+
+    if family == "firered":
+        from asr_tpu.models.firered import FireRedConfig
+        from asr_tpu.runtime.transducer_session import FireRedSession
+
+        cfg = config_from_dict(FireRedConfig, cfg_dict)
+        return FireRedSession(params, cfg, tokenizer=tokenizer)
+
+    if family == "dolphin":
+        from asr_tpu.models.dolphin import DolphinConfig
+        from asr_tpu.runtime.transducer_session import DolphinSession
+
+        cfg = config_from_dict(DolphinConfig, cfg_dict)
+        lang_id, region_id = -1, -2
+        if language:
+            prof = meta.resolve_language(language)
+            if prof.prompt_token_id is not None:
+                lang_id = prof.prompt_token_id
+        return DolphinSession(params, cfg, tokenizer=tokenizer,
+                              language_id=lang_id, region_id=region_id)
+
+    if family == "fun_asr_nano":
+        from asr_tpu.models.fun_asr_nano import FunAsrNanoConfig
+        from asr_tpu.runtime.transducer_session import FunAsrNanoCtcSession
+
+        cfg = config_from_dict(FunAsrNanoConfig, cfg_dict)
+        return FunAsrNanoCtcSession(params, cfg, tokenizer=tokenizer)
+
+    if family in ("x_asr", "zipformer"):
+        from asr_tpu.models.zipformer import ZipformerConfig
+        from asr_tpu.runtime.streaming_session import XasrStreamingSession
+
+        cfg = config_from_dict(ZipformerConfig, cfg_dict)
+        return XasrStreamingSession(params, cfg, tokenizer=tokenizer)
+
+    if family == "qwen_asr":
+        from asr_tpu.models.qwen_asr import QwenAsrConfig
+        from asr_tpu.runtime.qwen_session import QwenAsrSession, QwenPromptTemplate
+
+        cfg = config_from_dict(QwenAsrConfig, cfg_dict)
+        tpl = QwenPromptTemplate(
+            head_ids=tuple(meta.extra.get("prompt_head_ids", [])),
+            suffix_ids=tuple(meta.extra.get("prompt_suffix_ids", [])),
+            tail_ids=tuple(meta.extra.get("prompt_tail_ids", [])),
+        )
+        return QwenAsrSession(params["tower"], params["llm"], cfg,
+                              tokenizer=tokenizer, template=tpl)
+
     raise SystemExit(f"no session wired for family {family!r} yet; "
                      f"use the python API (asr_tpu.models.{family})")
 
@@ -71,7 +150,7 @@ def _build_tokenizer(folder: Path, meta):
 
 
 def cmd_transcribe(args) -> int:
-    sess = _build_session(Path(args.model_dir))
+    sess = _build_session(Path(args.model_dir), language=args.language)
     import inspect
 
     for audio in args.audio:
@@ -116,6 +195,9 @@ def cmd_quantize(args) -> int:
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="asr_tpu")
+    parser.add_argument("--platform", default=None,
+                        help="force a jax platform (e.g. cpu, tpu) before any compute; "
+                             "overrides plugin-injected platform lists")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("transcribe", help="transcribe audio files with a model artifact")
@@ -139,6 +221,13 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_quantize)
 
     args = parser.parse_args(argv)
+    if args.platform:
+        import os
+
+        os.environ["JAX_PLATFORMS"] = args.platform
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     return args.fn(args)
 
 

@@ -137,7 +137,7 @@ def build_parakeet_artifact(checkpoint_dir: str | Path, out_dir: str | Path, cfg
         audio_pcm_scale=1.0,
         special_token_ids={"blank": cfg.blank_id},
         tokenizer={"kind": "hf", "file": tok_file or ""},
-        extra={"durations": list(cfg.durations)},
+        extra={"config": dataclasses.asdict(cfg), "durations": list(cfg.durations)},
     )
     save_model(out_dir, params, meta)
     return out_dir

@@ -64,3 +64,28 @@ class ModelMetadata:
         langs = [LanguageProfile(**{**p, "aliases": tuple(p.get("aliases", ()))})
                  for p in payload.pop("supported_languages", [])]
         return cls(**{**payload, "supported_languages": langs})
+
+
+def config_from_dict(cls, payload: dict):
+    """Rebuild a (frozen) model-config dataclass from its JSON form.
+
+    Nested config dataclasses (``mel=NemoMelConfig()``, ``fbank=...``,
+    ``llm=Qwen3Config()``) are reconstructed by the *type of the field's
+    default instance*, and JSON lists are coerced back to tuples where the
+    default is a tuple — so ``config_from_dict(C, dataclasses.asdict(c))
+    == c`` for every family config. Unknown keys are ignored (forward
+    compatibility of artifact folders)."""
+    kwargs = {}
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    for key, val in payload.items():
+        f = fields.get(key)
+        if f is None:
+            continue
+        default = f.default
+        if dataclasses.is_dataclass(default) and isinstance(val, dict):
+            kwargs[key] = config_from_dict(type(default), val)
+        elif isinstance(default, tuple) and isinstance(val, list):
+            kwargs[key] = tuple(val)
+        else:
+            kwargs[key] = val
+    return cls(**kwargs)

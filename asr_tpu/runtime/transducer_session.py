@@ -123,3 +123,56 @@ class ParaformerSession(_WindowedSession):
         from asr_tpu.models import paraformer as pf
 
         return pf.forward(self.params, self.cfg, audio, valid, max_tokens=self.max_tokens)
+
+
+class DolphinSession(_WindowedSession):
+    """Dolphin offline AED with language/region auto-probe (reference
+    ``Inference_Dolphin_ONNX.py``): prompt [sos, lang, region] where -1/-2
+    request the probed language/region token; generated ids start after the
+    prompt. Exposes the probed lang/region of the last call."""
+
+    pcm_scale = 32768.0
+    window_seconds = 30.0
+
+    def __init__(self, params, cfg, tokenizer=None, decode_cfg=None,
+                 language_id: int = -1, region_id: int = -2, **kw):
+        super().__init__(params, cfg, tokenizer, **kw)
+        from asr_tpu.decode.ar import DecodeConfig
+
+        self.decode_cfg = decode_cfg or DecodeConfig(
+            max_new_tokens=224, eot_id=cfg.eos_id, strategy="greedy"
+        )
+        self.language_id = language_id
+        self.region_id = region_id
+        self.last_language: int | None = None
+        self.last_region: int | None = None
+
+    def _forward(self, audio, valid):
+        from asr_tpu.models import dolphin as dp
+
+        b = audio.shape[0]
+        prompt = np.tile(
+            np.array([[self.cfg.sos_id, self.language_id, self.region_id]], np.int32),
+            (b, 1),
+        )
+        out = dp.transcribe(self.params, self.cfg, audio, valid,
+                            jnp.asarray(prompt), self.decode_cfg)
+        if "language" in out:
+            self.last_language = int(out["language"][0])
+        if "region" in out:
+            self.last_region = int(out["region"][0])
+        p_len = prompt.shape[1]
+        return out["tokens"][:, p_len:], out["counts"]
+
+
+class FunAsrNanoCtcSession(_WindowedSession):
+    """Fun-ASR-Nano fast CTC head (reference
+    ``Inference_FunASR_Nano_ONNX.py`` CTC branch); Kaldi int16 convention."""
+
+    pcm_scale = 32768.0
+    window_seconds = 30.0
+
+    def _forward(self, audio, valid):
+        from asr_tpu.models import fun_asr_nano as fn
+
+        return fn.forward_ctc(self.params, self.cfg, audio, valid)

@@ -1,0 +1,134 @@
+"""CLI `_build_session` dispatch: artifact-folder -> session for every
+family, plus config_from_dict roundtrip over all family configs.
+
+Parity target: the reference's per-family ``Inference_*.py`` scripts each
+rebuild their own session by hand; here a saved artifact folder must be
+enough to reconstruct the session for any family."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+
+from asr_tpu.runtime.artifact import save_model
+from asr_tpu.runtime.metadata import ModelMetadata, config_from_dict
+
+
+def _roundtrip(cfg):
+    return config_from_dict(type(cfg), dataclasses.asdict(cfg))
+
+
+def test_config_from_dict_roundtrip_all_families():
+    from asr_tpu.layers.qwen3 import Qwen3Config
+    from asr_tpu.models.dolphin import DolphinConfig
+    from asr_tpu.models.firered import FireRedConfig
+    from asr_tpu.models.fun_asr_nano import FunAsrNanoConfig
+    from asr_tpu.models.nemotron import NemotronConfig
+    from asr_tpu.models.paraformer import ParaformerConfig
+    from asr_tpu.models.parakeet import ParakeetConfig
+    from asr_tpu.models.qwen_asr import QwenAsrConfig
+    from asr_tpu.models.sensevoice import SenseVoiceConfig
+    from asr_tpu.models.whisper import WhisperConfig
+    from asr_tpu.models.zipformer import ZipformerConfig
+
+    for cfg in (
+        SenseVoiceConfig(), WhisperConfig(), ParaformerConfig(),
+        ParakeetConfig(), NemotronConfig(), FireRedConfig(),
+        DolphinConfig(), FunAsrNanoConfig(), ZipformerConfig(),
+        QwenAsrConfig(llm=Qwen3Config(num_layers=2)),
+    ):
+        assert _roundtrip(cfg) == cfg
+
+    # Non-default nested values survive too.
+    from asr_tpu.frontend.nemo_mel import NemoMelConfig
+
+    cfg = ParakeetConfig(d_model=96, mel=NemoMelConfig(n_mels=64))
+    rt = _roundtrip(cfg)
+    assert rt.mel.n_mels == 64 and rt == cfg
+
+    # Unknown keys (older/newer artifacts) are ignored.
+    d = dataclasses.asdict(ParaformerConfig())
+    d["some_future_field"] = 1
+    assert config_from_dict(ParaformerConfig, d) == ParaformerConfig()
+
+
+def _save(tmp_path, family, params, cfg, **extra):
+    folder = tmp_path / family
+    folder.mkdir()
+    meta = ModelMetadata(
+        family=family,
+        extra={"config": dataclasses.asdict(cfg), **extra},
+    )
+    save_model(folder, params, meta)
+    return folder
+
+
+def test_build_session_paraformer_roundtrip(tmp_path):
+    from asr_tpu.cli import _build_session
+    from asr_tpu.models import paraformer as pf
+
+    cfg = pf.ParaformerConfig(
+        vocab_size=50, hidden=32, num_heads=4, head_dim=8, ffn_dim=48,
+        num_encoders0=1, num_encoders=1, num_decoders=1, num_decoder_ffn=1,
+        fsmn_kernel=5, predictor_kernel=3,
+    )
+    params = pf.init_params(cfg, jax.random.PRNGKey(0))
+    folder = _save(tmp_path, "paraformer", params, cfg)
+    sess = _build_session(folder)
+    rng = np.random.default_rng(0)
+    res = sess.transcribe((rng.standard_normal(16000) * 2000).astype(np.float32))
+    assert res.audio_seconds == pytest.approx(1.0)
+    assert isinstance(res.token_ids, list)
+
+
+def test_build_session_parakeet_roundtrip(tmp_path):
+    from asr_tpu.cli import _build_session
+    from asr_tpu.frontend.nemo_mel import NemoMelConfig
+    from asr_tpu.models import parakeet as pk
+
+    cfg = pk.ParakeetConfig(
+        vocab_size=40, blank_id=39, d_model=64, num_layers=1, num_heads=4,
+        ffn_dim=96, sub_channels=16, dec_hidden=32, lstm_layers=1,
+        mel=NemoMelConfig(n_mels=80),
+    )
+    params = pk.init_params(cfg, jax.random.PRNGKey(1))
+    folder = _save(tmp_path, "parakeet", params, cfg)
+    sess = _build_session(folder)
+    sess.window_seconds = 1.0
+    sess.window_samples = 16000
+    rng = np.random.default_rng(1)
+    res = sess.transcribe((rng.standard_normal(12000) * 0.1).astype(np.float32))
+    assert isinstance(res.token_ids, list)
+
+
+def test_build_session_dolphin_probe(tmp_path):
+    from asr_tpu.cli import _build_session
+    from asr_tpu.models import dolphin as dp
+
+    cfg = dp.DolphinConfig(
+        vocab_size=80, d_model=32, enc_layers=1, enc_heads=4, enc_ffn=48,
+        cgmlp_dim=48, csgu_kernel=7, fusion_kernel=3, dec_layers=1,
+        dec_heads=4, dec_ffn=48, sos_id=78, eos_id=79,
+        language_token_start=40, language_token_end=50,
+        region_token_start=50, region_token_end=60,
+        max_target_positions=32,
+    )
+    params = dp.init_params(cfg, jax.random.PRNGKey(2))
+    folder = _save(tmp_path, "dolphin", params, cfg)
+    sess = _build_session(folder)
+    sess.decode_cfg = dataclasses.replace(sess.decode_cfg, max_new_tokens=6)
+    rng = np.random.default_rng(2)
+    res = sess.transcribe((rng.standard_normal(8000) * 2000).astype(np.float32))
+    assert sess.last_language is not None and 40 <= sess.last_language < 50
+    assert sess.last_region is not None and 50 <= sess.last_region < 60
+    assert isinstance(res.token_ids, list)
+
+
+def test_build_session_unknown_family(tmp_path):
+    from asr_tpu.cli import _build_session
+
+    folder = _save(tmp_path, "martian", {"w": np.zeros((2, 2), np.float32)},
+                   dataclasses.make_dataclass("C", [])())
+    with pytest.raises(SystemExit):
+        _build_session(folder)
