@@ -186,10 +186,12 @@ def cmd_quantize(args) -> int:
 
     params, meta = load_model(Path(args.model_dir))
     qparams = quantize_pytree(params, bits=args.bits, block=args.block,
-                              refine_iters=args.refine_iters, pack=args.pack)
-    meta.extra["quantization"] = {"bits": args.bits, "block": args.block}
+                              refine_iters=args.refine_iters, pack=args.pack,
+                              objective=args.algorithm, min_size=args.min_size)
+    meta.extra["quantization"] = {"bits": args.bits, "block": args.block,
+                                  "algorithm": args.algorithm}
     save_model(Path(args.out), qparams, meta)
-    print(f"quantized ({args.bits}-bit, block {args.block}) -> {args.out}")
+    print(f"quantized ({args.bits}-bit {args.algorithm}, block {args.block}) -> {args.out}")
     return 0
 
 
@@ -213,11 +215,15 @@ def main(argv=None) -> int:
     p = sub.add_parser("quantize", help="weight-only quantize an artifact")
     p.add_argument("--model-dir", required=True)
     p.add_argument("--out", required=True)
-    p.add_argument("--bits", type=int, default=8, choices=(4, 8))
+    p.add_argument("--bits", type=int, default=8, choices=(2, 4, 8))
     p.add_argument("--block", type=int, default=128)
     p.add_argument("--refine-iters", type=int, default=2)
+    p.add_argument("--min-size", type=int, default=1 << 16,
+                   help="skip linear weights with fewer elements than this")
+    p.add_argument("--algorithm", default="rtn", choices=("rtn", "kquant"),
+                   help="block fit: round-to-nearest or importance-weighted grid search")
     p.add_argument("--pack", action="store_true",
-                   help="pack 4-bit weights two-per-byte (halved HBM traffic)")
+                   help="pack 4-bit weights two-per-byte / 2-bit four-per-byte")
     p.set_defaults(fn=cmd_quantize)
 
     args = parser.parse_args(argv)

@@ -125,15 +125,17 @@ def quant_dense(x: jnp.ndarray, qleaf: dict) -> jnp.ndarray:
     tile_n = 256 if n % 256 == 0 else (n if n % 128 == 0 else None)
     if jax.default_backend() == "tpu" and tile_m and tile_n:
         if packed:
-            k2 = k // 2
-            tile_k2 = _pick_tile_k(k2, block)
-            # scale/zero row slices must stay 8-aligned for both halves.
-            if tile_k2 and (k2 // block) % 8 == 0:
-                out = quant_matmul_pallas_p4(
-                    x2, q, scale.astype(jnp.float32), zero.astype(jnp.float32), block,
-                    tile_m=tile_m, tile_n=tile_n, tile_k2=tile_k2,
-                )
-                return out.reshape(orig_shape[:-1] + (n,))
+            # Packed 2-bit always falls through to the XLA dequant path.
+            if int(qleaf["bits"]) == 4:
+                k2 = k // 2
+                tile_k2 = _pick_tile_k(k2, block)
+                # scale/zero row slices must stay 8-aligned for both halves.
+                if tile_k2 and (k2 // block) % 8 == 0:
+                    out = quant_matmul_pallas_p4(
+                        x2, q, scale.astype(jnp.float32), zero.astype(jnp.float32), block,
+                        tile_m=tile_m, tile_n=tile_n, tile_k2=tile_k2,
+                    )
+                    return out.reshape(orig_shape[:-1] + (n,))
         else:
             tile_k = _pick_tile_k(k, block)
             if tile_k:

@@ -41,20 +41,58 @@ def _fit_rtn(blocks: jnp.ndarray, qmax: int):
     return scale, zero
 
 
-@functools.partial(jax.jit, static_argnames=("bits", "block", "refine_iters"))
+def _fit_kquant(blocks: jnp.ndarray, qmax: int, n_grid: int = 16):
+    """k-quant-style fit: grid-search the block scale around the RTN range
+    fit, scoring candidates by IMPORTANCE-WEIGHTED squared error with
+    weights w_i = x_i^2 (large weights matter more after the matmul).
+
+    The reference exposes a ``k_quant`` algorithm choice in its
+    MatMulNBits pipeline (``Optimize_ONNX_Common.py`` quantization plans);
+    this is the same idea expressed as a vectorized JAX sweep: for each
+    candidate scale, the zero-point is re-fit as the weighted-optimal
+    (rounded) offset, and the best (scale, zero) per block wins.
+    """
+    weights = blocks * blocks + 1e-12
+    scale0, _ = _fit_rtn(blocks, qmax)
+    wmin = jnp.min(blocks, axis=1, keepdims=True)
+    factors = jnp.linspace(0.6, 1.2, n_grid)
+
+    def score(factor):
+        # Anchor the zero-point at the block minimum for each candidate
+        # scale: shrunken scales clip outliers but sharpen the bulk, and the
+        # weighted error decides which trade wins per block.
+        scale = scale0 * factor
+        zero = jnp.clip(jnp.round(-wmin / scale), 0, qmax)
+        q = jnp.clip(jnp.round(blocks / scale + zero), 0, qmax)
+        err = jnp.sum(weights * (blocks - (q - zero) * scale) ** 2, axis=1, keepdims=True)
+        return err, scale, zero
+
+    errs, scales, zeros = jax.vmap(score)(factors)  # (G, NB, 1, N)
+    best = jnp.argmin(errs, axis=0, keepdims=True)  # (1, NB, 1, N)
+    scale = jnp.take_along_axis(scales, best, axis=0)[0]
+    zero = jnp.take_along_axis(zeros, best, axis=0)[0]
+    return scale, zero
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "block", "refine_iters", "objective"))
 def quantize_weight(
-    w: jnp.ndarray, bits: int = 8, block: int = 128, refine_iters: int = 0
+    w: jnp.ndarray, bits: int = 8, block: int = 128, refine_iters: int = 0,
+    objective: str = "rtn",
 ):
     """Quantize a (K, N) weight block-wise along K.
 
-    Returns (q uint8 (K, N), scale (NB, N), zero (NB, N)) with
-    ``w ≈ (q - zero) * scale`` per block.
+    ``objective``: "rtn" (round-to-nearest range fit) or "kquant"
+    (importance-weighted grid search). Returns (q uint8 (K, N),
+    scale (NB, N), zero (NB, N)) with ``w ≈ (q - zero) * scale`` per block.
     """
     k, n = w.shape
     assert k % block == 0, (k, block)
     qmax = (1 << bits) - 1
     blocks = w.reshape(k // block, block, n).astype(jnp.float32)
-    scale, zero = _fit_rtn(blocks, qmax)
+    if objective == "kquant":
+        scale, zero = _fit_kquant(blocks, qmax)
+    else:
+        scale, zero = _fit_rtn(blocks, qmax)
 
     def quant(scale, zero):
         return jnp.clip(jnp.round(blocks / scale + zero), 0, qmax)
@@ -115,7 +153,23 @@ class QuantizedLinear:
 
     @property
     def k(self) -> int:
-        return self.q.shape[0] * (2 if self.packed else 1)
+        if not self.packed:
+            return self.q.shape[0]
+        return self.q.shape[0] * (4 if self.bits == 2 else 2)
+
+    # Duck-type the dense (K, N) weight: models consult ``.dtype`` /
+    # ``.shape`` on linear leaves (e.g. ``params["output"]["w"].dtype``).
+    @property
+    def dtype(self):
+        return self.scale.dtype
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self.k, self.q.shape[1])
+
+    @property
+    def ndim(self) -> int:
+        return 2
 
 
 def pack4_halves(q_unsigned: jnp.ndarray) -> jnp.ndarray:
@@ -135,6 +189,27 @@ def unpack4_halves(packed: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([lo, hi], axis=0)
 
 
+def pack2_quarters(q_unsigned: jnp.ndarray) -> jnp.ndarray:
+    """(K, N) uint2-valued -> (K/4, N) int8: bit pair ``2j:2j+2`` holds rows
+    ``[jK/4, (j+1)K/4)`` — quarters stay K-contiguous (same layout idea as
+    :func:`pack4_halves`), so dequant is four contiguous partial matmuls."""
+    k = q_unsigned.shape[0]
+    quarters = [q_unsigned[j * (k // 4) : (j + 1) * (k // 4)].astype(jnp.uint8)
+                for j in range(4)]
+    out = quarters[0]
+    for j in (1, 2, 3):
+        out = out | (quarters[j] << (2 * j))
+    return out.astype(jnp.int8)
+
+
+def unpack2_quarters(packed: jnp.ndarray) -> jnp.ndarray:
+    """(K/4, N) int8 -> (K, N) float32 unsigned 2-bit values."""
+    u = packed.astype(jnp.uint8)
+    parts = [((u >> (2 * j)) & 0x3).astype(jnp.int32).astype(jnp.float32)
+             for j in range(4)]
+    return jnp.concatenate(parts, axis=0)
+
+
 def dequantize_weight(qleaf, dtype=jnp.float32) -> jnp.ndarray:
     """QuantizedLinear (or equivalent dict) -> dense (K, N) weight.
 
@@ -142,7 +217,10 @@ def dequantize_weight(qleaf, dtype=jnp.float32) -> jnp.ndarray:
     storage keeps raw unsigned nibbles with an unsigned zero. Both give
     ``w = (q - zero) * scale`` per block."""
     packed = bool(qleaf["packed"]) if "packed" in qleaf else False
-    q = unpack4_halves(qleaf["q"]) if packed else qleaf["q"].astype(jnp.float32)
+    if packed:
+        q = unpack2_quarters(qleaf["q"]) if int(qleaf["bits"]) == 2 else unpack4_halves(qleaf["q"])
+    else:
+        q = qleaf["q"].astype(jnp.float32)
     k, n = q.shape
     block = int(qleaf["block"])
     blocks = q.reshape(k // block, block, n)
@@ -152,17 +230,20 @@ def dequantize_weight(qleaf, dtype=jnp.float32) -> jnp.ndarray:
 
 def quantize_linear(
     w: jnp.ndarray, bits: int = 8, block: int = 128, refine_iters: int = 0,
-    pack: bool = False,
+    pack: bool = False, objective: str = "rtn",
 ):
     k = w.shape[0]
     if k % block != 0:
         # Fall back to one block per remainder-safe size.
         block = k
-    q, scale, zero = quantize_weight(w, bits, block, refine_iters)
+    q, scale, zero = quantize_weight(w, bits, block, refine_iters, objective=objective)
     if pack and bits == 4 and k % 2 == 0 and (k // 2) % block == 0:
         # Store raw unsigned nibbles; zero stays in unsigned convention.
         q_unsigned = (q.astype(jnp.int32) + 128).astype(jnp.uint8)
         return QuantizedLinear(pack4_halves(q_unsigned), scale, zero + 128.0, 4, block, packed=True)
+    if pack and bits == 2 and k % 4 == 0 and (k // 4) % block == 0:
+        q_unsigned = (q.astype(jnp.int32) + 128).astype(jnp.uint8)
+        return QuantizedLinear(pack2_quarters(q_unsigned), scale, zero + 128.0, 2, block, packed=True)
     return QuantizedLinear(q, scale, zero, bits, block)
 
 
@@ -180,6 +261,7 @@ def quantize_pytree(
     min_size: int = 1 << 16,
     predicate: Callable[[str, jnp.ndarray], bool] | None = None,
     pack: bool = False,
+    objective: str = "rtn",
 ):
     """Quantize every 2-D ``{"w": ...}`` linear weight above ``min_size``
     elements (mirrors the reference's >=1024-element shared-initializer and
@@ -197,7 +279,8 @@ def quantize_pytree(
                     and value.size >= min_size
                     and (predicate is None or predicate(p, value))
                 ):
-                    out[key] = quantize_linear(value, bits, block, refine_iters, pack=pack)
+                    out[key] = quantize_linear(value, bits, block, refine_iters,
+                                               pack=pack, objective=objective)
                 else:
                     out[key] = walk(value, p)
             return out

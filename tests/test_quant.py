@@ -152,3 +152,63 @@ def test_packed_artifact_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(dequantize_weight(q2)), np.asarray(dequantize_weight(qleaf)), atol=1e-6
     )
+
+
+def test_q2_roundtrip_and_pack2():
+    from asr_tpu.quant.quantize import (
+        dequantize_weight, pack2_quarters, quantize_linear, quantization_error,
+        unpack2_quarters,
+    )
+
+    rng = np.random.default_rng(11)
+    k, n, block = 512, 64, 128
+    w = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32))
+
+    # pack2/unpack2 bit-exact roundtrip on raw 2-bit codes
+    codes = jnp.asarray(rng.integers(0, 4, size=(k, n)).astype(np.uint8))
+    packed = pack2_quarters(codes)
+    assert packed.shape == (k // 4, n)
+    np.testing.assert_array_equal(
+        np.asarray(unpack2_quarters(packed)), np.asarray(codes, np.float32)
+    )
+
+    # Q2 quantization: coarse but bounded error, packed == unpacked dequant
+    qleaf = quantize_linear(w, bits=2, block=block, pack=True)
+    assert qleaf.packed and qleaf.bits == 2 and qleaf.q.shape == (k // 4, n)
+    e_p = quantization_error(w, qleaf)
+    unpacked = quantize_linear(w, bits=2, block=block, pack=False)
+    e_u = quantization_error(w, unpacked)
+    np.testing.assert_allclose(e_p, e_u, rtol=1e-5)
+    # 4 uniform levels over a ~±2.9-sigma block range on gaussian data:
+    # step ~1.9 sigma -> relative RMS error ~0.5-0.55.
+    assert e_u < 0.6
+
+    # quant_dense consumes the packed-2-bit leaf via the XLA path
+    from asr_tpu.ops.quant_matmul import quant_dense
+
+    x = jnp.asarray(rng.standard_normal((8, k)).astype(np.float32))
+    ref = x @ dequantize_weight(qleaf)
+    np.testing.assert_allclose(np.asarray(quant_dense(x, qleaf)),
+                               np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_kquant_objective_beats_rtn_with_outliers():
+    from asr_tpu.quant.quantize import dequantize_weight, quantize_linear
+
+    rng = np.random.default_rng(12)
+    k, n, block = 512, 64, 128
+    w = rng.standard_normal((k, n)).astype(np.float32)
+    # Inject sparse outliers: RTN stretches the block range to cover them,
+    # wasting resolution on the bulk; kquant may shrink the scale instead.
+    mask = rng.random((k, n)) < 0.005
+    w = w + mask * rng.standard_normal((k, n)).astype(np.float32) * 12.0
+    w = jnp.asarray(w)
+
+    def weighted_err(qleaf):
+        deq = dequantize_weight(qleaf)
+        imp = np.asarray(w) ** 2
+        return float(np.sum(imp * np.asarray(w - deq) ** 2))
+
+    e_rtn = weighted_err(quantize_linear(w, bits=4, block=block, objective="rtn"))
+    e_kq = weighted_err(quantize_linear(w, bits=4, block=block, objective="kquant"))
+    assert e_kq <= e_rtn * 1.001, (e_kq, e_rtn)
