@@ -115,6 +115,44 @@ def build_whisper_artifact(checkpoint_dir: str | Path, out_dir: str | Path) -> P
     return out_dir
 
 
+def build_xasr_artifact(
+    checkpoint_path: str | Path, out_dir: str | Path, cfg=None,
+    weight_key: str = "model_avg", bpe_model: str | Path | None = None,
+) -> Path:
+    """icefall Zipformer2 checkpoint (.pt) -> X-ASR streaming artifact.
+
+    Mirrors reference ``X-ASR/Export_X_ASR.py:22-25,157-167``: reads
+    ``ckpt[weight_key]`` (``model_avg`` = icefall's averaged weights) and
+    bakes the fixed streaming geometry (pos tables, fused convs) for
+    ``cfg.chunk_size``/``cfg.left_context_frames``."""
+    import torch
+
+    from asr_tpu.loaders.zipformer_icefall import zipformer_params_from_state_dict
+    from asr_tpu.models.zipformer import ZipformerConfig
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    cfg = cfg or ZipformerConfig()
+    ckpt = torch.load(checkpoint_path, map_location="cpu", weights_only=False)
+    sd = ckpt.get(weight_key, ckpt.get("model", ckpt))
+    sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
+    params = zipformer_params_from_state_dict(sd, cfg)
+
+    tok_file = None
+    if bpe_model is not None:
+        tok_file = _copy_asset(Path(bpe_model).parent, Path(bpe_model).name, out_dir)
+    meta = ModelMetadata(
+        family="x_asr",
+        sample_rate=cfg.fbank.sample_rate,
+        audio_pcm_scale=32768.0,
+        special_token_ids={"blank": cfg.blank_id},
+        tokenizer={"kind": "sentencepiece", "file": tok_file or ""},
+        extra={"config": dataclasses.asdict(cfg)},
+    )
+    save_model(out_dir, params, meta)
+    return out_dir
+
+
 def build_parakeet_artifact(checkpoint_dir: str | Path, out_dir: str | Path, cfg=None) -> Path:
     """HF parakeet-tdt safetensors snapshot -> artifact."""
     from safetensors.numpy import load_file
