@@ -195,6 +195,19 @@ def cmd_quantize(args) -> int:
     return 0
 
 
+def cmd_optimize(args) -> int:
+    from asr_tpu.quant.plan import OptimizerConfig, apply_plans
+    from asr_tpu.runtime.artifact import load_model, save_model
+
+    cfg = OptimizerConfig.load(args.plan)
+    params, meta = load_model(Path(args.model_dir))
+    qparams = apply_plans(params, cfg)
+    meta.extra["optimizer_plan"] = json.loads(Path(args.plan).read_text(encoding="utf-8"))
+    save_model(Path(args.out), qparams, meta)
+    print(f"applied plan {args.plan} -> {args.out}")
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="asr_tpu")
     parser.add_argument("--platform", default=None,
@@ -225,6 +238,13 @@ def main(argv=None) -> int:
     p.add_argument("--pack", action="store_true",
                    help="pack 4-bit weights two-per-byte / 2-bit four-per-byte")
     p.set_defaults(fn=cmd_quantize)
+
+    p = sub.add_parser("optimize", help="apply a declarative serving plan (JSON) to an artifact")
+    p.add_argument("--model-dir", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--plan", required=True,
+                   help="JSON with {plans: {name: {...}}, assign: [[glob, name], ...]}")
+    p.set_defaults(fn=cmd_optimize)
 
     args = parser.parse_args(argv)
     if args.platform:
