@@ -70,12 +70,42 @@ def unflatten_pytree(flat: dict[str, np.ndarray]) -> Any:
     return listify(root)
 
 
+def dedup_flat(flat: dict[str, np.ndarray]) -> tuple[dict[str, np.ndarray], dict[str, str]]:
+    """Byte-identical tensor consolidation: each duplicate family keeps one
+    canonical entry; the rest become alias rows (the reference dedups
+    initializer byte-ranges into one shared blob and stores tied
+    embed/LM-head weights once, ``Whisper/Shared_Merged.py:1653-1706,285``).
+
+    Only tensors >= 1 KiB are considered (small biases aren't worth the
+    metadata row). Returns (kept tensors, {alias_key: canonical_key})."""
+    by_sig: dict[tuple, str] = {}
+    kept: dict[str, np.ndarray] = {}
+    aliases: dict[str, str] = {}
+    for key, arr in flat.items():
+        if arr.nbytes < 1024:
+            kept[key] = arr
+            continue
+        sig = (arr.dtype.str, arr.shape, hash(arr.tobytes()))
+        canon = by_sig.get(sig)
+        # hash() collisions are broken by a full byte compare.
+        if canon is not None and kept[canon].tobytes() == arr.tobytes():
+            aliases[key] = canon
+        else:
+            by_sig[sig] = key
+            kept[key] = arr
+    return kept, aliases
+
+
 def save_model(folder: str | Path, params: Any, metadata: ModelMetadata) -> None:
     from safetensors.numpy import save_file
 
     folder = Path(folder)
     folder.mkdir(parents=True, exist_ok=True)
-    flat = flatten_pytree(params)
+    flat, aliases = dedup_flat(flatten_pytree(params))
+    if aliases:
+        metadata.extra["weight_aliases"] = aliases
+    else:
+        metadata.extra.pop("weight_aliases", None)
     save_file(flat, str(folder / WEIGHTS_FILENAME))
     metadata.save(folder)
 
@@ -85,22 +115,36 @@ def load_model(folder: str | Path, dtype=None) -> tuple[Any, ModelMetadata]:
 
     folder = Path(folder)
     flat = load_file(str(folder / WEIGHTS_FILENAME))
+    meta = ModelMetadata.load(folder)
+    for alias, canon in meta.extra.get("weight_aliases", {}).items():
+        flat[alias] = flat[canon]
     if dtype is not None:
         flat = {k: v.astype(dtype) for k, v in flat.items()}
     params = _to_device(unflatten_pytree(flat))
-    return params, ModelMetadata.load(folder)
+    return params, meta
 
 
-def _to_device(tree: Any) -> Any:
+def _to_device(tree: Any, _memo: dict | None = None) -> Any:
+    """Host tree -> device tree. Aliased numpy leaves (weight dedup) map to
+    ONE device buffer — N references, one physical HBM copy, matching the
+    reference's mmap'd shared-initializer behavior."""
     from asr_tpu.quant.quantize import QuantizedLinear
+
+    memo = _memo if _memo is not None else {}
+
+    def put(x):
+        key = id(x)
+        if key not in memo:
+            memo[key] = jnp.asarray(x)
+        return memo[key]
 
     if isinstance(tree, QuantizedLinear):
         return QuantizedLinear(
-            jnp.asarray(tree.q), jnp.asarray(tree.scale), jnp.asarray(tree.zero),
+            put(tree.q), put(tree.scale), put(tree.zero),
             tree.bits, tree.block, packed=tree.packed,
         )
     if isinstance(tree, dict):
-        return {k: _to_device(v) for k, v in tree.items()}
+        return {k: _to_device(v, memo) for k, v in tree.items()}
     if isinstance(tree, list):
-        return [_to_device(v) for v in tree]
-    return jnp.asarray(tree)
+        return [_to_device(v, memo) for v in tree]
+    return put(tree)

@@ -149,3 +149,32 @@ def test_session_on_fixture_file():
     sess = SenseVoiceSession(params, TINY, window_seconds=8.0)
     res = sess.transcribe(FIXTURE_WAV, language="en")
     assert res.audio_seconds > 5
+
+
+def test_weight_dedup_aliases(tmp_path):
+    """Byte-identical tensors stored once; load restores both paths sharing
+    ONE device buffer (reference shared-initializer dedup analog)."""
+    import jax.numpy as jnp
+    from asr_tpu.runtime.artifact import WEIGHTS_FILENAME, load_model, save_model
+    from asr_tpu.runtime.metadata import ModelMetadata
+
+    rng = np.random.default_rng(0)
+    big = rng.standard_normal((256, 64)).astype(np.float32)
+    params = {"embed": {"w": jnp.asarray(big)},
+              "lm_head": {"w": jnp.asarray(big)},          # tied
+              "other": {"w": jnp.asarray(big + 1.0)},
+              "tiny": jnp.zeros((4,), jnp.float32)}
+    save_model(tmp_path / "m", params, ModelMetadata(family="x"))
+
+    meta = ModelMetadata.load(tmp_path / "m")
+    assert meta.extra["weight_aliases"] == {"lm_head/w": "embed/w"}
+    from safetensors.numpy import load_file
+    stored = load_file(str(tmp_path / "m" / WEIGHTS_FILENAME))
+    assert "lm_head/w" not in stored and "embed/w" in stored
+
+    loaded, _ = load_model(tmp_path / "m")
+    np.testing.assert_array_equal(np.asarray(loaded["lm_head/w".split("/")[0]]["w"]),
+                                  big)
+    # one physical buffer for the tied pair
+    assert loaded["embed"]["w"] is loaded["lm_head"]["w"]
+    assert loaded["other"]["w"] is not loaded["embed"]["w"]
