@@ -151,15 +151,24 @@ def _build_tokenizer(folder: Path, meta):
 
 def cmd_transcribe(args) -> int:
     sess = _build_session(Path(args.model_dir), language=args.language)
+    import contextlib
     import inspect
 
-    for audio in args.audio:
-        kwargs = {}
-        if args.language and "language" in inspect.signature(sess.transcribe).parameters:
-            kwargs["language"] = args.language
-        res = sess.transcribe(audio, **kwargs)
-        print(f"{audio}\t({res.audio_seconds:.2f}s, RTF {res.rtf:.4f})")
-        print(res.text if res.text else res.token_ids)
+    profile_ctx = contextlib.nullcontext()
+    if args.profile:
+        from asr_tpu.runtime.profiling import trace
+
+        profile_ctx = trace(args.profile)
+    with profile_ctx:
+        for audio in args.audio:
+            kwargs = {}
+            if args.language and "language" in inspect.signature(sess.transcribe).parameters:
+                kwargs["language"] = args.language
+            res = sess.transcribe(audio, **kwargs)
+            print(f"{audio}\t({res.audio_seconds:.2f}s, RTF {res.rtf:.4f})")
+            print(res.text if res.text else res.token_ids)
+    if args.profile:
+        print(f"device trace written to {args.profile} (view: tensorboard --logdir)")
     return 0
 
 
@@ -218,6 +227,8 @@ def main(argv=None) -> int:
     p = sub.add_parser("transcribe", help="transcribe audio files with a model artifact")
     p.add_argument("--model-dir", required=True)
     p.add_argument("--language", default=None)
+    p.add_argument("--profile", default=None, metavar="LOGDIR",
+                   help="capture an xprof device trace of the run into LOGDIR")
     p.add_argument("audio", nargs="+")
     p.set_defaults(fn=cmd_transcribe)
 

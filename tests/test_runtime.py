@@ -178,3 +178,27 @@ def test_weight_dedup_aliases(tmp_path):
     # one physical buffer for the tied pair
     assert loaded["embed"]["w"] is loaded["lm_head"]["w"]
     assert loaded["other"]["w"] is not loaded["embed"]["w"]
+
+
+def test_stage_timer_and_trace(tmp_path):
+    import time as _time
+    import jax.numpy as jnp
+    from asr_tpu.runtime.profiling import StageTimer, annotate, trace
+
+    t = StageTimer()
+    with t("encode"):
+        _time.sleep(0.01)
+    with t("decode", items=50):
+        _time.sleep(0.01)
+    with t("decode", items=50):
+        pass
+    assert t.totals["encode"] >= 0.01
+    assert t.counts["decode"] == 2 and t.items["decode"] == 100
+    rep = t.report(audio_seconds=1.0)
+    assert "RTF" in rep and "items/s" in rep and "decode" in rep
+
+    with trace(str(tmp_path / "prof")):
+        with annotate("matmul"):
+            (jnp.ones((32, 32)) @ jnp.ones((32, 32))).block_until_ready()
+    # xprof wrote something under the logdir
+    assert any((tmp_path / "prof").rglob("*"))
