@@ -18,6 +18,14 @@ from asr_tpu.runtime import audio as audio_io
 from asr_tpu.runtime.session import TranscribeResult
 
 
+def strip_language_tags(text: str) -> str:
+    """Drop emitted ``<en>`` / ``<zh-CN>``-style language tags (reference
+    ``Nemotron/Inference_Nemotron_ASR_ONNX.py:221-223``)."""
+    import re
+
+    return re.sub(r"<[a-z]{2}(-[A-Za-z]{2,4})?>", "", text).strip()
+
+
 class _WindowedSession:
     """Shared machinery: pad/window audio, run forward per window batch."""
 
@@ -35,6 +43,9 @@ class _WindowedSession:
 
     def _forward(self, audio: jnp.ndarray, valid: jnp.ndarray):
         raise NotImplementedError
+
+    def _postprocess(self, text: str) -> str:
+        return text
 
     def transcribe(self, audio: np.ndarray | str | Path, **kw) -> TranscribeResult:
         if isinstance(audio, (str, Path)):
@@ -55,7 +66,7 @@ class _WindowedSession:
         counts = np.asarray(counts)
         elapsed = time.perf_counter() - t0
         ids = [int(t) for i in range(num) for t in toks[i, : counts[i]]]
-        text = self.tokenizer.decode(ids) if self.tokenizer else ""
+        text = self._postprocess(self.tokenizer.decode(ids)) if self.tokenizer else ""
         return TranscribeResult(text=text, token_ids=ids,
                                 audio_seconds=n / self.sample_rate,
                                 elapsed_seconds=elapsed)
@@ -86,6 +97,9 @@ class NemotronSession(_WindowedSession):
 
         pid = jnp.full((audio.shape[0],), self.prompt_id, jnp.int32)
         return nm.forward(self.params, self.cfg, audio, valid, pid)
+
+    def _postprocess(self, text: str) -> str:
+        return strip_language_tags(text)
 
 
 class FireRedSession(_WindowedSession):

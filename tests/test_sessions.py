@@ -119,3 +119,12 @@ def test_qwen_session():
     res = sess.transcribe((rng.standard_normal(24000) * 0.1).astype(np.float32), context="hi")
     assert isinstance(res.text, str)
     assert res.audio_seconds == pytest.approx(1.5)
+
+
+def test_strip_language_tags():
+    from asr_tpu.runtime.transducer_session import strip_language_tags
+
+    assert strip_language_tags("<en> hello world") == "hello world"
+    assert strip_language_tags("<zh-CN>你好<en>there") == "你好there"
+    assert strip_language_tags("a < b and 2<3") == "a < b and 2<3"
+    assert strip_language_tags("<en-Latn>mixed") == "mixed"
