@@ -194,6 +194,11 @@ def cmd_quantize(args) -> int:
     from asr_tpu.runtime.artifact import load_model, save_model
 
     params, meta = load_model(Path(args.model_dir))
+    if args.reorder:
+        from asr_tpu.quant.reorder import channel_reorder_pytree
+
+        params, n = channel_reorder_pytree(params, stat=args.reorder)
+        print(f"reordered {n} FFN pairs by {args.reorder}")
     qparams = quantize_pytree(params, bits=args.bits, block=args.block,
                               refine_iters=args.refine_iters, pack=args.pack,
                               objective=args.algorithm, min_size=args.min_size)
@@ -248,6 +253,8 @@ def main(argv=None) -> int:
                    help="block fit: round-to-nearest or importance-weighted grid search")
     p.add_argument("--pack", action="store_true",
                    help="pack 4-bit weights two-per-byte / 2-bit four-per-byte")
+    p.add_argument("--reorder", default=None, choices=("absmean", "rms", "l4", "std"),
+                   help="exact-math FFN channel reordering before quantization")
     p.set_defaults(fn=cmd_quantize)
 
     p = sub.add_parser("optimize", help="apply a declarative serving plan (JSON) to an artifact")
