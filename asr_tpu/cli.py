@@ -126,6 +126,17 @@ def _build_session(folder: Path, language: str | None = None):
         return QwenAsrSession(params["tower"], params["llm"], cfg,
                               tokenizer=tokenizer, template=tpl)
 
+    if family == "qwen_aligner":
+        from asr_tpu.models.forced_aligner import ForcedAlignerConfig
+        from asr_tpu.runtime.aligner_session import QwenAlignerSession
+
+        cfg = config_from_dict(ForcedAlignerConfig, cfg_dict)
+        return QwenAlignerSession(
+            params["tower"], params["llm"], params["head"], cfg,
+            tokenizer=tokenizer, special_ids=meta.special_token_ids,
+            tokens_per_word=int(meta.extra.get("timestamp_tokens_per_word", 1)),
+        )
+
     raise SystemExit(f"no session wired for family {family!r} yet; "
                      f"use the python API (asr_tpu.models.{family})")
 
@@ -209,6 +220,15 @@ def cmd_quantize(args) -> int:
     return 0
 
 
+def cmd_align(args) -> int:
+    sess = _build_session(Path(args.model_dir))
+    if not hasattr(sess, "align"):
+        raise SystemExit("model artifact is not a forced-aligner family")
+    for item in sess.align(args.audio, args.text):
+        print(f"{item['start_ms']:>8d} {item['end_ms']:>8d}  {item['text']}")
+    return 0
+
+
 def cmd_optimize(args) -> int:
     from asr_tpu.quant.plan import OptimizerConfig, apply_plans
     from asr_tpu.runtime.artifact import load_model, save_model
@@ -236,6 +256,12 @@ def main(argv=None) -> int:
                    help="capture an xprof device trace of the run into LOGDIR")
     p.add_argument("audio", nargs="+")
     p.set_defaults(fn=cmd_transcribe)
+
+    p = sub.add_parser("align", help="forced-align a transcript against audio (word timestamps)")
+    p.add_argument("--model-dir", required=True)
+    p.add_argument("--text", required=True, help="transcript to align")
+    p.add_argument("audio")
+    p.set_defaults(fn=cmd_align)
 
     p = sub.add_parser("inspect", help="print a model artifact's metadata")
     p.add_argument("--model-dir", required=True)

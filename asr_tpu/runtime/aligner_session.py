@@ -1,0 +1,135 @@
+"""Qwen ForcedAligner session: text -> word units -> timestamp alignment.
+
+Runtime parity with reference
+``Qwen_ForcedAligner/Inference_Qwen_ForcedAligner_ONNX.py``: the prompt is
+[audio_start | audio embeds | audio_end | per word: word-token ids +
+``<timestamp>`` x tokens_per_word] (``:135-157``), one NAR pass classifies
+an 80 ms bucket at every ``<timestamp>`` position, and the bucket stream is
+monotone-repaired and grouped per word (``:249-340``).
+
+Word-unit splitting (``:171-246``): keep letters/digits/apostrophes, split
+CJK ideographs into single-character units, everything else on whitespace.
+Japanese/Korean morphological splitters (nagisa / soynlp upstream) are not
+bundled; those languages fall back to the space/CJK splitter unless the
+caller supplies ``split_fn``.
+"""
+
+from __future__ import annotations
+
+import time
+import unicodedata
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from asr_tpu.models import forced_aligner as fa
+from asr_tpu.runtime import audio as audio_io
+
+
+def _is_kept(ch: str) -> bool:
+    if ch == "'":
+        return True
+    cat = unicodedata.category(ch)
+    return cat.startswith(("L", "N"))
+
+
+def _is_cjk(ch: str) -> bool:
+    code = ord(ch)
+    return (
+        0x4E00 <= code <= 0x9FFF or 0x3400 <= code <= 0x4DBF
+        or 0x20000 <= code <= 0x2CEAF or 0xF900 <= code <= 0xFAFF
+    )
+
+
+def word_units(text: str) -> list[str]:
+    """Alignment units: whitespace-separated words, with CJK ideographs as
+    single-character units and non-letter/digit characters dropped."""
+    units: list[str] = []
+    for seg in text.split():
+        cleaned = "".join(ch for ch in seg if _is_kept(ch))
+        if not cleaned:
+            continue
+        buf: list[str] = []
+        for ch in cleaned:
+            if _is_cjk(ch):
+                if buf:
+                    units.append("".join(buf))
+                    buf = []
+                units.append(ch)
+            else:
+                buf.append(ch)
+        if buf:
+            units.append("".join(buf))
+    return units
+
+
+class QwenAlignerSession:
+    """NAR forced alignment: (audio, transcript) -> word timestamps."""
+
+    def __init__(
+        self,
+        tower_params,
+        llm_params,
+        head,
+        cfg: fa.ForcedAlignerConfig,
+        tokenizer,
+        special_ids: dict,
+        tokens_per_word: int = 1,
+        max_seconds: float = 30.0,
+        split_fn=None,
+    ):
+        self.tower_params = tower_params
+        self.llm_params = llm_params
+        self.head = head
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.timestamp_id = int(special_ids["timestamp"])
+        self.audio_start_id = int(special_ids["audio_start"])
+        self.audio_end_id = int(special_ids["audio_end"])
+        self.tokens_per_word = tokens_per_word
+        self.max_samples = int(max_seconds * cfg.asr.sample_rate)
+        self.split_fn = split_fn or word_units
+
+    def _embed(self, token_id: int) -> jnp.ndarray:
+        return jnp.asarray(self.llm_params["embed"])[None, token_id : token_id + 1]
+
+    def align(self, audio: np.ndarray | str | Path, text: str) -> list[dict]:
+        """Returns [{"text", "start_ms", "end_ms"}] per word unit."""
+        if isinstance(audio, (str, Path)):
+            audio = audio_io.load_audio(audio, self.cfg.asr.sample_rate, pcm_scale=1.0)
+        audio = np.asarray(audio, np.float32)[: self.max_samples]
+        n = len(audio)
+        buf = np.zeros((1, self.max_samples), np.float32)
+        buf[0, :n] = audio
+
+        if self.tokenizer is None:
+            raise ValueError("forced alignment needs a tokenizer with .encode() "
+                             "(artifact tokenizer file missing?)")
+        words = self.split_fn(text)
+        text_ids: list[int] = []
+        ts_positions: list[int] = []
+        for w in words:
+            text_ids.extend(int(t) for t in self.tokenizer.encode(w))
+            for _ in range(self.tokens_per_word):
+                ts_positions.append(len(text_ids))
+                text_ids.append(self.timestamp_id)
+        if not text_ids:
+            return []
+
+        t0 = time.perf_counter()
+        buckets, valid_len = fa.forward(
+            self.tower_params, self.llm_params, self.head, self.cfg,
+            jnp.asarray(buf), jnp.asarray([n]),
+            self._embed(self.audio_start_id), self._embed(self.audio_end_id),
+            jnp.asarray([text_ids], jnp.int32),
+        )
+        buckets = np.asarray(jax.block_until_ready(buckets))[0]
+        self.last_elapsed = time.perf_counter() - t0
+        # text portion starts at valid_len - len(text_ids) in the compacted prompt
+        offset = int(valid_len[0]) - len(text_ids)
+        ts_buckets = [int(buckets[offset + p]) for p in ts_positions]
+        return fa.word_timestamps(
+            words, ts_buckets, self.tokens_per_word, self.cfg.segment_ms
+        )
