@@ -58,8 +58,13 @@ def _build_session(folder: Path, language: str | None = None):
         from asr_tpu.streaming.paraformer_online import ParaformerStreamConfig
         from asr_tpu.runtime.streaming_session import ParaformerStreamingSession
 
-        base = config_from_dict(ParaformerConfig, cfg_dict)
-        return ParaformerStreamingSession(params, ParaformerStreamConfig(base=base), tokenizer=tokenizer)
+        # Artifacts may store the full stream config ({"base": ...}) or just
+        # the base model config.
+        if "base" in cfg_dict:
+            scfg = config_from_dict(ParaformerStreamConfig, cfg_dict)
+        else:
+            scfg = ParaformerStreamConfig(base=config_from_dict(ParaformerConfig, cfg_dict))
+        return ParaformerStreamingSession(params, scfg, tokenizer=tokenizer)
 
     if family == "parakeet":
         from asr_tpu.models.parakeet import ParakeetConfig
@@ -78,6 +83,32 @@ def _build_session(folder: Path, language: str | None = None):
             prof = meta.resolve_language(language)
             prompt_id = prof.prompt_token_id if prof.prompt_token_id is not None else (prof.index or 0)
         return NemotronSession(params, cfg, tokenizer=tokenizer, prompt_id=prompt_id)
+
+    if family == "nemotron_streaming":
+        from asr_tpu.models.nemotron import NemotronConfig
+        from asr_tpu.streaming.nemotron_stream import NemotronStreamConfig
+        from asr_tpu.runtime.streaming_session import NemotronStreamingSession
+
+        if "base" in cfg_dict:
+            scfg = config_from_dict(NemotronStreamConfig, cfg_dict)
+        else:
+            scfg = NemotronStreamConfig(base=config_from_dict(NemotronConfig, cfg_dict))
+        prompt_id = 0
+        if language:
+            prof = meta.resolve_language(language)
+            prompt_id = prof.prompt_token_id if prof.prompt_token_id is not None else (prof.index or 0)
+        return NemotronStreamingSession(params, scfg, tokenizer=tokenizer, prompt_id=prompt_id)
+
+    if family == "dolphin_streaming":
+        from asr_tpu.models.dolphin import DolphinConfig
+        from asr_tpu.streaming.dolphin_stream import DolphinStreamConfig
+        from asr_tpu.runtime.streaming_session import DolphinStreamingSession
+
+        if "base" in cfg_dict:
+            scfg = config_from_dict(DolphinStreamConfig, cfg_dict)
+        else:
+            scfg = DolphinStreamConfig(base=config_from_dict(DolphinConfig, cfg_dict))
+        return DolphinStreamingSession(params, scfg, tokenizer=tokenizer)
 
     if family == "firered":
         from asr_tpu.models.firered import FireRedConfig

@@ -128,3 +128,49 @@ def test_strip_language_tags():
     assert strip_language_tags("<zh-CN>你好<en>there") == "你好there"
     assert strip_language_tags("a < b and 2<3") == "a < b and 2<3"
     assert strip_language_tags("<en-Latn>mixed") == "mixed"
+
+
+def test_nemotron_streaming_session():
+    from asr_tpu.models import nemotron as nm
+    from asr_tpu.streaming import nemotron_stream as ns
+    from asr_tpu.runtime.streaming_session import NemotronStreamingSession
+
+    base = nm.NemotronConfig(
+        vocab_size=30, d_model=32, num_layers=1, num_heads=4, ffn_dim=48,
+        conv_kernel=5, sub_channels=8, pred_hidden=16, joint_hidden=16,
+        prompt_hidden=16, lstm_layers=1, num_prompts=4, left_context=6,
+        right_context=3, mel=NemoMelConfig(n_mels=40),
+    )
+    params = nm.init_params(base, jax.random.PRNGKey(0))
+    cfg = ns.NemotronStreamConfig(base=base)
+    sess = NemotronStreamingSession(params, cfg, tokenizer=_Tok(), prompt_id=1)
+    rng = np.random.default_rng(0)
+    res = sess.transcribe((rng.standard_normal(2 * cfg.window_samples + 100) * 0.1).astype(np.float32))
+    assert isinstance(res.text, str) and res.rtf > 0
+    # incremental API: same chunk twice keeps accumulating state
+    sess.reset()
+    out1 = sess.push_chunk((rng.standard_normal(cfg.window_samples) * 0.1).astype(np.float32))
+    assert isinstance(out1, list)
+
+
+def test_dolphin_streaming_session():
+    from asr_tpu.models import dolphin as dp
+    from asr_tpu.streaming import dolphin_stream as ds
+    from asr_tpu.runtime.streaming_session import DolphinStreamingSession
+
+    base = dp.DolphinConfig(
+        vocab_size=60, d_model=32, enc_layers=1, enc_heads=4, enc_ffn=48,
+        cgmlp_dim=64, csgu_kernel=5, fusion_kernel=3, dec_layers=1, dec_heads=4,
+        dec_ffn=48, sos_id=50, eos_id=51, max_target_positions=24,
+        language_token_start=40, language_token_end=45,
+        region_token_start=45, region_token_end=50,
+    )
+    params = dp.init_params(base, jax.random.PRNGKey(1))
+    cfg = ds.DolphinStreamConfig(base=base, chunk_frames=8, max_frames=64)
+    sess = DolphinStreamingSession(params, cfg, tokenizer=_Tok(),
+                                   language_id=41, region_id=46)
+    rng = np.random.default_rng(1)
+    audio = (rng.standard_normal(3 * cfg.advance_samples) * 2000).astype(np.float32)
+    res = sess.transcribe(audio)
+    assert isinstance(res.token_ids, list)
+    assert res.audio_seconds == pytest.approx(len(audio) / 16000)
