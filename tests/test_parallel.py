@@ -1,6 +1,7 @@
 """Parallelism: 8-virtual-device mesh, dp/tp sharded forward + train step."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -110,3 +111,58 @@ def test_train_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(p2["ctc"]["w"]), np.asarray(params["ctc"]["w"])
     )
+
+
+def test_micro_batcher_matches_individual_calls():
+    """Concurrent submits coalesce into fixed-shape batches; per-request
+    results equal a direct per-sample forward."""
+    import jax.numpy as jnp
+    from asr_tpu.models import paraformer as pf
+    from asr_tpu.parallel.server import MicroBatcher
+
+    cfg = pf.ParaformerConfig(
+        vocab_size=50, hidden=32, num_heads=4, head_dim=8, ffn_dim=48,
+        num_encoders0=1, num_encoders=1, num_decoders=1, num_decoder_ffn=1,
+        fsmn_kernel=5, predictor_kernel=3,
+    )
+    params = pf.init_params(cfg, jax.random.PRNGKey(0))
+    window = 8000
+
+    def batch_fn(audio, valid):
+        toks, counts = pf.forward(params, cfg, jnp.asarray(audio), jnp.asarray(valid), max_tokens=16)
+        return {"tokens": toks, "counts": counts}
+
+    mb = MicroBatcher(batch_fn, window_samples=window, max_batch=4, max_wait_ms=30.0)
+    rng = np.random.default_rng(0)
+    audios = [(rng.standard_normal(window - 100 * i) * 2000).astype(np.float32) for i in range(5)]
+    futures = [mb.submit(a) for a in audios]
+    results = [f.result(timeout=120) for f in futures]
+    mb.close()
+    assert mb.requests_served == 5
+    # 5 requests with max_batch 4 -> at least 2 dispatches
+    assert mb.batches_dispatched >= 2
+
+    for a, res in zip(audios, results):
+        buf = np.zeros((1, window), np.float32)
+        buf[0, : len(a)] = a
+        toks, counts = pf.forward(params, cfg, jnp.asarray(buf), jnp.asarray([len(a)]), max_tokens=16)
+        n = int(counts[0])
+        assert int(res["counts"]) == n
+        np.testing.assert_array_equal(res["tokens"][:n], np.asarray(toks)[0, :n])
+
+
+def test_micro_batcher_error_propagation_and_close():
+    from asr_tpu.parallel.server import MicroBatcher
+
+    def bad_fn(audio, valid):
+        raise RuntimeError("boom")
+
+    mb = MicroBatcher(bad_fn, window_samples=100, max_batch=2, max_wait_ms=1.0)
+    fut = mb.submit(np.zeros(50, np.float32))
+    with pytest.raises(RuntimeError, match="boom"):
+        fut.result(timeout=30)
+    mb.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        mb.submit(np.zeros(10, np.float32))
+    with pytest.raises(ValueError):
+        MicroBatcher(bad_fn, window_samples=10, max_batch=1).submit(np.zeros(11, np.float32))
