@@ -137,6 +137,19 @@ def _build_session(folder: Path, language: str | None = None):
         cfg = config_from_dict(FunAsrNanoConfig, cfg_dict)
         return FunAsrNanoCtcSession(params, cfg, tokenizer=tokenizer)
 
+    if family == "fun_asr_nano_llm":
+        from asr_tpu.models.fun_asr_nano import FunAsrNanoConfig
+        from asr_tpu.runtime.qwen_session import FunAsrNanoLlmSession, QwenPromptTemplate
+
+        cfg = config_from_dict(FunAsrNanoConfig, cfg_dict)
+        tpl = QwenPromptTemplate(
+            head_ids=tuple(meta.extra.get("prompt_head_ids", [])),
+            suffix_ids=tuple(meta.extra.get("prompt_suffix_ids", [])),
+            tail_ids=tuple(meta.extra.get("prompt_tail_ids", [])),
+        )
+        return FunAsrNanoLlmSession(params["encoder"], params["llm"], cfg,
+                                    tokenizer=tokenizer, template=tpl)
+
     if family in ("x_asr", "zipformer"):
         from asr_tpu.models.zipformer import ZipformerConfig
         from asr_tpu.runtime.streaming_session import XasrStreamingSession

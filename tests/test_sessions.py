@@ -174,3 +174,40 @@ def test_dolphin_streaming_session():
     res = sess.transcribe(audio)
     assert isinstance(res.token_ids, list)
     assert res.audio_seconds == pytest.approx(len(audio) / 16000)
+
+
+def test_fun_asr_nano_llm_session():
+    from asr_tpu.decode.ar import DecodeConfig
+    from asr_tpu.layers import qwen3
+    from asr_tpu.models import fun_asr_nano as fn
+    from asr_tpu.runtime.qwen_session import FunAsrNanoLlmSession, QwenPromptTemplate
+
+    lcfg = qwen3.Qwen3Config(vocab_size=120, hidden=48, num_layers=1, num_heads=4,
+                             num_kv_heads=2, head_dim=16, ffn_dim=64, rope_theta=1e4)
+    cfg = fn.FunAsrNanoConfig(
+        hidden=32, num_heads=4, head_dim=8, ffn_dim=48,
+        num_encoders0=1, num_encoders=1, num_tp_encoders=1, fsmn_kernel=5,
+        adaptor_hidden=48, adaptor_blocks=1, adaptor_heads=4, adaptor_ffn=64,
+        ctc_hidden=32, ctc_blocks=1, ctc_heads=4, ctc_ffn=48, ctc_vocab=50,
+        llm=lcfg, eot_id=-1,
+    )
+    params = fn.init_params(cfg, jax.random.PRNGKey(0))
+    llm = qwen3.init_params(lcfg, jax.random.PRNGKey(1))
+
+    class _Enc:
+        def encode(self, text):
+            return [ord(c) % 100 for c in text][:3]
+
+        def decode(self, ids):
+            return ",".join(map(str, ids))
+
+    sess = FunAsrNanoLlmSession(
+        params, llm, cfg, tokenizer=_Enc(),
+        template=QwenPromptTemplate(head_ids=(1, 2), suffix_ids=(3,), tail_ids=(4, 5)),
+        max_new_tokens=5, max_seconds=1.5,
+    )
+    rng = np.random.default_rng(0)
+    res = sess.transcribe((rng.standard_normal(16000) * 2000).astype(np.float32), context="hi")
+    assert isinstance(res.text, str)
+    assert res.audio_seconds == pytest.approx(1.0)
+    assert len(res.token_ids) >= 1
