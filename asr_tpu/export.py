@@ -115,6 +115,77 @@ def build_whisper_artifact(checkpoint_dir: str | Path, out_dir: str | Path) -> P
     return out_dir
 
 
+def build_paraformer_artifact(
+    checkpoint_dir: str | Path, out_dir: str | Path, cfg=None,
+    decode_mode: str = "zh", streaming: bool = False,
+) -> Path:
+    """FunASR Paraformer folder (model.pt + am.mvn + vocab txt) -> artifact.
+
+    Mirrors the reference export entry points
+    (``Paraformer/Non-Streaming/Export_Paraformer.py`` and the streaming
+    variant): one weight map serves both; ``streaming=True`` stamps the
+    streaming family so the CLI builds a chunked session."""
+    from asr_tpu.loaders import funasr
+    from asr_tpu.models.paraformer import ParaformerConfig
+
+    checkpoint_dir = Path(checkpoint_dir)
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    cfg = cfg or ParaformerConfig()
+    sd = funasr.load_checkpoint_file(checkpoint_dir / "model.pt")
+    neg_means, istd = funasr.parse_kaldi_mvn(checkpoint_dir / "am.mvn")
+    params = funasr.paraformer_params_from_state_dict(sd, cfg, neg_means, istd)
+
+    tok_file = None
+    for name in ("tokens.txt", "vocab.txt", "tokens.json"):
+        tok_file = _copy_asset(checkpoint_dir, name, out_dir)
+        if tok_file:
+            break
+    meta = ModelMetadata(
+        family="paraformer_streaming" if streaming else "paraformer",
+        sample_rate=cfg.sample_rate,
+        audio_pcm_scale=32768.0,
+        special_token_ids={"blank": 0, "sos": 1, "eos": 2},
+        tokenizer={"kind": "vocab_txt", "file": tok_file or ""},
+        extra={"config": dataclasses.asdict(cfg), "decode_mode": decode_mode},
+    )
+    save_model(out_dir, params, meta)
+    return out_dir
+
+
+def build_dolphin_artifact(
+    checkpoint_path: str | Path, out_dir: str | Path, cfg=None,
+    vocab_path: str | Path | None = None,
+) -> Path:
+    """espnet Dolphin checkpoint (.pt state dict) -> artifact (reference
+    ``Dolphin/v1/Export_Dolphin.py`` / CN-Dialect variants)."""
+    import torch
+
+    from asr_tpu.loaders.dolphin_espnet import params_from_state_dict
+    from asr_tpu.models.dolphin import DolphinConfig
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    cfg = cfg or DolphinConfig()
+    ckpt = torch.load(checkpoint_path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model", ckpt.get("state_dict", ckpt))
+    params = params_from_state_dict(sd, cfg)
+
+    tok_file = None
+    if vocab_path is not None:
+        tok_file = _copy_asset(Path(vocab_path).parent, Path(vocab_path).name, out_dir)
+    meta = ModelMetadata(
+        family="dolphin",
+        sample_rate=cfg.sample_rate,
+        audio_pcm_scale=32768.0,
+        special_token_ids={"sos": cfg.sos_id, "eos": cfg.eos_id},
+        tokenizer={"kind": "vocab_txt", "file": tok_file or ""},
+        extra={"config": dataclasses.asdict(cfg)},
+    )
+    save_model(out_dir, params, meta)
+    return out_dir
+
+
 def build_xasr_artifact(
     checkpoint_path: str | Path, out_dir: str | Path, cfg=None,
     weight_key: str = "model_avg", bpe_model: str | Path | None = None,

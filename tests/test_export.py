@@ -66,3 +66,31 @@ def test_build_sensevoice_artifact(tmp_path):
     assert meta.family == "sensevoice"
     assert meta.resolve_language("Mandarin").prompt_token_id == 3
     assert meta.tokenizer["kind"] == "sentencepiece"
+
+
+def test_build_paraformer_artifact_end_to_end(tmp_path):
+    """Synthetic FunASR folder -> artifact -> CLI session -> transcribe."""
+    from tests.test_loaders import PF_CFG, _paraformer_sd
+    from asr_tpu.cli import _build_session
+
+    rng = np.random.default_rng(3)
+    src = tmp_path / "paraformer-large"
+    src.mkdir()
+    torch.save(_paraformer_sd(PF_CFG, rng), src / "model.pt")
+    f = PF_CFG.feature_size
+    (src / "am.mvn").write_text(
+        "<Nnet>\n<AddShift> %d %d\n<LearnRateCoef> 0 [ %s ]\n"
+        "<Rescale> %d %d\n<LearnRateCoef> 0 [ %s ]\n</Nnet>\n"
+        % (f, f, " ".join(["-0.5"] * f), f, f, " ".join(["2.0"] * f))
+    )
+    (src / "tokens.txt").write_text("\n".join(f"tok{i}" for i in range(PF_CFG.vocab_size)))
+    out = ex.build_paraformer_artifact(src, tmp_path / "artifact", cfg=PF_CFG, decode_mode="en")
+    meta = ModelMetadata.load(out)
+    assert meta.family == "paraformer" and meta.tokenizer["kind"] == "vocab_txt"
+
+    sess = _build_session(out)
+    res = sess.transcribe((rng.standard_normal(16000) * 2000).astype(np.float32))
+    assert res.audio_seconds == 1.0 and isinstance(res.text, str)
+
+    out2 = ex.build_paraformer_artifact(src, tmp_path / "stream", cfg=PF_CFG, streaming=True)
+    assert ModelMetadata.load(out2).family == "paraformer_streaming"

@@ -75,13 +75,14 @@ def test_sensevoice_mapping_and_forward():
     assert counts.shape == (1,)
 
 
-def test_paraformer_mapping_and_forward():
-    rng = np.random.default_rng(1)
-    cfg = pf.ParaformerConfig(
-        vocab_size=50, hidden=32, num_heads=4, head_dim=8, ffn_dim=48,
-        num_encoders0=1, num_encoders=1, num_decoders=1, num_decoder_ffn=1,
-        fsmn_kernel=5, predictor_kernel=3,
-    )
+PF_CFG = pf.ParaformerConfig(
+    vocab_size=50, hidden=32, num_heads=4, head_dim=8, ffn_dim=48,
+    num_encoders0=1, num_encoders=1, num_decoders=1, num_decoder_ffn=1,
+    fsmn_kernel=5, predictor_kernel=3,
+)
+
+
+def _paraformer_sd(cfg, rng):
     sd = {}
     f = cfg.feature_size
     sd.update(_sanm_sd("encoder.encoders0.0", f, cfg.hidden, cfg.ffn_dim, cfg.fsmn_kernel, rng))
@@ -126,7 +127,14 @@ def test_paraformer_mapping_and_forward():
     sd["decoder.after_norm.bias"] = t(cfg.hidden)
     sd["decoder.output_layer.weight"] = t(cfg.vocab_size, cfg.hidden)
     sd["decoder.output_layer.bias"] = t(cfg.vocab_size)
+    return sd
 
+
+def test_paraformer_mapping_and_forward():
+    rng = np.random.default_rng(1)
+    cfg = PF_CFG
+    f = cfg.feature_size
+    sd = _paraformer_sd(cfg, rng)
     neg_means = rng.standard_normal(f).astype(np.float32)
     istd = np.abs(rng.standard_normal(f)).astype(np.float32) + 0.5
     params = funasr.paraformer_params_from_state_dict(sd, cfg, neg_means, istd)
