@@ -291,6 +291,10 @@ def main(argv=None) -> int:
     parser.add_argument("--platform", default=None,
                         help="force a jax platform (e.g. cpu, tpu) before any compute; "
                              "overrides plugin-injected platform lists")
+    parser.add_argument("--compile-cache", default="~/.cache/asr_tpu/jax",
+                        metavar="DIR",
+                        help="persistent XLA compilation cache directory "
+                             "('' disables); makes repeat CLI runs skip compiles")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("transcribe", help="transcribe audio files with a model artifact")
@@ -335,13 +339,20 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_optimize)
 
     args = parser.parse_args(argv)
-    if args.platform:
-        import os
+    import os
 
+    if args.platform:
         os.environ["JAX_PLATFORMS"] = args.platform
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    if args.compile_cache:
+        import jax
+
+        cache_dir = os.path.expanduser(args.compile_cache)
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     return args.fn(args)
 
 
