@@ -63,3 +63,72 @@ def train_step(
     updates, opt_state = optimizer.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
     return params, opt_state, loss
+
+
+def predictor_states(params: Any, labels: jnp.ndarray, blank_id: int) -> jnp.ndarray:
+    """Teacher-forced transducer predictor: LSTM scan over [blank, labels]
+    -> (B, U+1, joint_dim) projected decoder states (matches the state
+    threading of ``models/parakeet.joint_step`` exactly, so training and
+    greedy inference share predictor semantics)."""
+    from asr_tpu.layers.lstm import lstm_step_stack
+    from asr_tpu.layers.transformer import dense
+
+    dec = params["decoder"]
+    b = labels.shape[0]
+    tokens = jnp.concatenate(
+        [jnp.full((b, 1), blank_id, labels.dtype), labels], axis=1
+    )  # (B, U+1)
+    n_layers = len(dec["lstm"])
+    hidden = dec["lstm"][0]["w_hh"].shape[0]
+    h0 = jnp.zeros((n_layers, b, hidden), jnp.float32)
+    c0 = jnp.zeros((n_layers, b, hidden), jnp.float32)
+
+    def step(carry, tok):
+        h, c = carry
+        emb = dec["embed"][tok]
+        y, h2, c2 = lstm_step_stack(emb, h, c, dec["lstm"])
+        return (h2, c2), y
+
+    _, ys = jax.lax.scan(step, (h0, c0), tokens.T)  # (U+1, B, H)
+    return dense(ys.transpose(1, 0, 2), dec["proj"])  # (B, U+1, joint_dim)
+
+
+def transducer_joint_logits(params: Any, enc: jnp.ndarray, dec_states: jnp.ndarray,
+                            vocab_size: int) -> jnp.ndarray:
+    """Full-lattice joint: relu(enc[:, :, None] + dec[:, None, :]) -> head
+    token logits (B, T, U+1, V) (duration logits of TDT heads are dropped —
+    plain RNN-T likelihood trains the token distribution)."""
+    from asr_tpu.layers.transformer import dense
+
+    z = jax.nn.relu(enc[:, :, None, :] + dec_states[:, None, :, :])
+    return dense(z, params["decoder"]["head"])[..., :vocab_size]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "optimizer"))
+def transducer_train_step(
+    params: Any,
+    opt_state: Any,
+    cfg,
+    optimizer,
+    audio: jnp.ndarray,
+    valid_samples: jnp.ndarray,
+    labels: jnp.ndarray,
+    label_valid: jnp.ndarray,
+):
+    """One dp×tp-shardable RNN-T training step for the Parakeet family
+    (FastConformer encoder + LSTM predictor + joint)."""
+    from asr_tpu.models import parakeet as pk
+    from asr_tpu.parallel.rnnt_loss import rnnt_loss_from_logits
+
+    def loss_fn(p):
+        enc, t_valid = pk.encode(p, cfg, audio, valid_samples)
+        dec_states = predictor_states(p, labels, cfg.blank_id)
+        logits = transducer_joint_logits(p, enc, dec_states, cfg.vocab_size)
+        return rnnt_loss_from_logits(
+            logits.astype(jnp.float32), labels, t_valid, label_valid, cfg.blank_id
+        )
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
