@@ -24,7 +24,7 @@ def _build() -> bool:
     src = _DIR / "audio_dsp.cc"
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", str(src), "-o", str(_SO)],
+            ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-std=c++17", str(src), "-o", str(_SO)],
             check=True, capture_output=True,
         )
         return True
@@ -54,6 +54,11 @@ def get_lib():
     lib.rms.argtypes = [f32p, ctypes.c_long]
     lib.rms.restype = ctypes.c_double
     lib.scale_inplace.argtypes = [f32p, ctypes.c_long, ctypes.c_float]
+    lib.load_wav_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_long, f32p, ctypes.POINTER(ctypes.c_long), ctypes.c_int,
+    ]
+    lib.load_wav_batch.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -103,3 +108,22 @@ def rms(x: np.ndarray) -> float:
     assert lib is not None
     x = np.ascontiguousarray(x, np.float32)
     return float(lib.rms(_fptr(x), len(x)))
+
+
+def load_wav_batch(paths, target_rate: int, window_samples: int,
+                   n_threads: int = 0):
+    """Decode + downmix + resample WAV files in parallel C++ threads into a
+    fixed-shape (N, window) batch (int16 numeric range). Returns
+    (batch float32 (N, window), valid int64 (N,)); valid[i] = -1 marks a
+    file the native parser could not handle (caller falls back to the
+    Python ingest for those rows)."""
+    lib = get_lib()
+    assert lib is not None
+    n = len(paths)
+    out = np.zeros((n, window_samples), np.float32)
+    valid = np.zeros((n,), np.int64)
+    arr = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    lib.load_wav_batch(arr, n, target_rate, window_samples, _fptr(out),
+                       valid.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+                       n_threads)
+    return out, valid

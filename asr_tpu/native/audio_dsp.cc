@@ -100,3 +100,143 @@ void scale_inplace(float* x, long n, float s) {
 }
 
 }  // extern "C"
+
+// ── Multithreaded WAV batch loader ─────────────────────────────────────────
+// Production data-loader: decode + downmix + resample a batch of WAV files
+// in parallel worker threads and write fixed-size zero-padded windows —
+// the host-side feeder for fixed-shape device batches (MicroBatcher /
+// DataParallelRunner). RIFF-PCM16 and RIFF-float32 supported; everything
+// else routes through the Python ingest path.
+
+#include <atomic>
+#include <cstdio>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct WavData {
+  std::vector<float> mono;  // downmixed, int16 numeric range
+  int rate = 0;
+  bool ok = false;
+};
+
+WavData read_wav_mono(const char* path) {
+  WavData out;
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return out;
+  unsigned char hdr[12];
+  if (std::fread(hdr, 1, 12, f) != 12 || std::memcmp(hdr, "RIFF", 4) != 0 ||
+      std::memcmp(hdr + 8, "WAVE", 4) != 0) {
+    std::fclose(f);
+    return out;
+  }
+  int fmt = 0, channels = 0, rate = 0, bits = 0;
+  std::vector<unsigned char> data;
+  unsigned char chdr[8];
+  while (std::fread(chdr, 1, 8, f) == 8) {
+    const unsigned long size = chdr[4] | (chdr[5] << 8) | (chdr[6] << 16) |
+                               (static_cast<unsigned long>(chdr[7]) << 24);
+    if (std::memcmp(chdr, "fmt ", 4) == 0) {
+      std::vector<unsigned char> b(size);
+      if (std::fread(b.data(), 1, size, f) != size) break;
+      fmt = b[0] | (b[1] << 8);
+      channels = b[2] | (b[3] << 8);
+      rate = b[4] | (b[5] << 8) | (b[6] << 16) | (b[7] << 24);
+      bits = b[14] | (b[15] << 8);
+    } else if (std::memcmp(chdr, "data", 4) == 0) {
+      data.resize(size);
+      if (std::fread(data.data(), 1, size, f) != size) data.clear();
+      break;
+    } else {
+      std::fseek(f, static_cast<long>(size + (size & 1)), SEEK_CUR);
+    }
+  }
+  std::fclose(f);
+  if (data.empty() || channels <= 0 || rate <= 0) return out;
+
+  long frames = 0;
+  std::vector<float> inter;
+  if (fmt == 1 && bits == 16) {  // PCM16 -> int16 numeric range
+    frames = static_cast<long>(data.size()) / (2 * channels);
+    inter.resize(static_cast<size_t>(frames) * channels);
+    const int16_t* s = reinterpret_cast<const int16_t*>(data.data());
+    for (long i = 0; i < frames * channels; ++i) inter[i] = static_cast<float>(s[i]);
+  } else if (fmt == 3 && bits == 32) {  // IEEE float [-1,1] -> int16 range
+    frames = static_cast<long>(data.size()) / (4 * channels);
+    inter.resize(static_cast<size_t>(frames) * channels);
+    const float* s = reinterpret_cast<const float*>(data.data());
+    for (long i = 0; i < frames * channels; ++i) inter[i] = s[i] * 32768.0f;
+  } else {
+    return out;
+  }
+  out.mono.resize(frames);
+  for (long t = 0; t < frames; ++t) {
+    double acc = 0.0;
+    for (int c = 0; c < channels; ++c) acc += inter[static_cast<size_t>(t) * channels + c];
+    out.mono[t] = static_cast<float>(acc / channels);
+  }
+  out.rate = rate;
+  out.ok = true;
+  return out;
+}
+
+long gcd_long(long a, long b) { return b == 0 ? a : gcd_long(b, a % b); }
+
+}  // namespace
+
+extern "C" {
+
+// paths: n C strings. out: (n, window) float32. valid[i]: samples written
+// (clamped to window) or -1 on decode failure. Returns #succeeded.
+int load_wav_batch(const char** paths, int n, int target_rate, long window,
+                   float* out, long* valid, int n_threads) {
+  std::atomic<int> next(0), succeeded(0);
+  if (n_threads <= 0) n_threads = static_cast<int>(std::thread::hardware_concurrency());
+  if (n_threads <= 0) n_threads = 4;
+  if (n_threads > n) n_threads = n;
+
+  auto worker = [&]() {
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) return;
+      float* row = out + static_cast<size_t>(i) * window;
+      std::memset(row, 0, sizeof(float) * window);
+      WavData w = read_wav_mono(paths[i]);
+      if (!w.ok) {
+        valid[i] = -1;
+        continue;
+      }
+      std::vector<float> res;
+      const float* src = w.mono.data();
+      long n_src = static_cast<long>(w.mono.size());
+      if (w.rate != target_rate) {
+        const long g = gcd_long(w.rate, target_rate);
+        const int up = static_cast<int>(target_rate / g);
+        const int down = static_cast<int>(w.rate / g);
+        const long max_ud = up > down ? up : down;
+        const long taps = 2 * 10 * max_ud + 1;  // scipy resample_poly default
+        std::vector<float> filt(taps);
+        design_lowpass(1.0 / max_ud, 5.0, static_cast<double>(up), taps, filt.data());
+        const long n_out = (n_src * up + down - 1) / down;
+        res.resize(n_out);
+        resample_poly(src, n_src, up, down, filt.data(), taps, res.data(), n_out);
+        src = res.data();
+        n_src = n_out;
+      }
+      const long keep = n_src < window ? n_src : window;
+      std::memcpy(row, src, sizeof(float) * keep);
+      valid[i] = keep;
+      succeeded.fetch_add(1);
+    }
+  };
+
+  std::vector<std::thread> pool;
+  pool.reserve(n_threads);
+  for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  return succeeded.load();
+}
+
+}  // extern "C"

@@ -110,3 +110,40 @@ def load_audio(
     if pcm_scale != 32768.0:
         mono = mono * (pcm_scale / 32768.0)
     return np.ascontiguousarray(mono, dtype=np.float32)
+
+
+def load_audio_batch(
+    paths,
+    sample_rate: int,
+    window_samples: int,
+    pcm_scale: float = 32768.0,
+    n_threads: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Parallel batch ingest: decode/downmix/resample N files into a fixed
+    (N, window) float32 batch + valid sample counts.
+
+    Uses the multithreaded C++ loader (``asr_tpu.native.load_wav_batch``)
+    for WAV files; rows it cannot handle (MP3, exotic encodings, decode
+    errors) fall back to the per-file Python path. Output follows the
+    ``pcm_scale`` convention of :func:`load_audio`."""
+    paths = [str(p) for p in paths]
+    n = len(paths)
+    out = np.zeros((n, window_samples), np.float32)
+    valid = np.full((n,), -1, np.int64)
+    try:
+        from asr_tpu import native
+
+        if native.available():
+            out, valid = native.load_wav_batch(paths, sample_rate, window_samples, n_threads)
+    except Exception:
+        pass
+    for i in range(n):
+        if valid[i] < 0:  # native miss -> python ingest
+            mono = load_audio(paths[i], sample_rate)  # int16 range
+            keep = min(len(mono), window_samples)
+            out[i, :keep] = mono[:keep]
+            out[i, keep:] = 0.0
+            valid[i] = keep
+    if pcm_scale != 32768.0:
+        out *= np.float32(pcm_scale / 32768.0)
+    return out, valid

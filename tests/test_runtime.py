@@ -202,3 +202,34 @@ def test_stage_timer_and_trace(tmp_path):
             (jnp.ones((32, 32)) @ jnp.ones((32, 32))).block_until_ready()
     # xprof wrote something under the logdir
     assert any((tmp_path / "prof").rglob("*"))
+
+
+def test_load_audio_batch_native_and_fallback(tmp_path):
+    import wave
+    from asr_tpu.runtime.audio import load_audio, load_audio_batch
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for i, (rate, ch, n) in enumerate([(16000, 1, 6000), (8000, 2, 4000)]):
+        p = tmp_path / f"f{i}.wav"
+        with wave.open(str(p), "wb") as w:
+            w.setnchannels(ch); w.setsampwidth(2); w.setframerate(rate)
+            w.writeframes((rng.standard_normal(n * ch) * 3000).astype(np.int16).tobytes())
+        paths.append(p)
+
+    batch, valid = load_audio_batch(paths, 16000, 16000)
+    assert batch.shape == (2, 16000)
+    for i, p in enumerate(paths):
+        ref = load_audio(p, 16000)
+        assert valid[i] == min(len(ref), 16000)
+        np.testing.assert_allclose(batch[i, : valid[i]], ref[: valid[i]], atol=1.5)
+        assert (batch[i, valid[i]:] == 0).all()
+
+    # [-1, 1] convention
+    b2, _ = load_audio_batch(paths, 16000, 16000, pcm_scale=1.0)
+    np.testing.assert_allclose(b2, batch / 32768.0, atol=1e-6)
+
+    # unsupported rows fall back to python ingest (here: nonexistent -> raises)
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        load_audio_batch([tmp_path / "missing.wav"], 16000, 16000)
