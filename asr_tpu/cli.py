@@ -215,13 +215,20 @@ def cmd_transcribe(args) -> int:
 
         profile_ctx = trace(args.profile)
     with profile_ctx:
-        for audio in args.audio:
-            kwargs = {}
-            if args.language and "language" in inspect.signature(sess.transcribe).parameters:
-                kwargs["language"] = args.language
-            res = sess.transcribe(audio, **kwargs)
-            print(f"{audio}\t({res.audio_seconds:.2f}s, RTF {res.rtf:.4f})")
-            print(res.text if res.text else res.token_ids)
+        if len(args.audio) > 1 and hasattr(sess, "transcribe_batch"):
+            # many files -> one batched device dispatch (native parallel ingest)
+            kwargs = {"language": args.language} if args.language else {}
+            for audio, res in zip(args.audio, sess.transcribe_batch(args.audio, **kwargs)):
+                print(f"{audio}\t({res.audio_seconds:.2f}s, RTF {res.rtf:.4f})")
+                print(res.text if res.text else res.token_ids)
+        else:
+            for audio in args.audio:
+                kwargs = {}
+                if args.language and "language" in inspect.signature(sess.transcribe).parameters:
+                    kwargs["language"] = args.language
+                res = sess.transcribe(audio, **kwargs)
+                print(f"{audio}\t({res.audio_seconds:.2f}s, RTF {res.rtf:.4f})")
+                print(res.text if res.text else res.token_ids)
     if args.profile:
         print(f"device trace written to {args.profile} (view: tensorboard --logdir)")
     return 0

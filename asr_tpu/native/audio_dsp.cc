@@ -188,8 +188,10 @@ long gcd_long(long a, long b) { return b == 0 ? a : gcd_long(b, a % b); }
 
 extern "C" {
 
-// paths: n C strings. out: (n, window) float32. valid[i]: samples written
-// (clamped to window) or -1 on decode failure. Returns #succeeded.
+// paths: n C strings. out: (n, window) float32 (zero-padded, truncated at
+// window). valid[i]: TRUE resampled sample count (may exceed window — the
+// caller decides how to handle overflow) or -1 on decode failure.
+// Returns #succeeded.
 int load_wav_batch(const char** paths, int n, int target_rate, long window,
                    float* out, long* valid, int n_threads) {
   std::atomic<int> next(0), succeeded(0);
@@ -227,7 +229,7 @@ int load_wav_batch(const char** paths, int n, int target_rate, long window,
       }
       const long keep = n_src < window ? n_src : window;
       std::memcpy(row, src, sizeof(float) * keep);
-      valid[i] = keep;
+      valid[i] = n_src;  // TRUE length: callers detect window overflow
       succeeded.fetch_add(1);
     }
   };

@@ -120,7 +120,9 @@ def load_audio_batch(
     n_threads: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Parallel batch ingest: decode/downmix/resample N files into a fixed
-    (N, window) float32 batch + valid sample counts.
+    (N, window) float32 batch + TRUE per-file sample counts (a count larger
+    than ``window_samples`` means the row was truncated — callers route
+    such files through their sliding-window path).
 
     Uses the multithreaded C++ loader (``asr_tpu.native.load_wav_batch``)
     for WAV files; rows it cannot handle (MP3, exotic encodings, decode
@@ -143,7 +145,7 @@ def load_audio_batch(
             keep = min(len(mono), window_samples)
             out[i, :keep] = mono[:keep]
             out[i, keep:] = 0.0
-            valid[i] = keep
+            valid[i] = len(mono)  # TRUE length (callers detect overflow)
     if pcm_scale != 32768.0:
         out *= np.float32(pcm_scale / 32768.0)
     return out, valid

@@ -100,6 +100,41 @@ class SenseVoiceSession:
             elapsed_seconds=elapsed,
         )
 
+    def transcribe_batch(
+        self, paths, language: str = "auto", n_threads: int = 0
+    ) -> list[TranscribeResult]:
+        """Many short files -> ONE device dispatch: the native parallel
+        batch loader fills a fixed (N, window) buffer and every file rides
+        the same jitted forward (files longer than one window fall back to
+        the sliding-window path)."""
+        buf, valid = audio_io.load_audio_batch(
+            paths, self.cfg.sample_rate, self.window_samples, n_threads=n_threads
+        )
+        lang_idx = np.full((len(paths),), self.language_index(language), np.int32)
+        t0 = time.perf_counter()
+        toks, counts = sv.forward(
+            self.params, self.cfg, jnp.asarray(buf),
+            jnp.asarray(np.minimum(valid, self.window_samples), jnp.int32),
+            jnp.asarray(lang_idx),
+        )
+        toks = np.asarray(jax.block_until_ready(toks))
+        counts = np.asarray(counts)
+        elapsed = time.perf_counter() - t0
+        results = []
+        for i, path in enumerate(paths):
+            if valid[i] > self.window_samples:
+                # longer than one window: sliding-window path, full audio
+                results.append(self.transcribe(path, language=language))
+                continue
+            ids = [int(t) for t in toks[i, : counts[i]]]
+            results.append(TranscribeResult(
+                text=self.tokenizer.decode(ids) if self.tokenizer else "",
+                token_ids=ids,
+                audio_seconds=float(valid[i]) / self.cfg.sample_rate,
+                elapsed_seconds=elapsed / len(paths),
+            ))
+        return results
+
     def warmup(self) -> None:
         silent = np.zeros(self.window_samples, dtype=np.float32)
         self.transcribe(silent)

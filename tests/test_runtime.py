@@ -233,3 +233,36 @@ def test_load_audio_batch_native_and_fallback(tmp_path):
     import pytest as _pytest
     with _pytest.raises(Exception):
         load_audio_batch([tmp_path / "missing.wav"], 16000, 16000)
+
+
+def test_sensevoice_transcribe_batch(tmp_path):
+    import wave
+    import jax
+    from asr_tpu.models import sensevoice as sv
+    from asr_tpu.runtime.session import SenseVoiceSession
+
+    cfg = sv.SenseVoiceConfig(
+        vocab_size=64, hidden=32, num_heads=4, head_dim=8, ffn_dim=64,
+        num_encoders0=1, num_encoders=1, num_tp_encoders=1, fsmn_kernel=5,
+    )
+    params = sv.init_params(cfg, jax.random.PRNGKey(0))
+    sess = SenseVoiceSession(params, cfg, window_seconds=1.0)
+
+    rng = np.random.default_rng(0)
+    paths, raws = [], []
+    # third file OVERFLOWS the 1 s window -> sliding-window fallback row
+    for i, n in enumerate([12000, 13000, 40000]):
+        p = tmp_path / f"s{i}.wav"
+        raw = (rng.standard_normal(n) * 3000).astype(np.int16)
+        with wave.open(str(p), "wb") as w:
+            w.setnchannels(1); w.setsampwidth(2); w.setframerate(16000)
+            w.writeframes(raw.tobytes())
+        paths.append(p)
+        raws.append(raw)
+
+    batch_res = sess.transcribe_batch(paths)
+    assert len(batch_res) == 3
+    for i, (p, res) in enumerate(zip(paths, batch_res)):
+        single = sess.transcribe(raws[i].astype(np.float32))
+        assert res.token_ids == single.token_ids, f"file {i}"
+        assert res.audio_seconds == pytest.approx(len(raws[i]) / 16000)
