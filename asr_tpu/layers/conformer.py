@@ -20,7 +20,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from asr_tpu.layers.attention import NEG_INF
 from asr_tpu.layers.norms import layer_norm
 from asr_tpu.layers.sanm import depthwise_conv1d_time
 from asr_tpu.layers.transformer import dense

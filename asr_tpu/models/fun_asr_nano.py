@@ -26,7 +26,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from asr_tpu.decode.ar import DecodeConfig, ar_decode
+from asr_tpu.decode.ar import DecodeConfig
 from asr_tpu.decode.ctc import ctc_greedy_collapse
 from asr_tpu.frontend.kaldi_fbank import KaldiFbankConfig, log_mel_fbank
 from asr_tpu.frontend.lfr import lfr_stack

@@ -27,7 +27,6 @@ import jax.numpy as jnp
 from asr_tpu.decode.ar import DecodeConfig, ar_decode
 from asr_tpu.frontend.whisper_mel import WhisperMelConfig, log_mel_spectrogram
 from asr_tpu.layers import qwen3
-from asr_tpu.layers.attention import NEG_INF
 from asr_tpu.layers.norms import layer_norm
 from asr_tpu.layers.transformer import dense, merge_heads, mha, split_heads
 from asr_tpu.models.sensevoice import sinusoid_position_encoding

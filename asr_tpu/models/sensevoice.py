@@ -24,7 +24,7 @@ import numpy as np
 
 from asr_tpu.decode.ctc import ctc_greedy_collapse
 from asr_tpu.frontend.kaldi_fbank import KaldiFbankConfig, log_mel_fbank
-from asr_tpu.frontend.lfr import apply_cmvn_addmul, lfr_out_len, lfr_stack
+from asr_tpu.frontend.lfr import apply_cmvn_addmul, lfr_stack
 from asr_tpu.layers.attention import NEG_INF, length_mask
 from asr_tpu.layers.norms import layer_norm
 from asr_tpu.layers.sanm import sanm_block

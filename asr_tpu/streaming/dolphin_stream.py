@@ -32,7 +32,6 @@ import jax
 import jax.numpy as jnp
 
 from asr_tpu.decode.ar import DecodeConfig, ar_decode
-from asr_tpu.decode.ctc import ctc_greedy_collapse
 from asr_tpu.frontend.kaldi_fbank import KaldiFbankConfig, log_mel_fbank
 from asr_tpu.layers.attention import NEG_INF
 from asr_tpu.layers.norms import layer_norm

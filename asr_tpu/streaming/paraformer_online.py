@@ -32,7 +32,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from asr_tpu.frontend.kaldi_fbank import KaldiFbankConfig, log_mel_fbank
+from asr_tpu.frontend.kaldi_fbank import log_mel_fbank
 from asr_tpu.frontend.lfr import apply_cmvn_addmul
 from asr_tpu.layers.attention import NEG_INF
 from asr_tpu.layers.norms import layer_norm
