@@ -89,3 +89,79 @@ def rnnt_loss_from_logits(logits, labels, t_valid, u_valid, blank_id=0):
     """Convenience: joint LOGITS (B, T, U+1, V) -> mean loss (scalar)."""
     lp = jax.nn.log_softmax(logits, axis=-1)
     return jnp.mean(rnnt_loss(lp, labels, t_valid, u_valid, blank_id))
+
+
+def tdt_loss(
+    token_log_probs: jnp.ndarray,   # (B, T, U+1, V) token log-softmax
+    dur_log_probs: jnp.ndarray,     # (B, T, U+1, D) duration log-softmax
+    labels: jnp.ndarray,            # (B, U)
+    t_valid: jnp.ndarray,
+    u_valid: jnp.ndarray,
+    durations: tuple = (0, 1, 2, 3, 4),
+    blank_id: int | jnp.ndarray = 0,
+) -> jnp.ndarray:
+    """Token-and-Duration Transducer NLL (Parakeet-TDT's training law;
+    greedy counterpart in ``decode/tdt.py``).
+
+    Transitions from (t, u): emit ``labels[u]`` with duration d (advance to
+    (t+d, u+1)), or emit blank with duration d >= 1 (advance to (t+d, u)).
+    Every transition strictly increases t+u, so the same anti-diagonal
+    wavefront as :func:`rnnt_loss` applies — one lax.scan of T+U steps,
+    each combining |durations| shifted slabs.
+    """
+    b, t_max, u1, _ = token_log_probs.shape
+    u_max = u1 - 1
+
+    blank_lp = token_log_probs[..., blank_id]
+    label_lp = jnp.take_along_axis(
+        token_log_probs[:, :, :u_max, :], labels[:, None, :, None], axis=3
+    )[..., 0]
+
+    t_ids = jnp.arange(t_max)[None, :, None]
+    u_ids = jnp.arange(u1)[None, None, :]
+    in_t = t_ids < t_valid[:, None, None]
+    blank_lp = jnp.where(in_t & (u_ids <= u_valid[:, None, None]), blank_lp, NEG_INF)
+    label_lp = jnp.where(in_t & (u_ids[:, :, :u_max] < u_valid[:, None, None]),
+                         label_lp, NEG_INF)
+
+    alpha0 = jnp.full((b, t_max, u1), NEG_INF).at[:, 0, 0].set(0.0)
+    diag_t = jnp.arange(t_max)[None, :, None]
+    diag_u = jnp.arange(u1)[None, None, :]
+
+    def shift_t(m, d):
+        """m[:, t-d, :] with NEG_INF fill (source row t-d)."""
+        if d == 0:
+            return m
+        return jnp.pad(m[:, :-d, :], ((0, 0), (d, 0), (0, 0)),
+                       constant_values=NEG_INF)
+
+    @jax.checkpoint
+    def step(alpha, diag):
+        total = jnp.full(alpha.shape, NEG_INF)
+        for di, d in enumerate(durations):
+            dlp = dur_log_probs[..., di]
+            if d >= 1:
+                # blank, duration d: (t-d, u) -> (t, u)
+                total = jnp.logaddexp(
+                    total, shift_t(alpha + blank_lp + dlp, d))
+            # label, duration d: (t-d, u-1) -> (t, u)
+            lbl = alpha[:, :, :-1] + label_lp + dlp[:, :, :u_max]
+            lbl = jnp.pad(lbl, ((0, 0), (0, 0), (1, 0)), constant_values=NEG_INF)
+            total = jnp.logaddexp(total, shift_t(lbl, d))
+        on_diag = (diag_t + diag_u) == diag
+        return jnp.where(on_diag, total, alpha), None
+
+    alpha, _ = jax.lax.scan(step, alpha0, jnp.arange(1, t_max + u1))
+
+    # Finish: blank from (T_valid-1, U_valid) with any duration that leaves
+    # the valid frames (the reference decoder stops once t >= T).
+    tv = jnp.clip(t_valid - 1, 0, t_max - 1)
+    uv = jnp.clip(u_valid, 0, u_max)
+    bidx = jnp.arange(b)
+    final_dur = jax.nn.logsumexp(
+        jnp.stack([dur_log_probs[bidx, tv, uv, di]
+                   for di, d in enumerate(durations) if d >= 1], axis=0),
+        axis=0,
+    )
+    ll = alpha[bidx, tv, uv] + blank_lp[bidx, tv, uv] + final_dur
+    return -ll

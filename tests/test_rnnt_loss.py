@@ -151,3 +151,59 @@ def test_transducer_train_step_decreases_loss():
         jax.device_put(big(audio), bs), jax.device_put(big(valid), bs),
         jax.device_put(big(labels), bs), jax.device_put(big(label_valid), bs))
     assert np.isfinite(float(loss_sh))
+
+
+def _ref_tdt_nll(tok_lp, dur_lp, label, T, U, durations, blank):
+    """float64 brute-force TDT lattice DP with the same boundary
+    convention: paths land on cells, final blank (d>=1) exits at (T-1, U)."""
+    alpha = np.full((T, U + 1), -np.inf)
+    alpha[0, 0] = 0.0
+    for s in range(1, T + U + 1):
+        for t in range(T):
+            u = s - t
+            if not (0 <= u <= U):
+                continue
+            cands = []
+            for di, d in enumerate(durations):
+                ts = t - d
+                if ts >= 0 and d >= 1:  # blank
+                    cands.append(alpha[ts, u] + tok_lp[ts, u, blank] + dur_lp[ts, u, di])
+                if ts >= 0 and u >= 1:  # label
+                    cands.append(alpha[ts, u - 1] + tok_lp[ts, u - 1, label[u - 1]]
+                                 + dur_lp[ts, u - 1, di])
+            if cands:
+                alpha[t, u] = np.logaddexp.reduce(cands)
+    final = np.logaddexp.reduce([dur_lp[T - 1, U, di]
+                                 for di, d in enumerate(durations) if d >= 1])
+    return -(alpha[T - 1, U] + tok_lp[T - 1, U, blank] + final)
+
+
+def test_tdt_loss_matches_bruteforce():
+    from asr_tpu.parallel.rnnt_loss import tdt_loss
+
+    rng = np.random.default_rng(5)
+    t, u, v, durations, blank = 7, 3, 6, (0, 1, 2), 0
+    tok = _rand_lp(rng, t, u + 1, v)
+    dur = _rand_lp(rng, t, u + 1, len(durations))
+    label = rng.integers(1, v, size=u)
+    want = _ref_tdt_nll(tok, dur, label, t, u, durations, blank)
+    got = tdt_loss(
+        jnp.asarray(tok, jnp.float32)[None], jnp.asarray(dur, jnp.float32)[None],
+        jnp.asarray(label, jnp.int32)[None], jnp.asarray([t]), jnp.asarray([u]),
+        durations=durations, blank_id=blank,
+    )
+    np.testing.assert_allclose(float(got[0]), want, rtol=1e-4)
+
+    # padded invariance: same sample inside a bigger buffer
+    tok_pad = np.full((t + 3, u + 3, v), -7.0)
+    dur_pad = np.full((t + 3, u + 3, len(durations)), -3.0)
+    tok_pad[:t, : u + 1] = tok
+    dur_pad[:t, : u + 1] = dur
+    label_pad = np.zeros(u + 2, np.int64)
+    label_pad[:u] = label
+    got2 = tdt_loss(
+        jnp.asarray(tok_pad, jnp.float32)[None], jnp.asarray(dur_pad, jnp.float32)[None],
+        jnp.asarray(label_pad, jnp.int32)[None], jnp.asarray([t]), jnp.asarray([u]),
+        durations=durations, blank_id=blank,
+    )
+    np.testing.assert_allclose(float(got2[0]), want, rtol=1e-4)
