@@ -132,3 +132,58 @@ def transducer_train_step(
     updates, opt_state = optimizer.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
     return params, opt_state, loss
+
+
+def fit(
+    step_fn,
+    params: Any,
+    optimizer,
+    data_iter,
+    num_steps: int,
+    ckpt_dir: str | None = None,
+    ckpt_every: int = 100,
+    log_every: int = 10,
+    resume: bool = True,
+    log_fn=print,
+):
+    """Minimal fine-tuning driver: ``step_fn(params, opt_state, optimizer,
+    *batch) -> (params, opt_state, loss)`` over batches from ``data_iter``,
+    with orbax checkpoint/resume (the reference toolkit has no training;
+    this completes the framework's train story: ingest -> sharded step ->
+    checkpoint -> resume).
+
+    Returns (params, opt_state, losses). With ``resume=True`` and an
+    existing ``ckpt_dir``, training continues from the latest step (batches
+    already consumed are skipped by fast-forwarding the iterator).
+    """
+    from asr_tpu.parallel import checkpoint as ckpt
+
+    opt_state = optimizer.init(params)
+    start = 0
+    if resume and ckpt_dir is not None:
+        latest = ckpt.latest_step(ckpt_dir)
+        if latest is not None:
+            params, opt_state, start = ckpt.restore_train_state(
+                ckpt_dir, {"params": params, "opt_state": opt_state,
+                           "step": jnp.asarray(0)})
+            log_fn(f"resumed from step {start}")
+
+    losses = []
+    it = iter(data_iter)
+    for _ in range(start):  # deterministic iterators replay consumed batches
+        next(it, None)
+    for step in range(start, num_steps):
+        batch = next(it, None)
+        if batch is None:
+            break
+        params, opt_state, loss = step_fn(params, opt_state, optimizer, *batch)
+        losses.append(float(loss))
+        if log_every and (step + 1) % log_every == 0:
+            log_fn(f"step {step + 1}/{num_steps} loss {losses[-1]:.4f}")
+        if ckpt_dir is not None and ckpt_every and (step + 1) % ckpt_every == 0:
+            ckpt.save_train_state(ckpt_dir, params, opt_state, step + 1)
+    if ckpt_dir is not None:
+        final = start + len(losses)
+        if ckpt.latest_step(ckpt_dir) != final:
+            ckpt.save_train_state(ckpt_dir, params, opt_state, final)
+    return params, opt_state, losses

@@ -166,3 +166,43 @@ def test_micro_batcher_error_propagation_and_close():
         mb.submit(np.zeros(10, np.float32))
     with pytest.raises(ValueError):
         MicroBatcher(bad_fn, window_samples=10, max_batch=1).submit(np.zeros(11, np.float32))
+
+
+def test_fit_with_checkpoint_resume(tmp_path):
+    from asr_tpu.parallel import train
+
+    cfg = TINY
+    params = sv.init_params(cfg, jax.random.PRNGKey(0))
+    optimizer = train.make_optimizer(lr=1e-3)
+    rng = np.random.default_rng(0)
+
+    def batches():
+        r = np.random.default_rng(42)  # deterministic -> resume replays
+        while True:
+            audio = jnp.asarray((r.standard_normal((2, 4800)) * 2000).astype(np.float32))
+            yield (cfg, optimizer, audio, jnp.asarray([4800, 4800]),
+                   jnp.zeros((2,), jnp.int32),
+                   jnp.asarray(r.integers(1, cfg.vocab_size, (2, 6)), jnp.int32),
+                   jnp.asarray([6, 6]))
+
+    def step_fn(params, opt_state, optimizer, cfg, _opt, *batch):
+        return train.train_step(params, opt_state, cfg, optimizer, *batch)
+
+    ck = str(tmp_path / "ck")
+    logs = []
+    p1, _, losses1 = train.fit(step_fn, params, optimizer, batches(), num_steps=4,
+                               ckpt_dir=ck, ckpt_every=2, log_every=2,
+                               log_fn=logs.append)
+    assert len(losses1) == 4 and any("step 2/4" in l for l in logs)
+    from asr_tpu.parallel.checkpoint import latest_step
+    assert latest_step(ck) == 4
+
+    # resume: same fresh init, fit to 6 -> continues from 4, runs 2 more
+    logs2 = []
+    p2, _, losses2 = train.fit(step_fn, sv.init_params(cfg, jax.random.PRNGKey(0)),
+                               optimizer, batches(), num_steps=6,
+                               ckpt_dir=ck, ckpt_every=10, log_every=0,
+                               log_fn=logs2.append)
+    assert any("resumed from step 4" in l for l in logs2)
+    assert len(losses2) == 2
+    assert latest_step(ck) == 6
