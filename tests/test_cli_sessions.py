@@ -132,3 +132,113 @@ def test_build_session_unknown_family(tmp_path):
                    dataclasses.make_dataclass("C", [])())
     with pytest.raises(SystemExit):
         _build_session(folder)
+
+
+def test_build_session_every_family_constructs(tmp_path):
+    """Dispatch completeness: every family string accepted by
+    _build_session reconstructs a session object from a saved artifact
+    (construction only — transcription is covered per-family elsewhere)."""
+    import jax
+    from asr_tpu.cli import _build_session
+    from asr_tpu.layers import qwen3
+
+    lcfg = qwen3.Qwen3Config(vocab_size=120, hidden=48, num_layers=1, num_heads=4,
+                             num_kv_heads=2, head_dim=16, ffn_dim=64, rope_theta=1e4)
+    llm = qwen3.init_params(lcfg, jax.random.PRNGKey(9))
+    cases = {}
+
+    from asr_tpu.models import sensevoice as sv
+    cfg = sv.SenseVoiceConfig(vocab_size=64, hidden=32, num_heads=4, head_dim=8,
+                              ffn_dim=64, num_encoders0=1, num_encoders=1,
+                              num_tp_encoders=1, fsmn_kernel=5)
+    cases["sensevoice"] = (sv.init_params(cfg, jax.random.PRNGKey(0)), cfg, {})
+
+    from asr_tpu.models import whisper as wh
+    cfg = wh.WhisperConfig(vocab_size=80, n_mels=16, d_model=32, encoder_layers=1,
+                           decoder_layers=1, num_heads=4, ffn_dim=48,
+                           max_source_positions=32, max_target_positions=16,
+                           sot_id=70, eot_id=71, no_speech_id=72, no_timestamps_id=73,
+                           transcribe_id=74, translate_id=75, first_language_id=60,
+                           num_languages=5)
+    cases["whisper"] = (wh.init_params(cfg, jax.random.PRNGKey(1)), cfg, {})
+
+    from asr_tpu.models import paraformer as pf
+    cfg = pf.ParaformerConfig(vocab_size=50, hidden=32, num_heads=4, head_dim=8,
+                              ffn_dim=48, num_encoders0=1, num_encoders=1,
+                              num_decoders=1, num_decoder_ffn=1, fsmn_kernel=5,
+                              predictor_kernel=3)
+    pfp = pf.init_params(cfg, jax.random.PRNGKey(2))
+    cases["paraformer_streaming"] = (pfp, cfg, {})
+
+    from asr_tpu.frontend.nemo_mel import NemoMelConfig
+    from asr_tpu.models import nemotron as nm
+    cfg = nm.NemotronConfig(vocab_size=30, d_model=32, num_layers=1, num_heads=4,
+                            ffn_dim=48, conv_kernel=5, sub_channels=8, pred_hidden=16,
+                            joint_hidden=16, prompt_hidden=16, lstm_layers=1,
+                            num_prompts=4, left_context=6, right_context=3,
+                            mel=NemoMelConfig(n_mels=40))
+    nmp = nm.init_params(cfg, jax.random.PRNGKey(3))
+    cases["nemotron"] = (nmp, cfg, {})
+    cases["nemotron_streaming"] = (nmp, cfg, {})
+
+    from asr_tpu.models import firered as fr
+    cfg = fr.FireRedConfig(vocab_size=60, d_model=32, enc_layers=1, enc_heads=4,
+                           conv_kernel=9, dec_layers=1, dec_heads=4, dec_ffn=48,
+                           max_target_positions=16)
+    cases["firered"] = (fr.init_params(cfg, jax.random.PRNGKey(4)), cfg, {})
+
+    from asr_tpu.models import dolphin as dp
+    cfg = dp.DolphinConfig(vocab_size=60, d_model=32, enc_layers=1, enc_heads=4,
+                           enc_ffn=48, cgmlp_dim=48, csgu_kernel=5, fusion_kernel=3,
+                           dec_layers=1, dec_heads=4, dec_ffn=48, sos_id=50, eos_id=51,
+                           max_target_positions=16)
+    dpp = dp.init_params(cfg, jax.random.PRNGKey(5))
+    cases["dolphin_streaming"] = (dpp, cfg, {})
+
+    from asr_tpu.models import fun_asr_nano as fn
+    cfg = fn.FunAsrNanoConfig(hidden=32, num_heads=4, head_dim=8, ffn_dim=48,
+                              num_encoders0=1, num_encoders=1, num_tp_encoders=1,
+                              fsmn_kernel=5, adaptor_hidden=48, adaptor_blocks=1,
+                              adaptor_heads=4, adaptor_ffn=64, ctc_hidden=32,
+                              ctc_blocks=1, ctc_heads=4, ctc_ffn=48, ctc_vocab=50,
+                              llm=lcfg, eot_id=-1)
+    fnp = fn.init_params(cfg, jax.random.PRNGKey(6))
+    cases["fun_asr_nano"] = (fnp, cfg, {})
+    cases["fun_asr_nano_llm"] = ({"encoder": fnp, "llm": llm}, cfg, {})
+
+    from asr_tpu.models import zipformer as zf
+    cfg = zf.ZipformerConfig(vocab_size=40, downsampling_factor=(1, 2),
+                             num_encoder_layers=(1, 1), encoder_dim=(32, 48),
+                             query_head_dim=(8, 8), pos_head_dim=(4, 4),
+                             value_head_dim=(8, 8), num_heads=(2, 2),
+                             feedforward_dim=(48, 64), cnn_module_kernel=(7, 7),
+                             chunk_size=8, left_context_frames=16,
+                             sub_layer1=4, sub_layer2=8, sub_layer3=16,
+                             decoder_dim=16, joiner_dim=16, context_size=2,
+                             decoder_conv_groups=4)
+    cases["x_asr"] = (zf.init_params(cfg, jax.random.PRNGKey(7)), cfg, {})
+
+    from asr_tpu.models import qwen_asr as qa
+    cfg = qa.QwenAsrConfig(n_mels=16, tower_dim=32, tower_layers=1, tower_heads=4,
+                           tower_ffn=48, downsample_hidden=8, chunks_per_window=2,
+                           output_dim=lcfg.hidden, llm=lcfg, eot_id=-1)
+    qt = qa.init_tower_params(cfg, jax.random.PRNGKey(8))
+    cases["qwen_asr"] = ({"tower": qt, "llm": llm}, cfg, {})
+
+    from asr_tpu.models import forced_aligner as fa
+    acfg = fa.ForcedAlignerConfig(asr=cfg, classify_num=25, segment_ms=80)
+    head = {"w": jax.random.normal(jax.random.PRNGKey(10), (lcfg.hidden, 25)) * 0.1}
+    cases["qwen_aligner"] = (
+        {"tower": qt, "llm": llm, "head": head}, acfg,
+        {"special_token_ids": {"timestamp": 110, "audio_start": 111, "audio_end": 112}},
+    )
+
+    for family, (params, cfg, extra_meta) in cases.items():
+        folder = tmp_path / family
+        folder.mkdir()
+        meta = ModelMetadata(family=family,
+                             extra={"config": dataclasses.asdict(cfg)},
+                             **extra_meta)
+        save_model(folder, params, meta)
+        sess = _build_session(folder)
+        assert sess is not None, family
