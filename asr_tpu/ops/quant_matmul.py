@@ -112,6 +112,78 @@ def _pick_tile_k(k: int, block: int) -> int | None:
     return 8 * block
 
 
+def _kernel_p2(x0_ref, x1_ref, x2_ref, x3_ref, q_ref, scale_ref, zero_ref,
+               o_ref, acc_ref, *, block: int, n_k4_tiles: int, nb_quarter: int):
+    """Packed-int2 grid (M_tiles, N_tiles, K4_tiles): each K4-tile covers
+    matching row ranges of ALL FOUR K-quarters (2-bit planes of one byte)."""
+    kt = pl.program_id(2)
+
+    @pl.when(kt == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    u = q_ref[:].astype(jnp.int32) & 0xFF
+    tk4, tn = u.shape
+    nb = tk4 // block
+
+    def deq(vals, base_row):
+        s = scale_ref[pl.ds(pl.multiple_of(base_row, nb), nb), :]
+        z = zero_ref[pl.ds(pl.multiple_of(base_row, nb), nb), :]
+        vb = vals.reshape(nb, block, tn)
+        return ((vb - z[:, None, :]) * s[:, None, :]).reshape(tk4, tn)
+
+    for j, x_ref in enumerate((x0_ref, x1_ref, x2_ref, x3_ref)):
+        vals = ((u >> (2 * j)) & 0x3).astype(jnp.float32)
+        w = deq(vals, j * nb_quarter + kt * nb)
+        acc_ref[:] += jnp.dot(x_ref[:].astype(jnp.float32), w,
+                              preferred_element_type=jnp.float32)
+
+    @pl.when(kt == n_k4_tiles - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "tile_m", "tile_n", "tile_k4", "interpret"))
+def quant_matmul_pallas_p2(
+    x: jnp.ndarray,
+    packed: jnp.ndarray,
+    scale: jnp.ndarray,
+    zero: jnp.ndarray,
+    block: int,
+    tile_m: int = 256,
+    tile_n: int = 256,
+    tile_k4: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x (M, K) @ dequant(packed (K/4, N) int2-quarters) -> (M, N)."""
+    m, k = x.shape
+    k4, n = packed.shape
+    assert k == 4 * k4
+    n_k4_tiles = k4 // tile_k4
+    nb_quarter = k4 // block
+    grid = (m // tile_m, n // tile_n, n_k4_tiles)
+    kernel = functools.partial(_kernel_p2, block=block,
+                               n_k4_tiles=n_k4_tiles, nb_quarter=nb_quarter)
+    kb = k4 // tile_k4
+    x_spec = lambda j: pl.BlockSpec(
+        (tile_m, tile_k4), lambda i, jn, kt, j=j, kb=kb: (i, kt + j * kb),
+        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            x_spec(0), x_spec(1), x_spec(2), x_spec(3),
+            pl.BlockSpec((tile_k4, tile_n), lambda i, j, kt: (kt, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k // block, tile_n), lambda i, j, kt: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k // block, tile_n), lambda i, j, kt: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, tile_n), lambda i, j, kt: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((tile_m, tile_n), jnp.float32)],
+        interpret=interpret,
+    )(x, x, x, x, packed, scale, zero)
+
+
 def quant_dense(x: jnp.ndarray, qleaf: dict) -> jnp.ndarray:
     """Batched dense through a quantized weight; dispatches Pallas/XLA."""
     q, scale, zero, block = qleaf["q"], qleaf["scale"], qleaf["zero"], qleaf["block"]
@@ -125,7 +197,6 @@ def quant_dense(x: jnp.ndarray, qleaf: dict) -> jnp.ndarray:
     tile_n = 256 if n % 256 == 0 else (n if n % 128 == 0 else None)
     if jax.default_backend() == "tpu" and tile_m and tile_n:
         if packed:
-            # Packed 2-bit always falls through to the XLA dequant path.
             if int(qleaf["bits"]) == 4:
                 k2 = k // 2
                 tile_k2 = _pick_tile_k(k2, block)
@@ -134,6 +205,15 @@ def quant_dense(x: jnp.ndarray, qleaf: dict) -> jnp.ndarray:
                     out = quant_matmul_pallas_p4(
                         x2, q, scale.astype(jnp.float32), zero.astype(jnp.float32), block,
                         tile_m=tile_m, tile_n=tile_n, tile_k2=tile_k2,
+                    )
+                    return out.reshape(orig_shape[:-1] + (n,))
+            elif int(qleaf["bits"]) == 2:
+                k4 = k // 4
+                tile_k4 = _pick_tile_k(k4, block)
+                if tile_k4 and (k4 // block) % 8 == 0:
+                    out = quant_matmul_pallas_p2(
+                        x2, q, scale.astype(jnp.float32), zero.astype(jnp.float32), block,
+                        tile_m=tile_m, tile_n=tile_n, tile_k4=tile_k4,
                     )
                     return out.reshape(orig_shape[:-1] + (n,))
         else:

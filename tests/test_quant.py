@@ -212,3 +212,21 @@ def test_kquant_objective_beats_rtn_with_outliers():
     e_rtn = weighted_err(quantize_linear(w, bits=4, block=block, objective="rtn"))
     e_kq = weighted_err(quantize_linear(w, bits=4, block=block, objective="kquant"))
     assert e_kq <= e_rtn * 1.001, (e_kq, e_rtn)
+
+
+def test_pallas_p2_kernel_interpret_matches_xla():
+    from asr_tpu.ops.quant_matmul import quant_matmul_pallas_p2
+    from asr_tpu.quant.quantize import dequantize_weight, quantize_linear
+
+    rng = np.random.default_rng(13)
+    k, n, block = 8192, 256, 256  # k4 = 2048, k4/block = 8 rows (aligned)
+    w = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32))
+    qleaf = quantize_linear(w, bits=2, block=block, pack=True)
+    assert qleaf.packed and qleaf.q.shape == (k // 4, n)
+    x = jnp.asarray(rng.standard_normal((128, k)).astype(np.float32))
+    ref = x @ dequantize_weight(qleaf)
+    out = quant_matmul_pallas_p2(
+        x, qleaf["q"], qleaf["scale"], qleaf["zero"], block,
+        tile_m=128, tile_n=128, tile_k4=2048, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
