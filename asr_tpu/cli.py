@@ -201,6 +201,8 @@ def _build_tokenizer(folder: Path, meta):
         return tok.HFTokenizerDecoder(path)
     if kind == "json":
         return tok.JsonVocabDecoder(path)
+    if kind == "firered_dict":
+        return tok.FireRedDictDecoder(path)
     return None
 
 

@@ -40,6 +40,32 @@ class DecodeConfig:
     top_p: float = 1.0
 
 
+def select_token(
+    logits: jnp.ndarray,
+    history_buf: jnp.ndarray,
+    history_len: jnp.ndarray,
+    cfg: DecodeConfig,
+    key: jax.Array,
+) -> tuple[jnp.ndarray, jax.Array]:
+    """Pick the next token from already-suppressed logits ``(B, V)`` using the
+    configured strategy. Shared by the in-loop steps AND the prefill first
+    token so both are decoded consistently (the reference routes prefill
+    logits through the same strategy graph,
+    ``Whisper/Inference_Whisper_ONNX.py:584-612``).
+
+    ``history_buf (B, T)`` / ``history_len`` feed the repetition penalty.
+    Returns ``(token (B,), next key)``.
+    """
+    if cfg.strategy in ("penalty", "sampling") and cfg.penalty != 1.0:
+        logits = apply_repetition_penalty(
+            logits, history_buf, history_len, cfg.penalty, cfg.penalty_range
+        )
+    if cfg.strategy == "sampling":
+        key, sub = jax.random.split(key)
+        return top_k_top_p_sample(logits, sub, cfg.temperature, cfg.top_k, cfg.top_p), key
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32), key
+
+
 def ar_decode(
     step: Callable[[Any, jnp.ndarray, jnp.ndarray], tuple[jnp.ndarray, Any]],
     state: Any,
@@ -88,15 +114,7 @@ def ar_decode(
         cur = jax.lax.dynamic_slice(buf, (0, pos), (b, 1)).astype(jnp.int32)
         logits, state = step(state, cur, pos)
         logits = suppress_tokens(logits.astype(jnp.float32), cfg.suppress_ids)
-        if cfg.strategy in ("penalty", "sampling") and cfg.penalty != 1.0:
-            logits = apply_repetition_penalty(
-                logits, buf, pos + 1, cfg.penalty, cfg.penalty_range
-            )
-        if cfg.strategy == "sampling":
-            key, sub = jax.random.split(key)
-            nxt = top_k_top_p_sample(logits, sub, cfg.temperature, cfg.top_k, cfg.top_p)
-        else:
-            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt, key = select_token(logits, buf, pos + 1, cfg, key)
         nxt = jnp.where(finished, cfg.eot_id, nxt)
         buf = jax.lax.dynamic_update_slice(buf, nxt[:, None].astype(buf.dtype), (0, pos + 1))
         counts = counts + jnp.where(finished, 0, 1).astype(jnp.int32)

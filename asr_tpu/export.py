@@ -224,6 +224,41 @@ def build_xasr_artifact(
     return out_dir
 
 
+def build_firered_artifact(
+    checkpoint_dir: str | Path, out_dir: str | Path, cfg=None
+) -> Path:
+    """FireRedASR-AED folder (model.pth.tar + cmvn.ark + dict.txt
+    [+ train_bpe1000.model]) -> artifact (reference
+    ``FireRedASR/Export_FireRedASR_AED.py:1231-1249`` load path)."""
+    from asr_tpu.loaders import firered as fr_loader
+
+    checkpoint_dir = Path(checkpoint_dir)
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    sd, _args = fr_loader.load_checkpoint(checkpoint_dir / "model.pth.tar")
+    cfg = cfg or fr_loader.config_from_state_dict(sd)
+    cmvn_means = cmvn_istd = None
+    cmvn_path = checkpoint_dir / "cmvn.ark"
+    if cmvn_path.exists():
+        cmvn_means, cmvn_istd = fr_loader.parse_kaldi_cmvn_stats(cmvn_path)
+    params = fr_loader.firered_params_from_state_dict(sd, cfg, cmvn_means, cmvn_istd)
+
+    tok_file = _copy_asset(checkpoint_dir, "dict.txt", out_dir)
+    _copy_asset(checkpoint_dir, "train_bpe1000.model", out_dir)  # encode-side spm
+    meta = ModelMetadata(
+        family="firered",
+        sample_rate=cfg.sample_rate,
+        audio_pcm_scale=32768.0,
+        special_token_ids={"sos": cfg.sos_id, "eos": cfg.eos_id},
+        max_seq_len=cfg.max_target_positions,
+        tokenizer={"kind": "firered_dict", "file": tok_file or ""},
+        extra={"config": dataclasses.asdict(cfg) | {"fbank": None}},
+    )
+    meta.extra["config"].pop("fbank", None)
+    save_model(out_dir, params, meta)
+    return out_dir
+
+
 def build_parakeet_artifact(checkpoint_dir: str | Path, out_dir: str | Path, cfg=None) -> Path:
     """HF parakeet-tdt safetensors snapshot -> artifact."""
     from safetensors.numpy import load_file

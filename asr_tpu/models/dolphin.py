@@ -20,7 +20,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from asr_tpu.decode.ar import DecodeConfig, ar_decode
+from asr_tpu.decode.ar import DecodeConfig, ar_decode, select_token
+from asr_tpu.decode.strategies import suppress_tokens
 from asr_tpu.decode.ctc import ctc_greedy_collapse
 from asr_tpu.frontend.espnet_mel import EspnetMelConfig, log_mel
 from asr_tpu.layers.attention import NEG_INF, length_mask
@@ -224,10 +225,13 @@ def transcribe(
 
     state = make_state(params, cfg, enc)
     logits, state = _decoder_pass(params, cfg, state, prompt, jnp.asarray(0, jnp.int32), cross_bias)
-    first = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+    logits0 = suppress_tokens(logits[:, -1].astype(jnp.float32), decode_cfg.suppress_ids)
     t_total = p_len + decode_cfg.max_new_tokens + 1
     buf = jnp.zeros((b, t_total), jnp.int32)
     buf = jax.lax.dynamic_update_slice(buf, prompt.astype(jnp.int32), (0, 0))
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    first, rng = select_token(logits0, buf, jnp.asarray(p_len, jnp.int32), decode_cfg, rng)
 
     def step(state, token, pos):
         lg, state = _decoder_pass(params, cfg, state, token, pos, cross_bias)

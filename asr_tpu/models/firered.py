@@ -23,7 +23,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from asr_tpu.decode.ar import DecodeConfig, ar_decode
+from asr_tpu.decode.ar import DecodeConfig, ar_decode, select_token
+from asr_tpu.decode.strategies import suppress_tokens
 from asr_tpu.frontend.kaldi_fbank import KaldiFbankConfig, log_mel_fbank
 from asr_tpu.layers.attention import NEG_INF, length_mask
 from asr_tpu.layers.conformer import rel_shift, relative_position_embedding
@@ -231,7 +232,10 @@ def _decoder_pass(params, cfg, state, tokens, pos, cross_bias):
         )
         new_layers.append({**lstate, "self_k": nk, "self_v": nv})
     x = layer_norm(x, dec["ln"]["scale"], dec["ln"]["bias"])
-    logits = jnp.dot(x, dec["embed"].T)
+    # Tied embedding by default; checkpoints with an untied tgt_word_prj
+    # carry it as dec["out"] (loaders/firered.py keeps the tie one-sourced
+    # when the tensors are byte-identical).
+    logits = jnp.dot(x, (dec["out"] if "out" in dec else dec["embed"]).T)
     return logits, {"layers": tuple(new_layers)}
 
 
@@ -253,9 +257,12 @@ def transcribe(
     b = audio.shape[0]
     prompt = jnp.full((b, 1), cfg.sos_id, jnp.int32)
     logits, state = _decoder_pass(params, cfg, state, prompt, jnp.asarray(0, jnp.int32), cross_bias)
-    first = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+    logits0 = suppress_tokens(logits[:, -1].astype(jnp.float32), decode_cfg.suppress_ids)
     t_total = 1 + decode_cfg.max_new_tokens + 1
     buf = jnp.zeros((b, t_total), jnp.int32).at[:, 0].set(cfg.sos_id)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    first, rng = select_token(logits0, buf, jnp.asarray(1, jnp.int32), decode_cfg, rng)
 
     def step(state, token, pos):
         lg, state = _decoder_pass(params, cfg, state, token, pos, cross_bias)

@@ -24,7 +24,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from asr_tpu.decode.ar import DecodeConfig, ar_decode
+from asr_tpu.decode.ar import DecodeConfig, ar_decode, select_token
+from asr_tpu.decode.strategies import suppress_tokens
 from asr_tpu.frontend.whisper_mel import WhisperMelConfig, log_mel_spectrogram
 from asr_tpu.layers import qwen3
 from asr_tpu.layers.norms import layer_norm
@@ -206,10 +207,13 @@ def transcribe_embeds(
     # Logits at the last VALID position (per-sample dynamic).
     last = jnp.take_along_axis(hidden, (valid_len - 1)[:, None, None], axis=1)[:, 0]
     logits0 = qwen3.logits_from_hidden(llm_params, lcfg, last)
-    first = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+    logits0 = suppress_tokens(logits0.astype(jnp.float32), decode_cfg.suppress_ids)
 
     buf = jnp.zeros((b, t_max), jnp.int32)
     prompt_len = valid_len[0]
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    first, rng = select_token(logits0, buf, prompt_len, decode_cfg, rng)
 
     def step(state, token, pos):
         emb = llm_params["embed"][token].astype(embeds.dtype)

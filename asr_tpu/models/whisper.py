@@ -21,7 +21,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from asr_tpu.decode.ar import DecodeConfig, ar_decode
+from asr_tpu.decode.ar import DecodeConfig, ar_decode, select_token
 from asr_tpu.decode.strategies import suppress_tokens
 from asr_tpu.frontend.whisper_mel import WhisperMelConfig, log_mel_spectrogram
 from asr_tpu.layers.norms import layer_norm
@@ -239,11 +239,13 @@ def transcribe_window(
     logits0, state = prefill(params, cfg, state, prompt)
     logits0 = suppress_tokens(logits0.astype(jnp.float32), decode_cfg.suppress_ids)
     logits0 = suppress_tokens(logits0, begin_suppress_ids)
-    first = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
 
     t_total = p_len + decode_cfg.max_new_tokens + 1
     buf = jnp.zeros((b, t_total), jnp.int32)
     buf = jax.lax.dynamic_update_slice(buf, prompt.astype(jnp.int32), (0, 0))
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    first, rng = select_token(logits0, buf, jnp.asarray(p_len, jnp.int32), decode_cfg, rng)
 
     def step_fn(state, token, pos):
         return step(params, cfg, state, token, pos)

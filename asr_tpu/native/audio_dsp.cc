@@ -139,6 +139,9 @@ WavData read_wav_mono(const char* path) {
     const unsigned long size = chdr[4] | (chdr[5] << 8) | (chdr[6] << 16) |
                                (static_cast<unsigned long>(chdr[7]) << 24);
     if (std::memcmp(chdr, "fmt ", 4) == 0) {
+      // Untrusted header: a PCM fmt chunk is >= 16 bytes; anything smaller
+      // would make the b[14]/b[15] reads below out-of-bounds.
+      if (size < 16) break;
       std::vector<unsigned char> b(size);
       if (std::fread(b.data(), 1, size, f) != size) break;
       fmt = b[0] | (b[1] << 8);
@@ -146,8 +149,16 @@ WavData read_wav_mono(const char* path) {
       rate = b[4] | (b[5] << 8) | (b[6] << 16) | (b[7] << 24);
       bits = b[14] | (b[15] << 8);
     } else if (std::memcmp(chdr, "data", 4) == 0) {
-      data.resize(size);
-      if (std::fread(data.data(), 1, size, f) != size) data.clear();
+      // Bound the declared size by the bytes actually remaining in the file
+      // before allocating (a hostile 32-bit size field can claim 4 GiB).
+      const long pos = std::ftell(f);
+      if (pos < 0 || std::fseek(f, 0, SEEK_END) != 0) break;
+      const long end = std::ftell(f);
+      if (end < pos || std::fseek(f, pos, SEEK_SET) != 0) break;
+      const unsigned long avail = static_cast<unsigned long>(end - pos);
+      const unsigned long want = size < avail ? size : avail;
+      data.resize(want);
+      if (std::fread(data.data(), 1, want, f) != want) data.clear();
       break;
     } else {
       std::fseek(f, static_cast<long>(size + (size & 1)), SEEK_CUR);

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from concurrent.futures import Future
 from typing import Callable
 
@@ -74,9 +75,16 @@ class MicroBatcher:
         if first is None:
             return None
         batch = [first]
+        # Absolute deadline from the FIRST queued request: a slow trickle of
+        # arrivals must not keep re-arming the wait (worst case would become
+        # max_batch * max_wait instead of the documented "at most max_wait").
+        deadline = time.monotonic() + self.max_wait
         while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
             try:
-                item = self._q.get(timeout=self.max_wait)
+                item = self._q.get(timeout=remaining)
             except queue.Empty:
                 break
             if item is None:

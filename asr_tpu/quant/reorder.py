@@ -11,7 +11,13 @@ an FFN is contraction-internal, so sorting it changes nothing numerically
 Recognized FFN shapes (all with elementwise activations between, so the
 hidden axis is freely permutable):
 
-- ``{"w1","b1","w2","b2"}`` — SANM/Paraformer ffn dicts
+- ``{"w1","b1","w2","b2"}`` — SANM/Paraformer ffn dicts (raw arrays)
+- ``{"w1": {"w","b"}, "w2": {...}}`` — nested-linear ffn dicts (Conformer /
+  FastConformer / FireRed / Fun-ASR-Nano encoder). A sibling ``"norm"`` over
+  the hidden axis (Paraformer decoder FFN, w2(LN(relu(w1 x)))) has its
+  scale/bias permuted too — LayerNorm's mean/var reduce over all channels so
+  the permutation stays exact; an input-side norm (FireRed, hidden=4d) is
+  left alone. The ambiguous case hidden == in_dim is skipped entirely.
 - ``{"fc1": {...}, "fc2": {...}}`` — transformer mlp dicts
 - ``{"gate","up","down"}`` — gated-SiLU (Qwen3) mlp dicts
 """
@@ -51,6 +57,27 @@ def _apply(node: dict, stat_kind: str) -> bool:
         node["w2"] = jnp.asarray(node["w2"])[p, :]
         if "b1" in node:
             node["b1"] = jnp.asarray(node["b1"])[p]
+        return True
+    def _lin(v):
+        return isinstance(v, dict) and "w" in v and getattr(v["w"], "ndim", 0) == 2
+
+    if {"w1", "w2"} <= node.keys() and _lin(node["w1"]) and _lin(node["w2"]) \
+            and node["w1"]["w"].shape[1] == node["w2"]["w"].shape[0]:
+        in_dim, hidden = node["w1"]["w"].shape
+        norm = node.get("norm")
+        norm_scale = norm.get("scale") if isinstance(norm, dict) else None
+        norm_on_hidden = norm_scale is not None and norm_scale.shape == (hidden,)
+        if norm_on_hidden and hidden == in_dim:
+            return False  # cannot tell hidden-norm from input-norm — skip
+        p = _perm(channel_stat(node["w1"]["w"], stat_kind))
+        node["w1"]["w"] = jnp.asarray(node["w1"]["w"])[:, p]
+        if "b" in node["w1"]:
+            node["w1"]["b"] = jnp.asarray(node["w1"]["b"])[p]
+        node["w2"]["w"] = jnp.asarray(node["w2"]["w"])[p, :]
+        if norm_on_hidden:
+            norm["scale"] = jnp.asarray(norm["scale"])[p]
+            if "bias" in norm:
+                norm["bias"] = jnp.asarray(norm["bias"])[p]
         return True
     if {"fc1", "fc2"} <= node.keys() and isinstance(node["fc1"], dict) \
             and "w" in node["fc1"] and getattr(node["fc1"]["w"], "ndim", 0) == 2 \

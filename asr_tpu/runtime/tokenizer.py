@@ -146,6 +146,47 @@ class VocabTxtDecoder:
         return "".join(toks)
 
 
+class FireRedDictDecoder:
+    """FireRedASR ``dict.txt`` decoder (Chinese chars + English SPM pieces).
+
+    Mirrors the reference's standalone ``TokenDict`` +
+    ``ChineseCharEnglishSpmTokenizer.detokenize``
+    (``FireRedASR/Inference_FireRedASR_AED_ONNX.py:139-216``): dict lines
+    are ``word id`` (or bare ``word`` = line number; empty line = literal
+    space; ``<space>`` = space), decoding joins the words and converts the
+    SPM space marker. The SPM model itself is only needed for *encoding*
+    (hotword prompts), not for decode.
+    """
+
+    SPM_SPACE = "▁"
+    _DROP = ("<unk>", "<sos>", "<eos>", "<pad>", "<blank>")
+
+    def __init__(self, dict_path: str | Path):
+        self.id_to_word: dict[int, str] = {}
+        for line_number, line in enumerate(
+            Path(dict_path).read_text(encoding="utf-8").splitlines()
+        ):
+            pieces = line.strip().split()
+            if len(pieces) >= 2:
+                word, index = pieces[0], int(pieces[1])
+            elif len(pieces) == 1:
+                word, index = pieces[0], line_number
+            else:
+                word, index = " ", line_number
+            self.id_to_word[index] = " " if word == "<space>" else word
+
+    def __len__(self) -> int:
+        return len(self.id_to_word)
+
+    def decode(self, ids: Sequence[int]) -> str:
+        words = [
+            self.id_to_word[i]
+            for i in ids
+            if i in self.id_to_word and self.id_to_word[i] not in self._DROP
+        ]
+        return "".join(words).replace(self.SPM_SPACE, " ").strip()
+
+
 class HFTokenizerDecoder:
     """Wrapper over a tokenizers.json file (Whisper/Parakeet/Qwen)."""
 

@@ -88,9 +88,16 @@ class WhisperSession:
     def _prompt(self, batch: int, language: str | None = None) -> np.ndarray:
         cfg, s = self.cfg, self.scfg
         language = language if language is not None else s.language
-        lang = -1 if language is None else self.language_id_map.get(
-            language, cfg.first_language_id
-        )
+        if language is None:
+            lang = -1  # auto-detect per window
+        elif language in self.language_id_map:
+            lang = self.language_id_map[language]
+        else:
+            raise KeyError(
+                f"language {language!r} not in this artifact's language_id_map "
+                f"({sorted(self.language_id_map) or 'empty — artifact has no lang_to_id'}); "
+                "omit --language for auto-detection"
+            )
         task = cfg.transcribe_id if s.task == "transcribe" else cfg.translate_id
         row = [cfg.sot_id, lang, task, cfg.no_timestamps_id]
         return np.tile(np.asarray(row, np.int32), (batch, 1))

@@ -31,7 +31,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from asr_tpu.decode.ar import DecodeConfig, ar_decode
+from asr_tpu.decode.ar import DecodeConfig, ar_decode, select_token
+from asr_tpu.decode.strategies import suppress_tokens
 from asr_tpu.frontend.kaldi_fbank import KaldiFbankConfig, log_mel_fbank
 from asr_tpu.layers.attention import NEG_INF
 from asr_tpu.layers.norms import layer_norm
@@ -241,10 +242,13 @@ def rescore_decode(
 
     p_len = prompt.shape[1]
     logits, dstate = dec_pass(dstate, prompt, jnp.asarray(0, jnp.int32))
-    first = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+    logits0 = suppress_tokens(logits[:, -1].astype(jnp.float32), decode_cfg.suppress_ids)
     t_total = p_len + decode_cfg.max_new_tokens + 1
     buf = jnp.zeros((1, t_total), jnp.int32)
     buf = jax.lax.dynamic_update_slice(buf, prompt.astype(jnp.int32), (0, 0))
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    first, rng = select_token(logits0, buf, jnp.asarray(p_len, jnp.int32), decode_cfg, rng)
 
     def step(dstate, token, pos):
         lg, dstate = dec_pass(dstate, token, pos)

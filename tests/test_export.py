@@ -94,3 +94,35 @@ def test_build_paraformer_artifact_end_to_end(tmp_path):
 
     out2 = ex.build_paraformer_artifact(src, tmp_path / "stream", cfg=PF_CFG, streaming=True)
     assert ModelMetadata.load(out2).family == "paraformer_streaming"
+
+
+def test_build_firered_artifact_end_to_end(tmp_path):
+    import jax.numpy as jnp
+
+    from asr_tpu.cli import _build_session
+    from tests.test_firered import TINY, _firered_sd
+
+    rng = np.random.default_rng(3)
+    sd = _firered_sd(TINY, rng)
+    src = tmp_path / "ckpt"
+    src.mkdir()
+    torch.save({"args": {"n_layers_enc": TINY.enc_layers}, "model_state_dict": sd},
+               src / "model.pth.tar")
+    dim = TINY.n_mels
+    x = rng.standard_normal((50, dim)) + 2.0
+    row1 = " ".join(f"{v:.6f}" for v in x.sum(0)) + " 50"
+    row2 = " ".join(f"{v:.6f}" for v in (x * x).sum(0)) + " 0"
+    (src / "cmvn.ark").write_text(f" [ {row1}\n{row2} ]\n")
+    (src / "dict.txt").write_text(
+        "\n".join(f"tok{i} {i}" for i in range(TINY.vocab_size)) + "\n")
+
+    out = ex.build_firered_artifact(src, tmp_path / "artifact",
+                                    cfg=TINY.__class__(**{**TINY.__dict__}))
+    meta = ModelMetadata.load(out)
+    assert meta.family == "firered"
+    assert meta.tokenizer["kind"] == "firered_dict"
+    sess = _build_session(out)
+    audio = (rng.standard_normal(4800) * 0.05).astype(np.float32)  # [-1,1] pcm
+    res = sess.transcribe(audio)
+    assert isinstance(res.text, str)
+    assert res.audio_seconds > 0
