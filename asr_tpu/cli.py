@@ -203,6 +203,8 @@ def _build_tokenizer(folder: Path, meta):
         return tok.JsonVocabDecoder(path)
     if kind == "firered_dict":
         return tok.FireRedDictDecoder(path)
+    if kind == "tiktoken":
+        return tok.TiktokenVocabDecoder(path)
     return None
 
 
@@ -295,6 +297,51 @@ def cmd_optimize(args) -> int:
     return 0
 
 
+def cmd_build(args) -> int:
+    """Checkpoint dir/file -> artifact folder (the reference's Export_*.py
+    entry points as one subcommand)."""
+    from asr_tpu import export as ex
+
+    family = args.family
+    src, out = args.checkpoint, args.out
+    if family == "sensevoice":
+        ex.build_sensevoice_artifact(src, out)
+    elif family == "whisper":
+        ex.build_whisper_artifact(src, out)
+    elif family in ("paraformer", "paraformer_streaming"):
+        ex.build_paraformer_artifact(
+            src, out, decode_mode=args.decode_mode,
+            streaming=family.endswith("streaming") or args.streaming,
+        )
+    elif family in ("dolphin", "dolphin_streaming"):
+        ex.build_dolphin_artifact(
+            src, out, vocab_path=args.vocab,
+            streaming=family.endswith("streaming") or args.streaming,
+        )
+    elif family in ("nemotron", "nemotron_streaming"):
+        ex.build_nemotron_artifact(
+            src, out, streaming=family.endswith("streaming") or args.streaming,
+        )
+    elif family in ("x_asr", "zipformer"):
+        ex.build_xasr_artifact(src, out, bpe_model=args.vocab)
+    elif family == "parakeet":
+        ex.build_parakeet_artifact(src, out)
+    elif family == "firered":
+        ex.build_firered_artifact(src, out)
+    elif family == "qwen_asr":
+        ex.build_qwen_asr_artifact(src, out)
+    elif family == "qwen_aligner":
+        ex.build_qwen_aligner_artifact(src, out)
+    elif family in ("fun_asr_nano", "fun_asr_nano_llm"):
+        ex.build_fun_asr_nano_artifact(
+            src, out, head="llm" if family.endswith("llm") else "ctc"
+        )
+    else:
+        raise SystemExit(f"no builder wired for family {family!r}")
+    print(f"built {family} artifact -> {out}")
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="asr_tpu")
     parser.add_argument("--platform", default=None,
@@ -346,6 +393,20 @@ def main(argv=None) -> int:
     p.add_argument("--plan", required=True,
                    help="JSON with {plans: {name: {...}}, assign: [[glob, name], ...]}")
     p.set_defaults(fn=cmd_optimize)
+
+    p = sub.add_parser("build", help="build an artifact folder from a source checkpoint")
+    p.add_argument("--family", required=True,
+                   choices=("sensevoice", "whisper", "paraformer", "paraformer_streaming",
+                            "dolphin", "dolphin_streaming", "x_asr", "zipformer", "parakeet",
+                            "firered", "qwen_asr", "qwen_aligner", "fun_asr_nano",
+                            "fun_asr_nano_llm", "nemotron", "nemotron_streaming"))
+    p.add_argument("--checkpoint", required=True, help="source checkpoint dir or file")
+    p.add_argument("--out", required=True)
+    p.add_argument("--streaming", action="store_true")
+    p.add_argument("--decode-mode", default="zh", choices=("zh", "en"))
+    p.add_argument("--vocab", default=None, help="tokenizer/vocab path for families "
+                   "whose checkpoint file does not bundle one (dolphin, x_asr)")
+    p.set_defaults(fn=cmd_build)
 
     args = parser.parse_args(argv)
     import os

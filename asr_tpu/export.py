@@ -155,10 +155,13 @@ def build_paraformer_artifact(
 
 def build_dolphin_artifact(
     checkpoint_path: str | Path, out_dir: str | Path, cfg=None,
-    vocab_path: str | Path | None = None,
+    vocab_path: str | Path | None = None, streaming: bool = False,
 ) -> Path:
     """espnet Dolphin checkpoint (.pt state dict) -> artifact (reference
-    ``Dolphin/v1/Export_Dolphin.py`` / CN-Dialect variants)."""
+    ``Dolphin/v1/Export_Dolphin.py`` / CN-Dialect variants;
+    ``streaming=True`` stamps the CN-Dialect-Streaming family — same espnet
+    module tree, causal-CSGU/chunk-trained weights, reference
+    ``Export_Dolphin_CN_Dialect_Streaming.py:254-305``)."""
     import torch
 
     from asr_tpu.loaders.dolphin_espnet import params_from_state_dict
@@ -166,7 +169,11 @@ def build_dolphin_artifact(
 
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    cfg = cfg or DolphinConfig()
+    if streaming and cfg is not None and hasattr(cfg, "base"):
+        stream_cfg, cfg = cfg, cfg.base
+    else:
+        stream_cfg = None
+        cfg = cfg or DolphinConfig()
     ckpt = torch.load(checkpoint_path, map_location="cpu", weights_only=False)
     sd = ckpt.get("model", ckpt.get("state_dict", ckpt))
     params = params_from_state_dict(sd, cfg)
@@ -174,13 +181,71 @@ def build_dolphin_artifact(
     tok_file = None
     if vocab_path is not None:
         tok_file = _copy_asset(Path(vocab_path).parent, Path(vocab_path).name, out_dir)
+    if streaming:
+        from asr_tpu.streaming.dolphin_stream import DolphinStreamConfig
+
+        stream_cfg = stream_cfg or DolphinStreamConfig(base=cfg)
+        cfg_dict = dataclasses.asdict(stream_cfg)
+        cfg_dict.pop("fbank", None)
+    else:
+        cfg_dict = dataclasses.asdict(cfg)
     meta = ModelMetadata(
-        family="dolphin",
+        family="dolphin_streaming" if streaming else "dolphin",
         sample_rate=cfg.sample_rate,
         audio_pcm_scale=32768.0,
         special_token_ids={"sos": cfg.sos_id, "eos": cfg.eos_id},
         tokenizer={"kind": "vocab_txt", "file": tok_file or ""},
-        extra={"config": dataclasses.asdict(cfg)},
+        extra={"config": cfg_dict},
+    )
+    save_model(out_dir, params, meta)
+    return out_dir
+
+
+def build_nemotron_artifact(
+    nemo_path: str | Path, out_dir: str | Path, streaming: bool = False,
+    chunk_ms: float = 560.0, cfg=None,
+) -> Path:
+    """Nemotron ``.nemo`` archive -> artifact, offline or cache-aware
+    streaming (reference ``Nemotron/Export_Nemotron_ASR.py``: same weights,
+    att-context pair selected by mode, ``:96-152``)."""
+    from asr_tpu.loaders import nemotron_nemo as nn_loader
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    sd, cfg_yaml, assets = nn_loader.read_nemo_archive(nemo_path, out_dir)
+    cfg = cfg or nn_loader.config_from_model_config(
+        cfg_yaml, chunk_ms=chunk_ms if streaming else 0
+    )
+    params = nn_loader.nemotron_params_from_state_dict(sd, cfg)
+
+    tok_file = None
+    tok_path = assets.get("tokenizer_model")
+    if tok_path is not None and Path(tok_path).exists():
+        tok_file = Path(tok_path).name
+    # Language catalog from the prompt dictionary (reference :895-917).
+    prompt_dict = cfg_yaml.get("model_defaults", {}).get("prompt_dictionary", {}) or {}
+    grouped: dict[int, list[str]] = {}
+    for spelling, pid in prompt_dict.items():
+        grouped.setdefault(int(pid), []).append(spelling)
+    languages = []
+    for pid, spellings in sorted(grouped.items()):
+        canonical = next((s for s in spellings if s == "auto"),
+                         next((s for s in spellings if "-" in s), spellings[0]))
+        aliases = tuple(sorted(s for s in spellings if s != canonical))
+        languages.append(LanguageProfile(canonical, canonical, aliases, pid))
+    # Temporary extraction artifacts stay (ckpt/yaml are the provenance), but
+    # the heavyweight ckpt is redundant next to the saved pytree — drop it.
+    ckpt_path = assets.get("ckpt")
+    if ckpt_path is not None and Path(ckpt_path).exists():
+        Path(ckpt_path).unlink()
+    meta = ModelMetadata(
+        family="nemotron_streaming" if streaming else "nemotron",
+        sample_rate=cfg.sample_rate,
+        audio_pcm_scale=32768.0,
+        special_token_ids={"blank": cfg.blank_id},
+        supported_languages=languages,
+        tokenizer={"kind": "sentencepiece", "file": tok_file or ""},
+        extra={"config": dataclasses.asdict(cfg) | {"mel": dataclasses.asdict(cfg.mel)}},
     )
     save_model(out_dir, params, meta)
     return out_dir
@@ -221,6 +286,220 @@ def build_xasr_artifact(
         extra={"config": dataclasses.asdict(cfg)},
     )
     save_model(out_dir, params, meta)
+    return out_dir
+
+
+# Language name -> (code, aliases) catalog shared by the Qwen exporters
+# (factual table, reference ``Qwen_ASR/Export_Qwen_ASR.py:1460-1507`` /
+# ``Qwen_ForcedAligner/Export_Qwen_ForcedAligner.py:1158-1171``).
+QWEN_LANGUAGE_CODES: dict[str, tuple[str, tuple[str, ...]]] = {
+    "Chinese": ("zh", ("chinese", "mandarin", "cn", "中文")),
+    "Cantonese": ("yue", ("cantonese", "粤语", "廣東話", "广东话")),
+    "English": ("en", ("english", "eng")),
+    "German": ("de", ("german",)),
+    "Spanish": ("es", ("spanish",)),
+    "French": ("fr", ("french",)),
+    "Italian": ("it", ("italian",)),
+    "Portuguese": ("pt", ("portuguese",)),
+    "Russian": ("ru", ("russian",)),
+    "Korean": ("ko", ("korean", "한국어")),
+    "Japanese": ("ja", ("japanese", "日本語")),
+    "Arabic": ("ar", ("arabic",)),
+    "Dutch": ("nl", ("dutch",)),
+    "Indonesian": ("id", ("indonesian",)),
+    "Turkish": ("tr", ("turkish",)),
+    "Vietnamese": ("vi", ("vietnamese",)),
+    "Thai": ("th", ("thai",)),
+    "Polish": ("pl", ("polish",)),
+    "Czech": ("cs", ("czech",)),
+    "Ukrainian": ("uk", ("ukrainian",)),
+    "Romanian": ("ro", ("romanian",)),
+    "Swedish": ("sv", ("swedish",)),
+    "Danish": ("da", ("danish",)),
+    "Finnish": ("fi", ("finnish",)),
+    "Norwegian": ("no", ("norwegian",)),
+    "Greek": ("el", ("greek",)),
+    "Hebrew": ("he", ("hebrew",)),
+    "Hindi": ("hi", ("hindi",)),
+    "Hungarian": ("hu", ("hungarian",)),
+    "Macedonian": ("mk", ("macedonian",)),
+}
+
+
+def _hf_tokenizer(checkpoint_dir: Path):
+    tok_path = checkpoint_dir / "tokenizer.json"
+    if not tok_path.exists():
+        return None
+    from asr_tpu.runtime.tokenizer import HFTokenizerDecoder
+
+    return HFTokenizerDecoder(tok_path)
+
+
+def build_qwen_asr_artifact(checkpoint_dir: str | Path, out_dir: str | Path) -> Path:
+    """HF Qwen3-ASR snapshot (config.json + *.safetensors + tokenizer.json)
+    -> artifact. Prompt layout ids (head / query-suffix / tail incl. the
+    trained ``language `` assistant prefix) follow reference
+    ``Qwen_ASR/Export_Qwen_ASR.py:1549-1599``."""
+    import json
+
+    from asr_tpu.loaders.qwen_asr_hf import load_qwen_asr_dir
+
+    checkpoint_dir = Path(checkpoint_dir)
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    tower, llm, cfg = load_qwen_asr_dir(checkpoint_dir)
+
+    tok_file = _copy_asset(checkpoint_dir, "tokenizer.json", out_dir)
+    tok = _hf_tokenizer(checkpoint_dir)
+    special: dict = {}
+    head_ids: list[int] = []
+    suffix_ids: list[int] = []
+    tail_ids: list[int] = []
+    languages: list[LanguageProfile] = []
+    lang_prompt_ids: dict[str, list[int]] = {}
+    if tok is not None:
+        tid = tok.token_to_id
+        enc = tok.encode
+        special = {
+            "im_start": tid("<|im_start|>"), "im_end": tid("<|im_end|>"),
+            "endoftext": tid("<|endoftext|>"),
+            "audio_start": tid("<|audio_start|>"), "audio_end": tid("<|audio_end|>"),
+            "audio_pad": tid("<|audio_pad|>"),
+        }
+        special = {k: int(v) for k, v in special.items() if v is not None}
+        newline = enc("\n")
+        head_ids = [special["im_start"], *enc("system"), *newline]
+        suffix_ids = [special["im_end"], *newline, special["im_start"],
+                      *enc("user"), *newline, special["audio_start"]]
+        tail_ids = [special["audio_end"], special["im_end"], *newline,
+                    special["im_start"], *enc("assistant"), *newline,
+                    *enc("language ")]
+        asr_text = tid("<asr_text>")
+        cfg_json = json.loads((checkpoint_dir / "config.json").read_text())
+        for name in cfg_json.get("support_languages") or []:
+            code, aliases = QWEN_LANGUAGE_CODES.get(name, (name.lower(), ()))
+            prompt = [int(t) for t in enc(name)] + (
+                [int(asr_text)] if asr_text is not None else []
+            )
+            languages.append(LanguageProfile(code, name, tuple(aliases)))
+            lang_prompt_ids[code] = prompt
+    meta = ModelMetadata(
+        family="qwen_asr",
+        sample_rate=cfg.sample_rate,
+        audio_pcm_scale=1.0,
+        special_token_ids={k: v for k, v in special.items() if isinstance(v, int)},
+        supported_languages=languages,
+        max_seq_len=cfg.llm.max_seq_len,
+        tokenizer={"kind": "hf", "file": tok_file or ""},
+        extra={
+            "config": dataclasses.asdict(cfg),
+            "prompt_head_ids": head_ids,
+            "prompt_suffix_ids": suffix_ids,
+            "prompt_tail_ids": tail_ids,
+            "language_prompt_ids": lang_prompt_ids,
+        },
+    )
+    save_model(out_dir, {"tower": tower, "llm": llm}, meta)
+    return out_dir
+
+
+def build_qwen_aligner_artifact(
+    checkpoint_dir: str | Path, out_dir: str | Path, timestamp_tokens_per_word: int = 2
+) -> Path:
+    """HF Qwen3-ForcedAligner snapshot -> artifact (reference
+    ``Qwen_ForcedAligner/Export_Qwen_ForcedAligner.py:1150-1290``)."""
+    from asr_tpu.loaders.qwen_asr_hf import load_aligner_dir
+
+    checkpoint_dir = Path(checkpoint_dir)
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    tower, llm, head, cfg = load_aligner_dir(checkpoint_dir)
+
+    tok_file = _copy_asset(checkpoint_dir, "tokenizer.json", out_dir)
+    tok = _hf_tokenizer(checkpoint_dir)
+    special: dict[str, int] = {}
+    if tok is not None:
+        for key, token in (
+            ("audio_start", "<|audio_start|>"), ("audio_end", "<|audio_end|>"),
+            ("audio_pad", "<|audio_pad|>"), ("timestamp", "<timestamp>"),
+        ):
+            v = tok.token_to_id(token)
+            if v is not None:
+                special[key] = int(v)
+    meta = ModelMetadata(
+        family="qwen_aligner",
+        sample_rate=cfg.asr.sample_rate,
+        audio_pcm_scale=1.0,
+        special_token_ids=special,
+        tokenizer={"kind": "hf", "file": tok_file or ""},
+        extra={
+            "config": dataclasses.asdict(cfg),
+            "timestamp_tokens_per_word": timestamp_tokens_per_word,
+        },
+    )
+    save_model(out_dir, {"tower": tower, "llm": llm, "head": head}, meta)
+    return out_dir
+
+
+def build_fun_asr_nano_artifact(
+    checkpoint_dir: str | Path, out_dir: str | Path, head: str = "ctc", cfg=None
+) -> Path:
+    """Fun-ASR-Nano FunASR folder (model.pt [+ *.tiktoken vocab,
+    tokenizer.json]) -> artifact. ``head="ctc"`` writes the fast CTC family;
+    ``head="llm"`` the Qwen3 AR family (reference
+    ``Fun_ASR_Nano/Export_Fun_ASR_Nano.py:517-640,821-900``)."""
+    from asr_tpu.loaders import funasr, qwen3_hf
+
+    checkpoint_dir = Path(checkpoint_dir)
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    sd = funasr.load_checkpoint_file(checkpoint_dir / "model.pt")
+    cfg = cfg or funasr.fun_asr_nano_config_from_state_dict(sd)
+    encoder = funasr.fun_asr_nano_params_from_state_dict(sd, cfg)
+
+    if head == "ctc":
+        tok_file = None
+        for cand in sorted(checkpoint_dir.glob("*.tiktoken")):
+            tok_file = _copy_asset(checkpoint_dir, cand.name, out_dir)
+            break
+        special = {"blank": cfg.blank_id}
+        meta = ModelMetadata(
+            family="fun_asr_nano",
+            sample_rate=cfg.sample_rate,
+            audio_pcm_scale=32768.0,
+            special_token_ids=special,
+            tokenizer={"kind": "tiktoken", "file": tok_file or ""},
+            extra={"config": dataclasses.asdict(cfg) | {"fbank": None, "llm": None}},
+        )
+        meta.extra["config"].pop("fbank", None)
+        meta.extra["config"]["llm"] = dataclasses.asdict(cfg.llm)
+        save_model(out_dir, encoder, meta)
+        return out_dir
+
+    llm = qwen3_hf.params_from_state_dict(sd, cfg.llm, prefix="llm.model.")
+    tok_file = _copy_asset(checkpoint_dir, "tokenizer.json", out_dir)
+    tok = _hf_tokenizer(checkpoint_dir)
+    head_ids: list[int] = []
+    tail_ids: list[int] = []
+    if tok is not None:
+        head_ids = [int(t) for t in tok.encode("<|im_start|>user\n")]
+        tail_ids = [int(t) for t in tok.encode("<|im_end|>\n<|im_start|>assistant\n")]
+    meta = ModelMetadata(
+        family="fun_asr_nano_llm",
+        sample_rate=cfg.sample_rate,
+        audio_pcm_scale=32768.0,
+        special_token_ids={"eot": cfg.eot_id},
+        tokenizer={"kind": "hf", "file": tok_file or ""},
+        extra={
+            "config": dataclasses.asdict(cfg) | {"fbank": None},
+            "prompt_head_ids": head_ids,
+            "prompt_suffix_ids": [],
+            "prompt_tail_ids": tail_ids,
+        },
+    )
+    meta.extra["config"].pop("fbank", None)
+    meta.extra["config"]["llm"] = dataclasses.asdict(cfg.llm)
+    save_model(out_dir, {"encoder": encoder, "llm": llm}, meta)
     return out_dir
 
 

@@ -67,10 +67,9 @@ def config_from_state_dict(sd: Mapping[str, Any], **overrides) -> FireRedConfig:
     enc_heads = _np(sd["encoder.layer_stack.0.mhsa.pos_bias_u"]).shape[0]
     conv_kernel = _np(sd["encoder.layer_stack.0.conv.depthwise_conv.weight"]).shape[-1]
     dec_ffn = _np(sd["decoder.layer_stack.0.mlp.w_1.weight"]).shape[0]
-    n_mels = _np(sd["encoder.input_preprocessor.conv.0.weight"]).shape[0] and 80
     kw = dict(
         vocab_size=vocab,
-        n_mels=n_mels,
+        n_mels=80,  # fixed for FireRedASR-AED (not shape-derivable; override if needed)
         d_model=d_model,
         enc_layers=enc_layers,
         enc_heads=enc_heads,

@@ -182,6 +182,102 @@ def paraformer_params_from_state_dict(
     }
 
 
+def _mha_adaptor_block(sd: Mapping, prefix: str) -> dict:
+    """Transformer-adaptor block (Fun-ASR-Nano audio_adaptor / ctc_decoder):
+    unfused ``linear_q/k/v`` in the checkpoint are concatenated into the one
+    qkv our ``_adaptor_block`` consumes (same exact fusion the exporter does,
+    ``Export_Fun_ASR_Nano.py:669-690`` minus the scale folds — scaling stays
+    explicit in our attention)."""
+    q_w = _np(sd[f"{prefix}.self_attn.linear_q.weight"])
+    k_w = _np(sd[f"{prefix}.self_attn.linear_k.weight"])
+    v_w = _np(sd[f"{prefix}.self_attn.linear_v.weight"])
+    q_b = _np(sd[f"{prefix}.self_attn.linear_q.bias"])
+    k_b = _np(sd[f"{prefix}.self_attn.linear_k.bias"])
+    v_b = _np(sd[f"{prefix}.self_attn.linear_v.bias"])
+    return {
+        "norm1": _norm(sd, f"{prefix}.norm1"),
+        "qkv": {
+            "w": jnp.asarray(np.concatenate([q_w, k_w, v_w], axis=0).T),
+            "b": jnp.asarray(np.concatenate([q_b, k_b, v_b])),
+        },
+        "out": _lin(sd, f"{prefix}.self_attn.linear_out"),
+        "norm2": _norm(sd, f"{prefix}.norm2"),
+        "ffn": {
+            "w1": _lin(sd, f"{prefix}.feed_forward.w_1"),
+            "w2": _lin(sd, f"{prefix}.feed_forward.w_2"),
+        },
+    }
+
+
+def fun_asr_nano_params_from_state_dict(sd: Mapping, cfg) -> dict:
+    """Map a Fun-ASR-Nano ``model.pt`` state dict (FunASR layout,
+    ``Export_Fun_ASR_Nano.py:517-640`` module tree) to the
+    ``models.fun_asr_nano`` encoder/adaptor/CTC pytree. The LLM half loads
+    separately via ``qwen3_hf.params_from_state_dict(sd, cfg.llm,
+    prefix="llm.model.")``."""
+
+    def stack(name: str, count: int) -> list:
+        return [_sanm_block(sd, f"audio_encoder.{name}.{i}") for i in range(count)]
+
+    def blocks(base: str) -> list:
+        out = []
+        i = 0
+        while f"{base}.blocks.{i}.norm1.weight" in sd:
+            out.append(_mha_adaptor_block(sd, f"{base}.blocks.{i}"))
+            i += 1
+        return out
+
+    return {
+        "encoders0": stack("encoders0", cfg.num_encoders0),
+        "encoders": stack("encoders", cfg.num_encoders),
+        "tp_encoders": stack("tp_encoders", cfg.num_tp_encoders),
+        "after_norm": _norm(sd, "audio_encoder.after_norm"),
+        "tp_norm": _norm(sd, "audio_encoder.tp_norm"),
+        "adaptor": {
+            "linear1": _lin(sd, "audio_adaptor.linear1"),
+            "linear2": _lin(sd, "audio_adaptor.linear2"),
+            "blocks": blocks("audio_adaptor"),
+        },
+        "ctc": {
+            "linear1": _lin(sd, "ctc_decoder.linear1"),
+            "linear2": _lin(sd, "ctc_decoder.linear2"),
+            "blocks": blocks("ctc_decoder"),
+            "lo": _lin(sd, "ctc.ctc_lo"),
+        },
+    }
+
+
+def fun_asr_nano_config_from_state_dict(sd: Mapping, **overrides):
+    """Derive FunAsrNanoConfig geometry from checkpoint shapes (encoder
+    widths/counts, adaptor/CTC blocks, CTC vocab, Qwen3 LLM via
+    ``qwen3_hf.config_from_state_dict``)."""
+    from asr_tpu.loaders.qwen3_hf import config_from_state_dict
+    from asr_tpu.models.fun_asr_nano import FunAsrNanoConfig
+
+    hidden = _np(sd["audio_encoder.encoders.0.norm2.weight"]).shape[0]
+    feature_size = _np(sd["audio_encoder.encoders0.0.norm1.weight"]).shape[0]
+    base = FunAsrNanoConfig()
+    kw = dict(
+        hidden=hidden,
+        ffn_dim=_np(sd["audio_encoder.encoders.0.feed_forward.w_1.weight"]).shape[0],
+        num_encoders0=_count_layers(sd, "audio_encoder.encoders0"),
+        num_encoders=_count_layers(sd, "audio_encoder.encoders"),
+        num_tp_encoders=_count_layers(sd, "audio_encoder.tp_encoders"),
+        fsmn_kernel=_np(sd["audio_encoder.encoders.0.self_attn.fsmn_block.weight"]).shape[-1],
+        lfr_m=feature_size // base.n_mels,
+        adaptor_hidden=_np(sd["audio_adaptor.linear1.weight"]).shape[0],
+        adaptor_ffn=_np(sd["audio_adaptor.blocks.0.feed_forward.w_1.weight"]).shape[0],
+        adaptor_blocks=sum(1 for k in sd if re.fullmatch(r"audio_adaptor\.blocks\.\d+\.norm1\.weight", k)),
+        ctc_hidden=_np(sd["ctc_decoder.linear1.weight"]).shape[0],
+        ctc_ffn=_np(sd["ctc_decoder.blocks.0.feed_forward.w_1.weight"]).shape[0],
+        ctc_blocks=sum(1 for k in sd if re.fullmatch(r"ctc_decoder\.blocks\.\d+\.norm1\.weight", k)),
+        ctc_vocab=_np(sd["ctc.ctc_lo.weight"]).shape[0],
+        llm=config_from_state_dict(sd, prefix="llm.model."),
+    )
+    kw.update(overrides)
+    return FunAsrNanoConfig(**kw)
+
+
 def load_checkpoint_file(path: str | Path) -> dict:
     """torch.load a FunASR ``model.pt`` without needing funasr installed."""
     import torch

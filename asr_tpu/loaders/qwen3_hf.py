@@ -58,9 +58,47 @@ def params_from_state_dict(sd: Mapping, cfg: Qwen3Config, prefix: str = "model."
         "layers": [layer(i) for i in range(cfg.num_layers)],
         "final_norm": {"scale": jnp.asarray(_np(sd[g("norm.weight")]))},
     }
-    if not cfg.tie_embeddings and "lm_head.weight" in sd:
-        params["lm_head"] = _lin(sd, "lm_head")
+    head_key = prefix.removesuffix("model.") + "lm_head"
+    if not cfg.tie_embeddings and f"{head_key}.weight" in sd:
+        params["lm_head"] = _lin(sd, head_key)
     return params
+
+
+def config_from_state_dict(sd: Mapping, prefix: str = "model.", **overrides) -> Qwen3Config:
+    """Derive the Qwen3 geometry from checkpoint tensor shapes: head_dim
+    from q_norm (per-head RMSNorm width), heads/kv-heads from the q/k
+    projection widths, layer count by key census. rope_theta / rms_eps are
+    not shape-derivable — pass overrides when the config file is absent."""
+    g = lambda k: prefix + k
+    vocab, hidden = _np(sd[g("embed_tokens.weight")]).shape
+    num_layers = 1 + max(
+        int(k[len(prefix) + len("layers."):].split(".")[0])
+        for k in sd
+        if k.startswith(g("layers."))
+    )
+    qk = g("layers.0.self_attn.")
+    head_dim = (
+        _np(sd[qk + "q_norm.weight"]).shape[0]
+        if qk + "q_norm.weight" in sd
+        else hidden // 16
+    )
+    num_heads = _np(sd[qk + "q_proj.weight"]).shape[0] // head_dim
+    num_kv = _np(sd[qk + "k_proj.weight"]).shape[0] // head_dim
+    ffn = _np(sd[g("layers.0.mlp.gate_proj.weight")]).shape[0]
+    bare_prefix = prefix.removesuffix("model.")
+    kw = dict(
+        vocab_size=vocab,
+        hidden=hidden,
+        num_layers=num_layers,
+        num_heads=num_heads,
+        num_kv_heads=num_kv,
+        head_dim=head_dim,
+        ffn_dim=ffn,
+        qk_norm=qk + "q_norm.weight" in sd,
+        tie_embeddings=bare_prefix + "lm_head.weight" not in sd,
+    )
+    kw.update(overrides)
+    return Qwen3Config(**kw)
 
 
 def config_from_hf(hf_config) -> Qwen3Config:

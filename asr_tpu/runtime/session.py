@@ -27,11 +27,26 @@ class TranscribeResult:
     text: str
     token_ids: list[int]
     audio_seconds: float
-    elapsed_seconds: float
+    elapsed_seconds: float   # wall-clock latency of the device call that
+    #                          produced this result (for batched calls: the
+    #                          whole batch's latency — see batch_size)
+    batch_size: int = 1      # items sharing that device call; aggregate
+    #                          throughput RTF = rtf / batch_size
 
     @property
     def rtf(self) -> float:
         return self.elapsed_seconds / max(self.audio_seconds, 1e-9)
+
+
+def bucket_windows(num: int) -> int:
+    """Round a window count up to the next power of two so the jitted
+    forward compiles once per bucket instead of once per audio length
+    (the reference amortizes via fixed IOBinding buffers; fixed-shape
+    buckets are the XLA equivalent). Padded windows carry valid=0."""
+    n = 1
+    while n < num:
+        n *= 2
+    return n
 
 
 class SenseVoiceSession:
@@ -72,13 +87,14 @@ class SenseVoiceSession:
         n = len(audio)
         w = self.window_samples
         num_windows = max(1, -(-n // w))
-        buf = np.zeros((num_windows, w), dtype=np.float32)
-        valid = np.zeros((num_windows,), dtype=np.int32)
+        padded = bucket_windows(num_windows)
+        buf = np.zeros((padded, w), dtype=np.float32)
+        valid = np.zeros((padded,), dtype=np.int32)
         for i in range(num_windows):
             chunk = audio[i * w : (i + 1) * w]
             buf[i, : len(chunk)] = chunk
             valid[i] = len(chunk)
-        lang_idx = np.full((num_windows,), self.language_index(language), dtype=np.int32)
+        lang_idx = np.full((padded,), self.language_index(language), dtype=np.int32)
 
         t0 = time.perf_counter()
         toks, counts = sv.forward(
@@ -130,7 +146,8 @@ class SenseVoiceSession:
                 text=self.tokenizer.decode(ids) if self.tokenizer else "",
                 token_ids=ids,
                 audio_seconds=float(valid[i]) / self.cfg.sample_rate,
-                elapsed_seconds=elapsed / len(paths),
+                elapsed_seconds=elapsed,       # true latency of the shared call
+                batch_size=len(paths),         # divide rtf by this for throughput
             ))
         return results
 

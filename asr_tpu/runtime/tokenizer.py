@@ -146,6 +146,76 @@ class VocabTxtDecoder:
         return "".join(toks)
 
 
+class TiktokenVocabDecoder:
+    """Tiktoken-style CTC vocab (Fun-ASR-Nano): base64 token ranks + the
+    multilingual SenseVoice special-token block appended in a fixed order
+    (reference ``Fun_ASR_Nano/Inference_Fun_ASR_Nano_ONNX.py:166-230``).
+
+    Decoding needs no BPE merges — each id maps to a byte string; ids at or
+    above ``timestamp_begin`` plus blank / no-speech are dropped, the rest
+    concatenate and UTF-8 decode. No tiktoken dependency.
+    """
+
+    _LANGS = (
+        "en", "zh", "de", "es", "ru", "ko", "fr", "ja", "pt", "tr", "pl", "ca", "nl", "ar",
+        "sv", "it", "id", "hi", "fi", "vi", "he", "uk", "el", "ms", "cs", "ro", "da", "hu",
+        "ta", "no", "th", "ur", "hr", "bg", "lt", "la", "mi", "ml", "cy", "sk", "te", "fa",
+        "lv", "bn", "sr", "az", "sl", "kn", "et", "mk", "br", "eu", "is", "hy", "ne", "mn",
+        "bs", "kk", "sq", "sw", "gl", "mr", "pa", "si", "km", "sn", "yo", "so", "af", "oc",
+        "ka", "be", "tg", "sd", "gu", "am", "yi", "lo", "uz", "fo", "ht", "ps", "tk", "nn",
+        "mt", "sa", "lb", "my", "bo", "tl", "mg", "as", "tt", "haw", "ln", "ha", "ba", "jw",
+        "su", "yue", "minnan", "wuyu", "dialect", "zh/en", "en/zh",
+    )
+    _AUDIO_EVENTS = ("ASR", "AED", "SER", "Speech", "/Speech", "BGM", "/BGM",
+                     "Laughter", "/Laughter", "Applause", "/Applause")
+    _EMOTIONS = ("HAPPY", "SAD", "ANGRY", "NEUTRAL")
+
+    def __init__(self, vocab_path: str | Path, num_languages: int = 8749):
+        import base64
+
+        self.id_to_bytes: dict[int, bytes] = {}
+        for line in Path(vocab_path).read_text().splitlines():
+            if not line:
+                continue
+            token, rank = line.split()
+            self.id_to_bytes[int(rank)] = base64.b64decode(token)
+        n = len(self.id_to_bytes)
+        self.special: dict[int, str] = {}
+        specials = [
+            "<|endoftext|>", "<|startoftranscript|>",
+            *[f"<|{lang}|>" for lang in self._LANGS[:num_languages]],
+            *[f"<|{event}|>" for event in self._AUDIO_EVENTS],
+            *[f"<|{emotion}|>" for emotion in self._EMOTIONS],
+            "<|translate|>", "<|transcribe|>", "<|startoflm|>", "<|startofprev|>",
+            "<|nospeech|>", "<|notimestamps|>",
+            *[f"<|SPECIAL_TOKEN_{index}|>" for index in range(1, 51)],
+            *[f"<|{index * 0.02:.2f}|>" for index in range(1501)],
+        ]
+        self.special_to_id: dict[str, int] = {}
+        for token in specials:
+            self.special[n] = token
+            self.special_to_id[token] = n
+            n += 1
+        self.n_vocab = n
+        self.no_speech = self.special_to_id["<|nospeech|>"]
+        self.timestamp_begin = self.special_to_id["<|0.00|>"]
+
+    def __len__(self) -> int:
+        return self.n_vocab
+
+    def decode(self, ids: Sequence[int], blank_id: int | None = None) -> str:
+        out = b""
+        for i in ids:
+            if i >= self.timestamp_begin or i == self.no_speech:
+                continue
+            if blank_id is not None and i == blank_id:
+                continue
+            piece = self.id_to_bytes.get(i)
+            if piece is not None:
+                out += piece
+        return out.decode("utf-8", errors="replace")
+
+
 class FireRedDictDecoder:
     """FireRedASR ``dict.txt`` decoder (Chinese chars + English SPM pieces).
 

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from asr_tpu.runtime import audio as audio_io
-from asr_tpu.runtime.session import TranscribeResult
+from asr_tpu.runtime.session import TranscribeResult, bucket_windows
 
 
 def strip_language_tags(text: str) -> str:
@@ -54,8 +54,9 @@ class _WindowedSession:
         n = len(audio)
         w = self.window_samples
         num = max(1, -(-n // w))
-        buf = np.zeros((num, w), np.float32)
-        valid = np.zeros((num,), np.int32)
+        padded = bucket_windows(num)  # one compiled executable per bucket
+        buf = np.zeros((padded, w), np.float32)
+        valid = np.zeros((padded,), np.int32)
         for i in range(num):
             chunk = audio[i * w : (i + 1) * w]
             buf[i, : len(chunk)] = chunk

@@ -21,7 +21,7 @@ import numpy as np
 from asr_tpu.decode.ar import DecodeConfig
 from asr_tpu.models import whisper as wh
 from asr_tpu.runtime import audio as audio_io
-from asr_tpu.runtime.session import TranscribeResult
+from asr_tpu.runtime.session import TranscribeResult, bucket_windows
 
 WINDOW_SECONDS = 30.0
 
@@ -111,7 +111,8 @@ class WhisperSession:
         n = len(audio)
         w = self.window_samples
         num_windows = max(1, -(-n // w))
-        buf = np.zeros((num_windows, w), np.float32)
+        padded = bucket_windows(num_windows)  # compile once per bucket
+        buf = np.zeros((padded, w), np.float32)
         for i in range(num_windows):
             chunk = audio[i * w : (i + 1) * w]
             buf[i, : len(chunk)] = chunk
@@ -122,7 +123,7 @@ class WhisperSession:
             self.params,
             self.cfg,
             mel,
-            jnp.asarray(self._prompt(num_windows, language)),
+            jnp.asarray(self._prompt(padded, language)),
             self._decode_cfg(),
             begin_suppress_ids=self.scfg.begin_suppress_ids,
             rng=rng,

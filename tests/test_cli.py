@@ -45,3 +45,25 @@ def test_quantize_roundtrip(tmp_path, capsys):
                  "--out", str(tmp_path / "q"), "--bits", "8", "--block", "32"]) == 0
     meta = json.loads((tmp_path / "q" / "metadata.json").read_text())
     assert meta["extra"]["quantization"]["bits"] == 8
+
+
+def test_cli_build_firered(tmp_path):
+    """`asr_tpu build` end-to-end: synthetic FireRed checkpoint -> artifact
+    -> transcribe-able session."""
+    import torch
+
+    from asr_tpu.cli import main, _build_session
+    from tests.test_firered import TINY, _firered_sd
+
+    rng = np.random.default_rng(1)
+    src = tmp_path / "ckpt"
+    src.mkdir()
+    torch.save({"args": {}, "model_state_dict": _firered_sd(TINY, rng)},
+               src / "model.pth.tar")
+    (src / "dict.txt").write_text("\n".join(f"t{i} {i}" for i in range(TINY.vocab_size)))
+    out = tmp_path / "artifact"
+    rc = main(["--platform", "cpu", "build", "--family", "firered",
+               "--checkpoint", str(src), "--out", str(out)])
+    assert rc == 0
+    sess = _build_session(out)
+    assert type(sess).__name__ == "FireRedSession"

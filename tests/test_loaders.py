@@ -154,57 +154,53 @@ def test_parse_kaldi_mvn(tmp_path):
     np.testing.assert_allclose(istd, [0.5, 0.25, 0.125])
 
 
-def test_dolphin_espnet_mapping(tmp_path):
-    from asr_tpu.loaders import dolphin_espnet
-    from asr_tpu.models import dolphin as dp
-
-    cfg = dp.DolphinConfig(
-        vocab_size=60, d_model=32, enc_layers=1, enc_heads=4, enc_ffn=48,
-        cgmlp_dim=64, csgu_kernel=5, fusion_kernel=3, dec_layers=1, dec_heads=4,
-        dec_ffn=48, sos_id=50, eos_id=51, max_target_positions=16,
-    )
-    rng = np.random.default_rng(7)
+def _dolphin_sd(cfg, rng):
+    """Synthetic espnet Dolphin state dict at cfg geometry (shared by the
+    offline-mapping and streaming-builder tests)."""
     t = lambda *s: torch.tensor(rng.standard_normal(s).astype(np.float32))
-    d, half = 32, 32
+    d = cfg.d_model
+    half = cfg.cgmlp_dim // 2
+    ffn = cfg.enc_ffn
     sd = {}
-    p = "encoder.encoders.0"
-    for name, shape in [
-        (f"{p}.norm_ff_macaron", (d,)), (f"{p}.norm_mha", (d,)), (f"{p}.norm_mlp", (d,)),
-        (f"{p}.norm_ff", (d,)), (f"{p}.norm_final", (d,)), (f"{p}.cgmlp.csgu.norm", (half,)),
-    ]:
-        sd[f"{name}.weight"] = t(*shape)
-        sd[f"{name}.bias"] = t(*shape)
-    for name, (o, i) in [
-        (f"{p}.feed_forward_macaron.w_1", (48, d)), (f"{p}.feed_forward_macaron.w_2", (d, 48)),
-        (f"{p}.feed_forward.w_1", (48, d)), (f"{p}.feed_forward.w_2", (d, 48)),
-        (f"{p}.attn.linear_q", (d, d)), (f"{p}.attn.linear_k", (d, d)),
-        (f"{p}.attn.linear_v", (d, d)), (f"{p}.attn.linear_out", (d, d)),
-        (f"{p}.cgmlp.channel_proj1.0", (64, d)), (f"{p}.cgmlp.channel_proj2", (d, half)),
-        (f"{p}.merge_proj", (d, 2 * d)),
-    ]:
-        sd[f"{name}.weight"] = t(o, i)
-        sd[f"{name}.bias"] = t(o)
-    sd[f"{p}.attn.linear_pos.weight"] = t(d, d)
-    sd[f"{p}.attn.pos_bias_u"] = t(4, 8)
-    sd[f"{p}.attn.pos_bias_v"] = t(4, 8)
-    sd[f"{p}.cgmlp.csgu.conv.weight"] = t(half, 1, 5)
-    sd[f"{p}.cgmlp.csgu.conv.bias"] = t(half)
-    sd[f"{p}.depthwise_conv_fusion.weight"] = t(2 * d, 1, 3)
-    sd[f"{p}.depthwise_conv_fusion.bias"] = t(2 * d)
-    # decoder
-    q = "decoder.decoders.0"
-    for name, shape in [(f"{q}.norm1", (d,)), (f"{q}.norm2", (d,)), (f"{q}.norm3", (d,))]:
-        sd[f"{name}.weight"] = t(*shape)
-        sd[f"{name}.bias"] = t(*shape)
-    for name, (o, i) in [
-        (f"{q}.self_attn.linear_q", (d, d)), (f"{q}.self_attn.linear_k", (d, d)),
-        (f"{q}.self_attn.linear_v", (d, d)), (f"{q}.self_attn.linear_out", (d, d)),
-        (f"{q}.src_attn.linear_q", (d, d)), (f"{q}.src_attn.linear_k", (d, d)),
-        (f"{q}.src_attn.linear_v", (d, d)), (f"{q}.src_attn.linear_out", (d, d)),
-        (f"{q}.feed_forward.w_1", (48, d)), (f"{q}.feed_forward.w_2", (d, 48)),
-    ]:
-        sd[f"{name}.weight"] = t(o, i)
-        sd[f"{name}.bias"] = t(o)
+    for li in range(cfg.enc_layers):
+        p = f"encoder.encoders.{li}"
+        for name, shape in [
+            (f"{p}.norm_ff_macaron", (d,)), (f"{p}.norm_mha", (d,)), (f"{p}.norm_mlp", (d,)),
+            (f"{p}.norm_ff", (d,)), (f"{p}.norm_final", (d,)), (f"{p}.cgmlp.csgu.norm", (half,)),
+        ]:
+            sd[f"{name}.weight"] = t(*shape)
+            sd[f"{name}.bias"] = t(*shape)
+        for name, (o, i) in [
+            (f"{p}.feed_forward_macaron.w_1", (ffn, d)), (f"{p}.feed_forward_macaron.w_2", (d, ffn)),
+            (f"{p}.feed_forward.w_1", (ffn, d)), (f"{p}.feed_forward.w_2", (d, ffn)),
+            (f"{p}.attn.linear_q", (d, d)), (f"{p}.attn.linear_k", (d, d)),
+            (f"{p}.attn.linear_v", (d, d)), (f"{p}.attn.linear_out", (d, d)),
+            (f"{p}.cgmlp.channel_proj1.0", (cfg.cgmlp_dim, d)), (f"{p}.cgmlp.channel_proj2", (d, half)),
+            (f"{p}.merge_proj", (d, 2 * d)),
+        ]:
+            sd[f"{name}.weight"] = t(o, i)
+            sd[f"{name}.bias"] = t(o)
+        sd[f"{p}.attn.linear_pos.weight"] = t(d, d)
+        sd[f"{p}.attn.pos_bias_u"] = t(cfg.enc_heads, d // cfg.enc_heads)
+        sd[f"{p}.attn.pos_bias_v"] = t(cfg.enc_heads, d // cfg.enc_heads)
+        sd[f"{p}.cgmlp.csgu.conv.weight"] = t(half, 1, cfg.csgu_kernel)
+        sd[f"{p}.cgmlp.csgu.conv.bias"] = t(half)
+        sd[f"{p}.depthwise_conv_fusion.weight"] = t(2 * d, 1, cfg.fusion_kernel)
+        sd[f"{p}.depthwise_conv_fusion.bias"] = t(2 * d)
+    for li in range(cfg.dec_layers):
+        q = f"decoder.decoders.{li}"
+        for name, shape in [(f"{q}.norm1", (d,)), (f"{q}.norm2", (d,)), (f"{q}.norm3", (d,))]:
+            sd[f"{name}.weight"] = t(*shape)
+            sd[f"{name}.bias"] = t(*shape)
+        for name, (o, i) in [
+            (f"{q}.self_attn.linear_q", (d, d)), (f"{q}.self_attn.linear_k", (d, d)),
+            (f"{q}.self_attn.linear_v", (d, d)), (f"{q}.self_attn.linear_out", (d, d)),
+            (f"{q}.src_attn.linear_q", (d, d)), (f"{q}.src_attn.linear_k", (d, d)),
+            (f"{q}.src_attn.linear_v", (d, d)), (f"{q}.src_attn.linear_out", (d, d)),
+            (f"{q}.feed_forward.w_1", (cfg.dec_ffn, d)), (f"{q}.feed_forward.w_2", (d, cfg.dec_ffn)),
+        ]:
+            sd[f"{name}.weight"] = t(o, i)
+            sd[f"{name}.bias"] = t(o)
     sd["encoder.global_cmvn.mean"] = t(80)
     sd["encoder.global_cmvn.std"] = torch.abs(t(80)) + 0.5
     sd["encoder.embed.conv.0.weight"] = t(d, 1, 3, 3)
@@ -216,15 +212,28 @@ def test_dolphin_espnet_mapping(tmp_path):
     sd["encoder.embed.out.0.bias"] = t(d)
     sd["encoder.after_norm.weight"] = t(d)
     sd["encoder.after_norm.bias"] = t(d)
-    sd["ctc.ctc_lo.weight"] = t(60, d)
-    sd["ctc.ctc_lo.bias"] = t(60)
-    sd["decoder.embed.0.weight"] = t(60, d)
+    sd["ctc.ctc_lo.weight"] = t(cfg.vocab_size, d)
+    sd["ctc.ctc_lo.bias"] = t(cfg.vocab_size)
+    sd["decoder.embed.0.weight"] = t(cfg.vocab_size, d)
     sd["decoder.after_norm.weight"] = t(d)
     sd["decoder.after_norm.bias"] = t(d)
+    return sd
 
+
+def test_dolphin_espnet_mapping(tmp_path):
+    from asr_tpu.loaders import dolphin_espnet
+    from asr_tpu.models import dolphin as dp
+
+    cfg = dp.DolphinConfig(
+        vocab_size=60, d_model=32, enc_layers=1, enc_heads=4, enc_ffn=48,
+        cgmlp_dim=64, csgu_kernel=5, fusion_kernel=3, dec_layers=1, dec_heads=4,
+        dec_ffn=48, sos_id=50, eos_id=51, max_target_positions=16,
+    )
+    rng = np.random.default_rng(7)
+    sd = _dolphin_sd(cfg, rng)
     params = dolphin_espnet.params_from_state_dict(sd, cfg)
     audio = jnp.asarray((rng.standard_normal((1, 8000)) * 0.1).astype(np.float32))
     enc, valid = dp.encode(params, cfg, audio, jnp.asarray([8000]))
-    assert enc.shape[-1] == d
+    assert enc.shape[-1] == cfg.d_model
     ids, counts = dp.ctc_decode(params, cfg, enc, valid)
     assert ids.shape[0] == 1
