@@ -14,9 +14,12 @@ import sys
 from pathlib import Path
 
 
-def _build_session(folder: Path, language: str | None = None):
+def _build_session(folder: Path, language: str | None = None, mesh=None):
     """Artifact folder -> ready session, for every family (the reference's
-    per-family inference scripts collapsed into one dispatch)."""
+    per-family inference scripts collapsed into one dispatch).
+
+    ``mesh``: optional jax.sharding.Mesh — offline (windowed) sessions run
+    batch-data-parallel over its ``data`` axis (parallel/serve.py)."""
     from asr_tpu.runtime.artifact import load_model
     from asr_tpu.runtime.metadata import config_from_dict
 
@@ -30,7 +33,7 @@ def _build_session(folder: Path, language: str | None = None):
         from asr_tpu.runtime.session import SenseVoiceSession
 
         cfg = config_from_dict(SenseVoiceConfig, cfg_dict)
-        return SenseVoiceSession(params, cfg, tokenizer=tokenizer, metadata=meta)
+        return SenseVoiceSession(params, cfg, tokenizer=tokenizer, metadata=meta, mesh=mesh)
 
     if family == "whisper":
         from asr_tpu.models.whisper import WhisperConfig
@@ -44,14 +47,14 @@ def _build_session(folder: Path, language: str | None = None):
         lang_map = {p.code: p.prompt_token_id for p in meta.supported_languages
                     if p.prompt_token_id is not None}
         return WhisperSession(params, cfg, tokenizer=tokenizer,
-                              session_cfg=scfg, language_id_map=lang_map)
+                              session_cfg=scfg, language_id_map=lang_map, mesh=mesh)
 
     if family == "paraformer":
         from asr_tpu.models.paraformer import ParaformerConfig
         from asr_tpu.runtime.transducer_session import ParaformerSession
 
         cfg = config_from_dict(ParaformerConfig, cfg_dict)
-        return ParaformerSession(params, cfg, tokenizer=tokenizer)
+        return ParaformerSession(params, cfg, tokenizer=tokenizer, mesh=mesh)
 
     if family == "paraformer_streaming":
         from asr_tpu.models.paraformer import ParaformerConfig
@@ -71,7 +74,7 @@ def _build_session(folder: Path, language: str | None = None):
         from asr_tpu.runtime.transducer_session import ParakeetSession
 
         cfg = config_from_dict(ParakeetConfig, cfg_dict)
-        return ParakeetSession(params, cfg, tokenizer=tokenizer)
+        return ParakeetSession(params, cfg, tokenizer=tokenizer, mesh=mesh)
 
     if family == "nemotron":
         from asr_tpu.models.nemotron import NemotronConfig
@@ -82,7 +85,7 @@ def _build_session(folder: Path, language: str | None = None):
         if language:
             prof = meta.resolve_language(language)
             prompt_id = prof.prompt_token_id if prof.prompt_token_id is not None else (prof.index or 0)
-        return NemotronSession(params, cfg, tokenizer=tokenizer, prompt_id=prompt_id)
+        return NemotronSession(params, cfg, tokenizer=tokenizer, prompt_id=prompt_id, mesh=mesh)
 
     if family == "nemotron_streaming":
         from asr_tpu.models.nemotron import NemotronConfig
@@ -115,7 +118,7 @@ def _build_session(folder: Path, language: str | None = None):
         from asr_tpu.runtime.transducer_session import FireRedSession
 
         cfg = config_from_dict(FireRedConfig, cfg_dict)
-        return FireRedSession(params, cfg, tokenizer=tokenizer)
+        return FireRedSession(params, cfg, tokenizer=tokenizer, mesh=mesh)
 
     if family == "dolphin":
         from asr_tpu.models.dolphin import DolphinConfig
@@ -127,7 +130,7 @@ def _build_session(folder: Path, language: str | None = None):
             prof = meta.resolve_language(language)
             if prof.prompt_token_id is not None:
                 lang_id = prof.prompt_token_id
-        return DolphinSession(params, cfg, tokenizer=tokenizer,
+        return DolphinSession(params, cfg, tokenizer=tokenizer, mesh=mesh,
                               language_id=lang_id, region_id=region_id)
 
     if family == "fun_asr_nano":
@@ -135,7 +138,7 @@ def _build_session(folder: Path, language: str | None = None):
         from asr_tpu.runtime.transducer_session import FunAsrNanoCtcSession
 
         cfg = config_from_dict(FunAsrNanoConfig, cfg_dict)
-        return FunAsrNanoCtcSession(params, cfg, tokenizer=tokenizer)
+        return FunAsrNanoCtcSession(params, cfg, tokenizer=tokenizer, mesh=mesh)
 
     if family == "fun_asr_nano_llm":
         from asr_tpu.models.fun_asr_nano import FunAsrNanoConfig
@@ -209,7 +212,12 @@ def _build_tokenizer(folder: Path, meta):
 
 
 def cmd_transcribe(args) -> int:
-    sess = _build_session(Path(args.model_dir), language=args.language)
+    mesh = None
+    if getattr(args, "data_parallel", 0):
+        from asr_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.data_parallel, model_parallel=1)
+    sess = _build_session(Path(args.model_dir), language=args.language, mesh=mesh)
     import contextlib
     import inspect
 
@@ -267,12 +275,25 @@ def cmd_quantize(args) -> int:
         print(f"reordered {n} FFN pairs by {args.reorder}")
     qparams = quantize_pytree(params, bits=args.bits, block=args.block,
                               refine_iters=args.refine_iters, pack=args.pack,
-                              objective=args.algorithm, min_size=args.min_size)
+                              objective=args.algorithm, min_size=args.min_size,
+                              quantize_embeddings=args.quantize_embeddings)
     meta.extra["quantization"] = {"bits": args.bits, "block": args.block,
                                   "algorithm": args.algorithm}
     save_model(Path(args.out), qparams, meta)
+    _copy_artifact_assets(Path(args.model_dir), Path(args.out), meta)
     print(f"quantized ({args.bits}-bit {args.algorithm}, block {args.block}) -> {args.out}")
     return 0
+
+
+def _copy_artifact_assets(src: Path, dst: Path, meta) -> None:
+    """Carry tokenizer/vocab asset files into a derived artifact (the
+    reference copies tokenizer assets into every optimized folder, e.g.
+    ``SenseVoice/Export_SenseVoice.py:415-421``)."""
+    import shutil
+
+    tok_file = meta.tokenizer.get("file", "")
+    if tok_file and (src / tok_file).exists() and not (dst / tok_file).exists():
+        shutil.copy2(src / tok_file, dst / tok_file)
 
 
 def cmd_align(args) -> int:
@@ -293,6 +314,7 @@ def cmd_optimize(args) -> int:
     qparams = apply_plans(params, cfg)
     meta.extra["optimizer_plan"] = json.loads(Path(args.plan).read_text(encoding="utf-8"))
     save_model(Path(args.out), qparams, meta)
+    _copy_artifact_assets(Path(args.model_dir), Path(args.out), meta)
     print(f"applied plan {args.plan} -> {args.out}")
     return 0
 
@@ -356,6 +378,9 @@ def main(argv=None) -> int:
     p = sub.add_parser("transcribe", help="transcribe audio files with a model artifact")
     p.add_argument("--model-dir", required=True)
     p.add_argument("--language", default=None)
+    p.add_argument("--data-parallel", type=int, default=0, metavar="N",
+                   help="shard window batches over an N-device data-parallel "
+                        "mesh (0 = single device)")
     p.add_argument("--profile", default=None, metavar="LOGDIR",
                    help="capture an xprof device trace of the run into LOGDIR")
     p.add_argument("audio", nargs="+")
@@ -377,9 +402,12 @@ def main(argv=None) -> int:
     p.add_argument("--bits", type=int, default=8, choices=(2, 4, 8))
     p.add_argument("--block", type=int, default=128)
     p.add_argument("--refine-iters", type=int, default=2)
+    p.add_argument("--quantize-embeddings", action="store_true",
+                   help="also quantize embed tables into gather-dequant "
+                        "leaves (LLM-decoder families)")
     p.add_argument("--min-size", type=int, default=1 << 16,
                    help="skip linear weights with fewer elements than this")
-    p.add_argument("--algorithm", default="rtn", choices=("rtn", "kquant"),
+    p.add_argument("--algorithm", default="rtn", choices=("rtn", "kquant", "hqq", "dynamic"),
                    help="block fit: round-to-nearest or importance-weighted grid search")
     p.add_argument("--pack", action="store_true",
                    help="pack 4-bit weights two-per-byte / 2-bit four-per-byte")

@@ -62,7 +62,7 @@ def rel_pos_attention(
     q = dense(x, p["q"]).reshape(b, s, num_heads, hd).transpose(0, 2, 1, 3)
     k = dense(x, p["k"]).reshape(b, s, num_heads, hd).transpose(0, 2, 1, 3)
     v = dense(x, p["v"]).reshape(b, s, num_heads, hd).transpose(0, 2, 1, 3)
-    rel_k = jnp.dot(pos_embed, p["rel_k"]["w"]).reshape(-1, num_heads, hd)  # (2S-1, H, hd)
+    rel_k = dense(pos_embed, p["rel_k"]).reshape(-1, num_heads, hd)  # (2S-1, H, hd)
     qu = q + p["bias_u"][None, :, None, :]
     qv = q + p["bias_v"][None, :, None, :]
     ac = jnp.einsum("bhsd,bhtd->bhst", qu, k)

@@ -152,7 +152,12 @@ def decoder_pass(
 def logits_from_hidden(params: dict, cfg: Qwen3Config, hidden: jnp.ndarray) -> jnp.ndarray:
     y = rms_norm(hidden, params["final_norm"]["scale"], cfg.rms_eps)
     if cfg.tie_embeddings:
-        return jnp.dot(y, params["embed"].T)
+        emb = params["embed"]
+        if not isinstance(emb, jnp.ndarray):  # QuantizedEmbedding tied head
+            from asr_tpu.quant.quantize import embedding_logits
+
+            return embedding_logits(emb, y)
+        return jnp.dot(y, emb.T)
     return dense(y, params["lm_head"])
 
 

@@ -24,11 +24,18 @@ from asr_tpu.layers.norms import layer_norm
 def dense(x, p):
     w = p["w"]
     if not isinstance(w, jnp.ndarray) and "q" in w:
-        # Weight-only quantized leaf ({"q","scale","zero","bits","block"}):
-        # dequant-fused matmul (Pallas on TPU, XLA dequant elsewhere).
-        from asr_tpu.ops.quant_matmul import quant_dense
+        if getattr(w, "dynamic", False):
+            # Dynamic-activation INT8: per-row activation quant + int8 MXU
+            # matmul (reference quantize_dynamic_int8 analog).
+            from asr_tpu.quant.quantize import dynamic_quant_dense
 
-        y = quant_dense(x, w)
+            y = dynamic_quant_dense(x, w)
+        else:
+            # Weight-only quantized leaf ({"q","scale","zero","bits","block"}):
+            # dequant-fused matmul (Pallas on TPU, XLA dequant elsewhere).
+            from asr_tpu.ops.quant_matmul import quant_dense
+
+            y = quant_dense(x, w)
     else:
         y = jnp.dot(x, w)
     if "b" in p and p["b"] is not None:

@@ -134,7 +134,7 @@ def _rel_attention(x, p, heads, pos_embed, bias):
     q = q.reshape(b, s, heads, hd).transpose(0, 2, 1, 3)
     k = k.reshape(b, s, heads, hd).transpose(0, 2, 1, 3)
     v = v.reshape(b, s, heads, hd).transpose(0, 2, 1, 3)
-    rel_k = jnp.dot(pos_embed, p["pos"]["w"]).reshape(-1, heads, hd)
+    rel_k = dense(pos_embed, p["pos"]).reshape(-1, heads, hd)
     qu = q + p["bias_u"][None, :, None, :]
     qv = q + p["bias_v"][None, :, None, :]
     ac = jnp.einsum("bhsd,bhtd->bhst", qu, k)

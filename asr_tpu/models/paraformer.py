@@ -30,6 +30,7 @@ from asr_tpu.frontend.lfr import apply_cmvn_addmul, lfr_stack
 from asr_tpu.layers.attention import NEG_INF, length_mask, mha
 from asr_tpu.layers.norms import layer_norm
 from asr_tpu.layers.sanm import depthwise_conv1d_time, sanm_block
+from asr_tpu.layers.transformer import dense
 from asr_tpu.models.sensevoice import sinusoid_position_encoding
 
 
@@ -114,8 +115,6 @@ def init_params(cfg: ParaformerConfig, rng: jax.Array, dtype=jnp.float32) -> dic
 
 def _ffn_sanm_decoder(x: jnp.ndarray, p: dict) -> jnp.ndarray:
     """FunASR PositionwiseFeedForwardDecoderSANM: w2(norm(relu(w1(x))))."""
-    from asr_tpu.layers.transformer import dense
-
     h = jnp.maximum(dense(x, p["w1"]), 0)
     h = layer_norm(h, p["norm"]["scale"], p["norm"]["bias"])
     return dense(h, p["w2"])
@@ -143,7 +142,7 @@ def predict_alphas(params: dict, cfg: ParaformerConfig, enc: jnp.ndarray, valid:
         x, p["conv"]["w"], (1,), [(pad, pad)], dimension_numbers=("NHC", "HIO", "NHC")
     ) + p["conv"]["b"]
     y = jnp.maximum(y, 0)
-    alphas = jax.nn.sigmoid(jnp.dot(y, p["out"]["w"]) + p["out"]["b"])[..., 0]
+    alphas = jax.nn.sigmoid(dense(y, p["out"]))[..., 0]
     return jnp.where(key_mask, alphas, 0.0)
 
 

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from asr_tpu.frontend.kaldi_fbank import KaldiFbankConfig, log_mel_fbank
+from asr_tpu.layers.transformer import dense
 
 
 def swoosh_l(x):
@@ -242,14 +243,14 @@ def _subsample(params: dict, cfg: ZipformerConfig, mel: jnp.ndarray, embed_pad: 
         x, cx["dw"]["w"], (1, 1), [(0, 0), (cfg.convnext_pad_freq, cfg.convnext_pad_freq)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=cfg.sub_layer3,
     ) + cx["dw"]["b"]
-    y = jnp.dot(y, cx["pw1"]["w"]) + cx["pw1"]["b"]
+    y = dense(y, cx["pw1"])
     y = swoosh_l(y)
     y = jax.lax.conv_general_dilated(y, cx["pw2"]["w"], (1, 1), [(0, 0), (0, 0)],
                                      dimension_numbers=("NHWC", "HWIO", "NHWC")) + cx["pw2"]["b"]
     x = bypass + y[:, :t_keep]
     t = x.shape[1]
     x = x.transpose(0, 1, 3, 2).reshape(t, -1)  # channel-major flatten (torch parity)
-    x = jnp.dot(x, e["out"]["w"]) + e["out"]["b"]
+    x = dense(x, e["out"])
     return bias_norm(x, e["out_norm_bias"], e["out_norm_log_scale"]), new_pad
 
 
@@ -258,7 +259,7 @@ def _attn_weights(p: dict, g: dict, src: jnp.ndarray, cached_key: jnp.ndarray, k
     h, qhd, phd = g["heads"], g["qhd"], g["phd"]
     seq, left, k_len = g["seq"], g["left"], g["k_len"]
     qdim = h * qhd
-    proj = jnp.dot(src, p["attn_in_proj"]["w"]) + p["attn_in_proj"]["b"]
+    proj = dense(src, p["attn_in_proj"])
     q, k, pos_q = jnp.split(proj, [qdim, 2 * qdim], axis=-1)
     k_full = jnp.concatenate([cached_key, k], axis=0)  # (k_len, qdim)
     new_key = k_full[-left:]
@@ -279,30 +280,30 @@ def _attn_weights(p: dict, g: dict, src: jnp.ndarray, cached_key: jnp.ndarray, k
 
 def _self_attn(p: dict, g: dict, src, weights, cached_val):
     h, vhd, seq, left, k_len = g["heads"], g["vhd"], g["seq"], g["left"], g["k_len"]
-    v = jnp.dot(src, p["in"]["w"]) + p["in"]["b"]
+    v = dense(src, p["in"])
     v_full = jnp.concatenate([cached_val, v], axis=0)
     new_val = v_full[-left:]
     vh = v_full.reshape(k_len, h, vhd).transpose(1, 0, 2)
     x = jnp.einsum("hsk,hkd->hsd", weights, vh)
     x = x.transpose(1, 0, 2).reshape(seq, h * vhd)
-    return jnp.dot(x, p["out"]["w"]) + p["out"]["b"], new_val
+    return dense(x, p["out"]), new_val
 
 
 def _nonlin_attn(p: dict, g: dict, src, weights0, cached_x):
     hidden, seq, left = g["hidden"], g["seq"], g["left"]
-    proj = jnp.dot(src, p["in"]["w"]) + p["in"]["b"]
+    proj = dense(src, p["in"])
     s, x, y = jnp.split(proj, 3, axis=-1)
     x = x * jnp.tanh(s)
     x_full = jnp.concatenate([cached_x, x], axis=0)  # (left+seq, hidden)
     new_cached = x_full[-left:]
     x = jnp.einsum("sk,kd->sd", weights0, x_full)
-    return jnp.dot(x * y, p["out"]["w"]) + p["out"]["b"], new_cached
+    return dense(x * y, p["out"]), new_cached
 
 
 def _conv_module(p: dict, g: dict, src, cache):
     d, seq = g["dim"], g["seq"]
     left_pad = g["kernel"] // 2
-    proj = jnp.dot(src, p["in"]["w"]) + p["in"]["b"]
+    proj = dense(src, p["in"])
     x, s = jnp.split(proj, 2, axis=-1)
     x = x * jax.nn.sigmoid(s)  # (seq, d)
     x_full = jnp.concatenate([cache, x], axis=0)  # (left_pad + seq, d)
@@ -310,12 +311,12 @@ def _conv_module(p: dict, g: dict, src, cache):
     # Fused per-timestep linear map: out[t, c] = sum_k fused_w[c, t, k] * x_full[k, c]
     y = jnp.einsum("ctk,kc->tc", p["fused_w"], x_full) + p["fused_b"].T
     y = swoosh_r(y)
-    return jnp.dot(y, p["out"]["w"]) + p["out"]["b"], new_cache
+    return dense(y, p["out"]), new_cache
 
 
 def _ff(p: dict, x):
-    h = swoosh_l(jnp.dot(x, p["in"]["w"]) + p["in"]["b"])
-    return jnp.dot(h, p["out"]["w"]) + p["out"]["b"]
+    h = swoosh_l(dense(x, p["in"]))
+    return dense(h, p["out"])
 
 
 def _layer(p: dict, g: dict, src, lstate, kpm):
@@ -410,7 +411,7 @@ def encoder_step(params: dict, cfg: ZipformerConfig, state: dict, window: jnp.nd
     w = jax.nn.softmax(params["output_ds_w"])
     xd = full.reshape(cfg.chunk_size // ds, ds, -1)
     out = jnp.sum(xd * w[None, :, None], axis=1)
-    enc = jnp.dot(out, params["encoder_proj"]["w"]) + params["encoder_proj"]["b"]
+    enc = dense(out, params["encoder_proj"])
 
     new_state = {
         **state,
@@ -436,7 +437,7 @@ def decoder_out(params: dict, cfg: ZipformerConfig, context: jnp.ndarray) -> jnp
     w = dec["conv_w"].reshape(groups, out_per, in_per, cfg.context_size)
     y = jnp.einsum("goik,kgi->go", w, e).reshape(cfg.decoder_dim)
     y = jax.nn.relu(y)
-    return jnp.dot(y, dec["proj"]["w"]) + dec["proj"]["b"]
+    return dense(y, dec["proj"])
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_new"))

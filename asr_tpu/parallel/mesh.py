@@ -73,6 +73,60 @@ def sensevoice_param_specs(params: Any) -> Any:
     }
 
 
+def _specs_by_rule(params: Any, rule) -> Any:
+    """Build a PartitionSpec pytree mirroring ``params`` exactly: ``rule``
+    maps a '/'-joined key path to a spec; unmatched leaves replicate. This
+    tolerates optional leaves (bias-less linears, tied heads)."""
+
+    def assign(path, _leaf):
+        key = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+        return rule(key)
+
+    return jax.tree_util.tree_map_with_path(assign, params)
+
+
+def whisper_param_specs(params: Any) -> Any:
+    """Tensor-parallel PartitionSpecs for a Whisper pytree (the large-v3
+    encoder/decoder are where per-chip HBM or latency can demand TP).
+    Megatron layout: attention q/k/v and mlp fc1 column-sharded over the
+    ``model`` axis (heads must divide it), o/fc2 row-sharded — XLA inserts
+    the psum at the row matmuls. Embeddings/convs/norms replicate."""
+
+    def rule(key: str):
+        for proj in ("attn/q", "attn/k", "attn/v", "cross/q", "cross/k",
+                     "cross/v", "mlp/fc1"):
+            if key.endswith(proj + "/w"):
+                return P(None, "model")
+            if key.endswith(proj + "/b"):
+                return P("model")
+        for proj in ("attn/o", "cross/o", "mlp/fc2"):
+            if key.endswith(proj + "/w"):
+                return P("model", None)
+        return P()
+
+    return _specs_by_rule(params, rule)
+
+
+def qwen3_param_specs(params: Any) -> Any:
+    """Tensor-parallel PartitionSpecs for a Qwen3 decoder pytree (0.6B LLM
+    decoders of Qwen3-ASR / Fun-ASR-Nano). GQA: kv heads must divide the
+    model-axis size; per-head q/k RMSNorm scales replicate (they span
+    head_dim, not heads)."""
+
+    def rule(key: str):
+        for proj in ("attn/q", "attn/k", "attn/v", "mlp/gate", "mlp/up", "lm_head"):
+            if key.endswith(proj + "/w"):
+                return P(None, "model")
+            if key.endswith(proj + "/b"):
+                return P("model")
+        for proj in ("attn/o", "mlp/down"):
+            if key.endswith(proj + "/w"):
+                return P("model", None)
+        return P()
+
+    return _specs_by_rule(params, rule)
+
+
 def shard_params(params: Any, mesh: Mesh, specs: Any | None = None) -> Any:
     """Place a param pytree on the mesh (replicated by default, or per-spec)."""
     if specs is None:

@@ -2,8 +2,9 @@
 
 Inference is collective-free (SURVEY.md §5): shard the window batch over
 the mesh's ``data`` axis, replicate params, and any family ``forward``
-runs SPMD. Sessions use this transparently when more than one device is
-visible.
+runs SPMD. Sessions route through this when constructed with ``mesh=``
+(``SenseVoiceSession`` / ``WhisperSession`` / every ``_WindowedSession``
+family; CLI ``transcribe --data-parallel N``).
 """
 
 from __future__ import annotations

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 METHODS = ("f32", "bf16", "q8", "q4", "q2")
-ALGORITHMS = ("rtn", "kquant")
+ALGORITHMS = ("rtn", "kquant", "hqq", "dynamic")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -36,7 +36,7 @@ class Plan:
     config whose fields serve as defaults for fields left at None."""
 
     method: str | None = None          # f32 | bf16 | q8 | q4 | q2
-    algorithm: str | None = None       # rtn | kquant
+    algorithm: str | None = None       # rtn | kquant | hqq | dynamic
     block: int | None = None
     refine_iters: int | None = None
     pack: bool | None = None

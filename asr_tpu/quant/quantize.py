@@ -74,6 +74,35 @@ def _fit_kquant(blocks: jnp.ndarray, qmax: int, n_grid: int = 16):
     return scale, zero
 
 
+def _fit_hqq(blocks: jnp.ndarray, qmax: int, iters: int = 20,
+             lp_norm: float = 0.7, beta0: float = 10.0, kappa: float = 1.01):
+    """Half-Quadratic Quantization zero-point optimization (the reference's
+    HQQ algorithm choice, ``Optimize_ONNX_Common.py:40-47`` matrix): with
+    the range-fit scale fixed, minimize the ||W - deq(W)||_p^p (p<1)
+    reconstruction error over the zero-point via half-quadratic splitting —
+    alternating a generalized-soft-threshold shrink of the residual and a
+    closed-form per-block zero update."""
+    scale, zero = _fit_rtn(blocks, qmax)
+
+    def shrink(x, beta):
+        # Generalized soft-threshold for the |.|_p^{p<1} proximal operator.
+        mag = jnp.abs(x)
+        return jnp.sign(x) * jax.nn.relu(
+            mag - (mag + 1e-8) ** (lp_norm - 1.0) / beta
+        )
+
+    def body(carry, _):
+        zero, beta = carry
+        q = jnp.clip(jnp.round(blocks / scale + zero), 0, qmax)
+        err = blocks - (q - zero) * scale
+        e = shrink(err, beta)
+        zero = jnp.mean(q - (blocks - e) / scale, axis=1, keepdims=True)
+        return (zero, beta * kappa), None
+
+    (zero, _), _ = jax.lax.scan(body, (zero, beta0), None, length=iters)
+    return scale, jnp.clip(jnp.round(zero), 0, qmax)
+
+
 @functools.partial(jax.jit, static_argnames=("bits", "block", "refine_iters", "objective"))
 def quantize_weight(
     w: jnp.ndarray, bits: int = 8, block: int = 128, refine_iters: int = 0,
@@ -81,9 +110,10 @@ def quantize_weight(
 ):
     """Quantize a (K, N) weight block-wise along K.
 
-    ``objective``: "rtn" (round-to-nearest range fit) or "kquant"
-    (importance-weighted grid search). Returns (q uint8 (K, N),
-    scale (NB, N), zero (NB, N)) with ``w ≈ (q - zero) * scale`` per block.
+    ``objective``: "rtn" (round-to-nearest range fit), "kquant"
+    (importance-weighted grid search) or "hqq" (half-quadratic zero-point
+    optimization). Returns (q uint8 (K, N), scale (NB, N), zero (NB, N))
+    with ``w ≈ (q - zero) * scale`` per block.
     """
     k, n = w.shape
     assert k % block == 0, (k, block)
@@ -91,6 +121,8 @@ def quantize_weight(
     blocks = w.reshape(k // block, block, n).astype(jnp.float32)
     if objective == "kquant":
         scale, zero = _fit_kquant(blocks, qmax)
+    elif objective == "hqq":
+        scale, zero = _fit_hqq(blocks, qmax)
     else:
         scale, zero = _fit_rtn(blocks, qmax)
 
@@ -129,16 +161,20 @@ class QuantizedLinear:
     the halves stay K-contiguous so dequant decomposes into two partial
     matmuls with no interleaving."""
 
-    def __init__(self, q, scale, zero, bits: int, block: int, packed: bool = False):
+    def __init__(self, q, scale, zero, bits: int, block: int,
+                 packed: bool = False, dynamic: bool = False):
         self.q = q
         self.scale = scale
         self.zero = zero
         self.bits = int(bits)
         self.block = int(block)
         self.packed = bool(packed)
+        self.dynamic = bool(dynamic)  # dynamic-activation int8 matmul path
 
     def tree_flatten(self):
-        return (self.q, self.scale, self.zero), (self.bits, self.block, self.packed)
+        return (self.q, self.scale, self.zero), (
+            self.bits, self.block, self.packed, self.dynamic,
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -149,7 +185,7 @@ class QuantizedLinear:
         return getattr(self, key)
 
     def __contains__(self, key):
-        return key in ("q", "scale", "zero", "bits", "block", "packed")
+        return key in ("q", "scale", "zero", "bits", "block", "packed", "dynamic")
 
     @property
     def k(self) -> int:
@@ -233,6 +269,13 @@ def quantize_linear(
     pack: bool = False, objective: str = "rtn",
 ):
     k = w.shape[0]
+    if objective == "dynamic":
+        # Dynamic-activation INT8 (reference ``quantize_dynamic_int8``,
+        # ``Optimize_ONNX_Common.py:4049``): activations quantize per row at
+        # call time, so the WEIGHT needs per-COLUMN scales (block = K) for
+        # the whole product to stay one int8 x int8 -> int32 MXU matmul.
+        q, scale, zero = quantize_weight(w, 8, k, refine_iters, objective="rtn")
+        return QuantizedLinear(q, scale, zero, 8, k, dynamic=True)
     if k % block != 0:
         # Fall back to one block per remainder-safe size.
         block = k
@@ -245,6 +288,99 @@ def quantize_linear(
         q_unsigned = (q.astype(jnp.int32) + 128).astype(jnp.uint8)
         return QuantizedLinear(pack2_quarters(q_unsigned), scale, zero + 128.0, 2, block, packed=True)
     return QuantizedLinear(q, scale, zero, bits, block)
+
+
+def dynamic_quant_dense(x: jnp.ndarray, qleaf: "QuantizedLinear") -> jnp.ndarray:
+    """Dynamic-activation INT8 matmul: activations quantize per ROW
+    (symmetric absmax) at call time, the product runs int8 x int8 -> int32
+    on the MXU, and the result rescales by (row scale x column scale).
+    TPU-native DynamicQuantizeLinear + MatMulInteger (reference
+    ``quantize_dynamic_int8``, ``Optimize_ONNX_Common.py:4049``)."""
+    orig = x.shape
+    x2 = x.reshape(-1, orig[-1]).astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(x2), axis=1, keepdims=True)
+    sx = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    xq = jnp.clip(jnp.round(x2 / sx), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, qleaf.q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    ).astype(jnp.float32)
+    # (q - zero) expansion: subtract (sum_k xq) * zero_n — zero is per column.
+    row_sum = jnp.sum(xq.astype(jnp.int32), axis=1, keepdims=True).astype(jnp.float32)
+    y = (acc - row_sum * qleaf.zero) * sx * qleaf.scale
+    return y.reshape(*orig[:-1], qleaf.q.shape[1]).astype(x.dtype)
+
+
+@jax.tree_util.register_pytree_node_class
+class QuantizedEmbedding:
+    """Row-gatherable block-quantized embedding table — the reference's
+    GatherBlockQuantized analog (``Optimize_ONNX_Common.py:3860`` area).
+
+    Quantized along the EMBEDDING axis in ``block``-wide groups per row, so
+    ``emb[ids]`` gathers + dequantizes only the touched rows. Tied LM heads
+    go through :func:`embedding_logits`.
+    """
+
+    def __init__(self, q, scale, zero, bits: int, block: int):
+        self.q = q            # (V, D) int8, centered (q - 128)
+        self.scale = scale    # (V, D // block)
+        self.zero = zero      # (V, D // block), centered
+        self.bits = int(bits)
+        self.block = int(block)
+
+    def tree_flatten(self):
+        return (self.q, self.scale, self.zero), (self.bits, self.block)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    def __getitem__(self, ids):
+        ids = jnp.asarray(ids)
+        rows = jnp.take(self.q, ids, axis=0).astype(jnp.float32)
+        s = jnp.take(self.scale, ids, axis=0)
+        z = jnp.take(self.zero, ids, axis=0)
+        v, d = self.q.shape
+        nb = self.scale.shape[1]
+        rows = rows.reshape(*rows.shape[:-1], nb, d // nb)
+        deq = (rows - z[..., None]) * s[..., None]
+        return deq.reshape(*ids.shape, d)
+
+    def dequant(self) -> jnp.ndarray:
+        v, d = self.q.shape
+        nb = self.scale.shape[1]
+        rows = self.q.astype(jnp.float32).reshape(v, nb, d // nb)
+        return ((rows - self.zero[..., None]) * self.scale[..., None]).reshape(v, d)
+
+    @property
+    def dtype(self):
+        return self.scale.dtype
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    @property
+    def ndim(self) -> int:
+        return 2
+
+
+def embedding_logits(embed, y: jnp.ndarray) -> jnp.ndarray:
+    """Tied-head logits ``y @ embed.T`` for plain or quantized tables."""
+    if isinstance(embed, QuantizedEmbedding):
+        return jnp.dot(y, embed.dequant().T.astype(y.dtype))
+    return jnp.dot(y, embed.T)
+
+
+def quantize_embedding(
+    w: jnp.ndarray, bits: int = 8, block: int = 128, objective: str = "rtn"
+) -> QuantizedEmbedding:
+    """(V, D) table -> per-row block quantization along D."""
+    v, d = w.shape
+    if d % block != 0:
+        block = d
+    # quantize_weight blocks along axis 0: feed the transpose.
+    q, scale, zero = quantize_weight(w.T, bits, block, 0, objective=objective)
+    return QuantizedEmbedding(q.T, scale.T, zero.T, bits, block)
 
 
 def is_quantized(leaf) -> bool:
@@ -262,10 +398,15 @@ def quantize_pytree(
     predicate: Callable[[str, jnp.ndarray], bool] | None = None,
     pack: bool = False,
     objective: str = "rtn",
+    quantize_embeddings: bool = False,
 ):
     """Quantize every 2-D ``{"w": ...}`` linear weight above ``min_size``
     elements (mirrors the reference's >=1024-element shared-initializer and
-    node include/exclude plans, ``Optimize_ONNX_Common.py:85-135``)."""
+    node include/exclude plans, ``Optimize_ONNX_Common.py:85-135``).
+
+    ``quantize_embeddings``: also quantize ``embed`` tables into
+    gather-dequant :class:`QuantizedEmbedding` leaves (LLM-decoder
+    families — Qwen3 lookups and tied logits route through them)."""
 
     def walk(node, path):
         if isinstance(node, dict):
@@ -281,6 +422,17 @@ def quantize_pytree(
                 ):
                     out[key] = quantize_linear(value, bits, block, refine_iters,
                                                pack=pack, objective=objective)
+                elif (
+                    quantize_embeddings
+                    and key == "embed"
+                    and isinstance(value, jnp.ndarray)
+                    and value.ndim == 2
+                    and value.size >= min_size
+                ):
+                    out[key] = quantize_embedding(
+                        value, max(bits, 8) if objective == "dynamic" else bits,
+                        block, objective="rtn" if objective == "dynamic" else objective,
+                    )
                 else:
                     out[key] = walk(value, p)
             return out

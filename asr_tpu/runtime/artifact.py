@@ -21,7 +21,7 @@ WEIGHTS_FILENAME = "weights.safetensors"
 
 
 def flatten_pytree(tree: Any, prefix: str = "") -> dict[str, np.ndarray]:
-    from asr_tpu.quant.quantize import QuantizedLinear
+    from asr_tpu.quant.quantize import QuantizedEmbedding, QuantizedLinear
 
     out: dict[str, np.ndarray] = {}
     if isinstance(tree, QuantizedLinear):
@@ -30,6 +30,12 @@ def flatten_pytree(tree: Any, prefix: str = "") -> dict[str, np.ndarray]:
         out[f"{prefix}__quant__/bits"] = np.asarray(tree.bits, np.int32)
         out[f"{prefix}__quant__/block"] = np.asarray(tree.block, np.int32)
         out[f"{prefix}__quant__/packed"] = np.asarray(int(tree.packed), np.int32)
+        out[f"{prefix}__quant__/dynamic"] = np.asarray(int(tree.dynamic), np.int32)
+    elif isinstance(tree, QuantizedEmbedding):
+        for k in ("q", "scale", "zero"):
+            out[f"{prefix}__qembed__/{k}"] = np.ascontiguousarray(np.asarray(getattr(tree, k)))
+        out[f"{prefix}__qembed__/bits"] = np.asarray(tree.bits, np.int32)
+        out[f"{prefix}__qembed__/block"] = np.asarray(tree.block, np.int32)
     elif isinstance(tree, dict):
         for k, v in tree.items():
             out.update(flatten_pytree(v, f"{prefix}{k}/"))
@@ -61,7 +67,14 @@ def unflatten_pytree(flat: dict[str, np.ndarray]) -> Any:
             q = node["__quant__"]
             return QuantizedLinear(q["q"], q["scale"], q["zero"],
                                    int(q["bits"]), int(q["block"]),
-                                   packed=bool(int(q.get("packed", 0))))
+                                   packed=bool(int(q.get("packed", 0))),
+                                   dynamic=bool(int(q.get("dynamic", 0))))
+        if "__qembed__" in node and len(node) == 1:
+            from asr_tpu.quant.quantize import QuantizedEmbedding
+
+            q = node["__qembed__"]
+            return QuantizedEmbedding(q["q"], q["scale"], q["zero"],
+                                      int(q["bits"]), int(q["block"]))
         keys = list(node.keys())
         if keys and all(k.isdigit() for k in keys):
             return [listify(node[str(i)]) for i in range(len(keys))]
@@ -128,7 +141,7 @@ def _to_device(tree: Any, _memo: dict | None = None) -> Any:
     """Host tree -> device tree. Aliased numpy leaves (weight dedup) map to
     ONE device buffer — N references, one physical HBM copy, matching the
     reference's mmap'd shared-initializer behavior."""
-    from asr_tpu.quant.quantize import QuantizedLinear
+    from asr_tpu.quant.quantize import QuantizedEmbedding, QuantizedLinear
 
     memo = _memo if _memo is not None else {}
 
@@ -141,7 +154,11 @@ def _to_device(tree: Any, _memo: dict | None = None) -> Any:
     if isinstance(tree, QuantizedLinear):
         return QuantizedLinear(
             put(tree.q), put(tree.scale), put(tree.zero),
-            tree.bits, tree.block, packed=tree.packed,
+            tree.bits, tree.block, packed=tree.packed, dynamic=tree.dynamic,
+        )
+    if isinstance(tree, QuantizedEmbedding):
+        return QuantizedEmbedding(
+            put(tree.q), put(tree.scale), put(tree.zero), tree.bits, tree.block,
         )
     if isinstance(tree, dict):
         return {k: _to_device(v, memo) for k, v in tree.items()}

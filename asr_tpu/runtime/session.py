@@ -65,12 +65,19 @@ class SenseVoiceSession:
         tokenizer=None,
         metadata: ModelMetadata | None = None,
         window_seconds: float = 8.0,
+        mesh=None,
     ):
-        self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.metadata = metadata
         self.window_samples = int(window_seconds * cfg.sample_rate)
+        self.runner = None
+        if mesh is not None:
+            from asr_tpu.parallel.serve import DataParallelRunner
+
+            self.runner = DataParallelRunner(mesh)
+            params = self.runner.shard_params(params)
+        self.params = params
 
     def language_index(self, language: str) -> int:
         for i, (code, desc, aliases, _tok) in enumerate(sv.LANGUAGE_PROFILES):
@@ -97,9 +104,15 @@ class SenseVoiceSession:
         lang_idx = np.full((padded,), self.language_index(language), dtype=np.int32)
 
         t0 = time.perf_counter()
-        toks, counts = sv.forward(
-            self.params, self.cfg, jnp.asarray(buf), jnp.asarray(valid), jnp.asarray(lang_idx)
-        )
+        if self.runner is not None:
+            toks, counts = self.runner(
+                lambda p, a, v, li: sv.forward(p, self.cfg, a, v, li),
+                self.params, buf, valid, lang_idx,
+            )
+        else:
+            toks, counts = sv.forward(
+                self.params, self.cfg, jnp.asarray(buf), jnp.asarray(valid), jnp.asarray(lang_idx)
+            )
         toks = np.asarray(jax.block_until_ready(toks))
         counts = np.asarray(counts)
         elapsed = time.perf_counter() - t0

@@ -33,15 +33,21 @@ class _WindowedSession:
     window_seconds = 30.0
     sample_rate = 16000
 
-    def __init__(self, params, cfg, tokenizer=None, window_seconds=None):
-        self.params = params
+    def __init__(self, params, cfg, tokenizer=None, window_seconds=None, mesh=None):
         self.cfg = cfg
         self.tokenizer = tokenizer
         if window_seconds is not None:
             self.window_seconds = window_seconds
         self.window_samples = int(self.window_seconds * self.sample_rate)
+        self.runner = None
+        if mesh is not None:
+            from asr_tpu.parallel.serve import DataParallelRunner
 
-    def _forward(self, audio: jnp.ndarray, valid: jnp.ndarray):
+            self.runner = DataParallelRunner(mesh)
+            params = self.runner.shard_params(params)
+        self.params = params
+
+    def _forward(self, params, audio: jnp.ndarray, valid: jnp.ndarray):
         raise NotImplementedError
 
     def _postprocess(self, text: str) -> str:
@@ -62,7 +68,14 @@ class _WindowedSession:
             buf[i, : len(chunk)] = chunk
             valid[i] = len(chunk)
         t0 = time.perf_counter()
-        toks, counts = self._forward(jnp.asarray(buf), jnp.asarray(valid), **kw)
+        if self.runner is not None:
+            # Batch data-parallel over the mesh's data axis: pads to a
+            # device multiple, shards windows, replicated params.
+            toks, counts = self.runner(
+                lambda p, a, v: self._forward(p, a, v, **kw), self.params, buf, valid
+            )
+        else:
+            toks, counts = self._forward(self.params, jnp.asarray(buf), jnp.asarray(valid), **kw)
         toks = np.asarray(jax.block_until_ready(toks))
         counts = np.asarray(counts)
         elapsed = time.perf_counter() - t0
@@ -79,10 +92,10 @@ class ParakeetSession(_WindowedSession):
 
     window_seconds = 24.0   # bounded by the baked PE table (~123 s max)
 
-    def _forward(self, audio, valid):
+    def _forward(self, params, audio, valid):
         from asr_tpu.models import parakeet as pk
 
-        return pk.forward(self.params, self.cfg, audio, valid)
+        return pk.forward(params, self.cfg, audio, valid)
 
 
 class NemotronSession(_WindowedSession):
@@ -93,11 +106,11 @@ class NemotronSession(_WindowedSession):
         super().__init__(params, cfg, tokenizer, **kw)
         self.prompt_id = prompt_id
 
-    def _forward(self, audio, valid):
+    def _forward(self, params, audio, valid):
         from asr_tpu.models import nemotron as nm
 
         pid = jnp.full((audio.shape[0],), self.prompt_id, jnp.int32)
-        return nm.forward(self.params, self.cfg, audio, valid, pid)
+        return nm.forward(params, self.cfg, audio, valid, pid)
 
     def _postprocess(self, text: str) -> str:
         return strip_language_tags(text)
@@ -117,10 +130,10 @@ class FireRedSession(_WindowedSession):
             max_new_tokens=224, eot_id=cfg.eos_id, strategy="greedy"
         )
 
-    def _forward(self, audio, valid):
+    def _forward(self, params, audio, valid):
         from asr_tpu.models import firered as fr
 
-        toks, counts = fr.transcribe(self.params, self.cfg, audio, valid, self.decode_cfg)
+        toks, counts = fr.transcribe(params, self.cfg, audio, valid, self.decode_cfg)
         return toks[:, 1:], counts  # drop the SOS slot
 
 
@@ -134,10 +147,10 @@ class ParaformerSession(_WindowedSession):
         super().__init__(params, cfg, tokenizer, **kw)
         self.max_tokens = max_tokens
 
-    def _forward(self, audio, valid):
+    def _forward(self, params, audio, valid):
         from asr_tpu.models import paraformer as pf
 
-        return pf.forward(self.params, self.cfg, audio, valid, max_tokens=self.max_tokens)
+        return pf.forward(params, self.cfg, audio, valid, max_tokens=self.max_tokens)
 
 
 class DolphinSession(_WindowedSession):
@@ -162,7 +175,7 @@ class DolphinSession(_WindowedSession):
         self.last_language: int | None = None
         self.last_region: int | None = None
 
-    def _forward(self, audio, valid):
+    def _forward(self, params, audio, valid):
         from asr_tpu.models import dolphin as dp
 
         b = audio.shape[0]
@@ -170,7 +183,7 @@ class DolphinSession(_WindowedSession):
             np.array([[self.cfg.sos_id, self.language_id, self.region_id]], np.int32),
             (b, 1),
         )
-        out = dp.transcribe(self.params, self.cfg, audio, valid,
+        out = dp.transcribe(params, self.cfg, audio, valid,
                             jnp.asarray(prompt), self.decode_cfg)
         if "language" in out:
             self.last_language = int(out["language"][0])
@@ -187,7 +200,7 @@ class FunAsrNanoCtcSession(_WindowedSession):
     pcm_scale = 32768.0
     window_seconds = 30.0
 
-    def _forward(self, audio, valid):
+    def _forward(self, params, audio, valid):
         from asr_tpu.models import fun_asr_nano as fn
 
-        return fn.forward_ctc(self.params, self.cfg, audio, valid)
+        return fn.forward_ctc(params, self.cfg, audio, valid)

@@ -63,13 +63,21 @@ class WhisperSession:
         tokenizer=None,
         session_cfg: WhisperSessionConfig | None = None,
         language_id_map: dict[str, int] | None = None,
+        mesh=None,
+        window_seconds: float = WINDOW_SECONDS,
     ):
-        self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.scfg = session_cfg or WhisperSessionConfig()
-        self.window_samples = int(WINDOW_SECONDS * cfg.sample_rate)
+        self.window_samples = int(window_seconds * cfg.sample_rate)
         self.language_id_map = language_id_map or {}
+        self.runner = None
+        if mesh is not None:
+            from asr_tpu.parallel.serve import DataParallelRunner
+
+            self.runner = DataParallelRunner(mesh)
+            params = self.runner.shard_params(params)
+        self.params = params
 
     def _decode_cfg(self) -> DecodeConfig:
         s = self.scfg
@@ -118,16 +126,30 @@ class WhisperSession:
             buf[i, : len(chunk)] = chunk
 
         t0 = time.perf_counter()
-        mel = wh.mel_for_audio(self.cfg, jnp.asarray(buf))
-        out = wh.transcribe_window(
-            self.params,
-            self.cfg,
-            mel,
-            jnp.asarray(self._prompt(padded, language)),
-            self._decode_cfg(),
-            begin_suppress_ids=self.scfg.begin_suppress_ids,
-            rng=rng,
-        )
+        decode_cfg = self._decode_cfg()
+        begin_suppress = self.scfg.begin_suppress_ids
+        prompt = self._prompt(padded, language)
+        if self.runner is not None:
+            # Batch-DP over the mesh's data axis: mel + full window pipeline
+            # run SPMD with replicated params.
+            out = self.runner(
+                lambda p, a, pr: wh.transcribe_window(
+                    p, self.cfg, wh.mel_for_audio(self.cfg, a), pr, decode_cfg,
+                    begin_suppress_ids=begin_suppress, rng=rng,
+                ),
+                self.params, buf, prompt,
+            )
+        else:
+            mel = wh.mel_for_audio(self.cfg, jnp.asarray(buf))
+            out = wh.transcribe_window(
+                self.params,
+                self.cfg,
+                mel,
+                jnp.asarray(prompt),
+                decode_cfg,
+                begin_suppress_ids=begin_suppress,
+                rng=rng,
+            )
         tokens = np.asarray(jax.block_until_ready(out["tokens"]))
         counts = np.asarray(out["counts"])
         nsp = np.asarray(out["no_speech_prob"])

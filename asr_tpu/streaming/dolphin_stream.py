@@ -137,7 +137,7 @@ def encoder_step(params: dict, cfg: DolphinStreamConfig, state: dict, window: jn
         v_buf = jax.lax.dynamic_update_slice(state["att_v"][li], v_new, (valid, 0, 0))
         new_att_k.append(k_buf)
         new_att_v.append(v_buf)
-        rel_k = jnp.dot(pos, p["attn"]["rel_k"]["w"]).reshape(max_f, b.enc_heads, hd)
+        rel_k = dense(pos, p["attn"]["rel_k"]).reshape(max_f, b.enc_heads, hd)
         qu = q + p["attn"]["bias_u"][None, None]
         qv = q + p["attn"]["bias_v"][None, None]
         ac = jnp.einsum("bqhd,khd->bhqk", qu, k_buf)

@@ -164,7 +164,7 @@ def encoder_step_features(
         q = dense(m, bp["attn"]["q"]).reshape(cfg.chunk, b.num_heads, hd).transpose(1, 0, 2)
         k = dense(m_full, bp["attn"]["k"]).reshape(kv_len, b.num_heads, hd).transpose(1, 0, 2)
         v = dense(m_full, bp["attn"]["v"]).reshape(kv_len, b.num_heads, hd).transpose(1, 0, 2)
-        rel_k = jnp.dot(pe, bp["attn"]["rel_k"]["w"]).reshape(-1, b.num_heads, hd)
+        rel_k = dense(pe, bp["attn"]["rel_k"]).reshape(-1, b.num_heads, hd)
         qu = q + bp["attn"]["bias_u"][:, None, :]
         qv = q + bp["attn"]["bias_v"][:, None, :]
         ac = jnp.einsum("hqd,hkd->hqk", qu, k)

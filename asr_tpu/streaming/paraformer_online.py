@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from asr_tpu.frontend.kaldi_fbank import log_mel_fbank
 from asr_tpu.frontend.lfr import apply_cmvn_addmul
 from asr_tpu.layers.attention import NEG_INF
+from asr_tpu.layers.transformer import dense
 from asr_tpu.layers.norms import layer_norm
 from asr_tpu.layers.sanm import depthwise_conv1d_time
 from asr_tpu.models.paraformer import ParaformerConfig, _ffn_sanm_decoder
@@ -189,7 +190,7 @@ def encoder_step(params: dict, cfg: ParaformerStreamConfig, state: dict, audio_c
 
     for li, p in enumerate(layers):
         y = layer_norm(x, p["norm1"]["scale"], p["norm1"]["bias"])
-        qkv = jnp.dot(y, p["qkv"]["w"]) + p["qkv"]["b"]
+        qkv = dense(y, p["qkv"])
         q, k, v = jnp.split(qkv, 3, axis=-1)
         qh = q.reshape(1, p_cur, b.num_heads, b.head_dim)
         kh = k.reshape(1, p_cur, b.num_heads, b.head_dim)
@@ -205,7 +206,7 @@ def encoder_step(params: dict, cfg: ParaformerStreamConfig, state: dict, audio_c
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v_full).reshape(1, p_cur, b.hidden)
         pad = (b.fsmn_kernel - 1) // 2
         mem = depthwise_conv1d_time(v, p["fsmn_w"], pad, pad) + v
-        branch = jnp.dot(ctx, p["out"]["w"]) + p["out"]["b"] + mem
+        branch = dense(ctx, p["out"]) + mem
         x = branch + x if li > 0 else branch
         y2 = layer_norm(x, p["norm2"]["scale"], p["norm2"]["bias"])
         h = jnp.maximum(jnp.dot(y2, p["ffn"]["w1"]) + p["ffn"]["b1"], 0)
@@ -288,10 +289,10 @@ def decoder_step(
         mem = depthwise_conv1d_time(seq, p["fsmn_w"], 0, 0)  # causal: kernel eats history
         x = mem + sa_in + residual
         c_in = layer_norm(x, p["norm3"]["scale"], p["norm3"]["bias"])
-        q = (jnp.dot(c_in, p["cross"]["q"]["w"]) + p["cross"]["q"]["b"]).reshape(
+        q = (dense(c_in, p["cross"]["q"])).reshape(
             1, n, b.num_heads, b.head_dim
         )
-        kv = jnp.dot(encoder_out, p["cross"]["kv"]["w"]) + p["cross"]["kv"]["b"]
+        kv = dense(encoder_out, p["cross"]["kv"])
         k, v = jnp.split(kv, 2, axis=-1)
         kh = k.reshape(1, p_enc, b.num_heads, b.head_dim)
         vh = v.reshape(1, p_enc, b.num_heads, b.head_dim)
@@ -302,12 +303,12 @@ def decoder_step(
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k_full).astype(jnp.float32) * (b.head_dim ** -0.5)
         probs = jax.nn.softmax(scores + key_bias, axis=-1).astype(x.dtype)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v_full).reshape(1, n, b.hidden)
-        x = x + jnp.dot(ctx, p["cross"]["out"]["w"]) + p["cross"]["out"]["b"]
+        x = x + dense(ctx, p["cross"]["out"])
 
     for p in params["decoder_ffn"]:
         x = _ffn_sanm_decoder(layer_norm(x, p["norm1"]["scale"], p["norm1"]["bias"]), p["ffn"])
     x = layer_norm(x, params["decoder_after_norm"]["scale"], params["decoder_after_norm"]["bias"])
-    logits = jnp.dot(x, params["output"]["w"]) + params["output"]["b"]
+    logits = dense(x, params["output"])
     ids = jnp.where(tok_mask, jnp.argmax(logits, axis=-1).astype(jnp.int32), 0)
 
     new_state = {

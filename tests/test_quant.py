@@ -230,3 +230,83 @@ def test_pallas_p2_kernel_interpret_matches_xla():
         tile_m=128, tile_n=128, tile_k4=2048, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_hqq_beats_or_matches_rtn():
+    """HQQ zero-point optimization: reconstruction error <= RTN on an
+    outlier-heavy weight (the regime HQQ targets)."""
+    from asr_tpu.quant.quantize import quantization_error, quantize_linear
+
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((256, 64)).astype(np.float32)
+    w[rng.integers(0, 256, 40), rng.integers(0, 64, 40)] *= 12.0  # outliers
+    w = jnp.asarray(w)
+    err_rtn = quantization_error(w, quantize_linear(w, bits=4, block=64))
+    err_hqq = quantization_error(w, quantize_linear(w, bits=4, block=64, objective="hqq"))
+    assert err_hqq <= err_rtn * 1.02  # never meaningfully worse
+    assert err_hqq < 0.5
+
+
+def test_dynamic_int8_dense_close_to_f32():
+    from asr_tpu.layers.transformer import dense
+    from asr_tpu.quant.quantize import quantize_linear
+
+    rng = np.random.default_rng(1)
+    w = jnp.asarray(rng.standard_normal((128, 96)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal(96).astype(np.float32) * 0.01)
+    x = jnp.asarray(rng.standard_normal((2, 5, 128)).astype(np.float32))
+    ref = np.asarray(dense(x, {"w": w, "b": b}))
+    qleaf = quantize_linear(w, objective="dynamic")
+    assert qleaf.dynamic and qleaf.block == 128 and qleaf.bits == 8
+    out = np.asarray(dense(x, {"w": qleaf, "b": b}))
+    rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert rel < 0.02, rel
+
+    # jit-compatible (QuantizedLinear is a pytree node; dynamic is aux).
+    out2 = np.asarray(jax.jit(lambda x: dense(x, {"w": qleaf, "b": b}))(x))
+    np.testing.assert_allclose(out2, out, rtol=1e-5, atol=1e-6)
+
+
+def test_quantized_embedding_gather_and_tied_logits():
+    from asr_tpu.quant.quantize import embedding_logits, quantize_embedding
+
+    rng = np.random.default_rng(2)
+    table = jnp.asarray(rng.standard_normal((50, 64)).astype(np.float32))
+    qemb = quantize_embedding(table, bits=8, block=32)
+    ids = jnp.asarray([[0, 7, 49], [3, 3, 11]])
+    got = np.asarray(qemb[ids])
+    want = np.asarray(table)[np.asarray(ids)]
+    assert got.shape == want.shape
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 0.01, rel
+
+    y = jnp.asarray(rng.standard_normal((2, 64)).astype(np.float32))
+    lg = np.asarray(embedding_logits(qemb, y))
+    ref = np.asarray(y @ table.T)
+    assert np.linalg.norm(lg - ref) / np.linalg.norm(ref) < 0.01
+
+
+def test_qwen3_runs_with_quantized_embedding():
+    """Tied Qwen3 decoder runs with a QuantizedEmbedding for lookup + head,
+    and the artifact round trip preserves the leaf."""
+    from asr_tpu.layers import qwen3
+    from asr_tpu.quant.quantize import QuantizedEmbedding, quantize_pytree
+    from asr_tpu.runtime.artifact import flatten_pytree, unflatten_pytree
+
+    cfg = qwen3.Qwen3Config(vocab_size=512, hidden=64, num_layers=1, num_heads=4,
+                            num_kv_heads=2, head_dim=16, ffn_dim=96)
+    params = qwen3.init_params(cfg, jax.random.PRNGKey(0))
+    qparams = quantize_pytree(params, min_size=1 << 10, quantize_embeddings=True)
+    assert isinstance(qparams["embed"], QuantizedEmbedding)
+
+    ids = jnp.asarray([[3, 17, 42]])
+    embeds = qparams["embed"][ids].astype(jnp.float32)
+    state = qwen3.make_kv_state(cfg, 1, 8)
+    bias = qwen3.causal_prefill_bias(jnp.asarray([3]), 3, 8)
+    hidden, _ = qwen3.decoder_pass(qparams, cfg, embeds, state, jnp.asarray(0, jnp.int32), bias)
+    logits = qwen3.logits_from_hidden(qparams, cfg, hidden)
+    assert logits.shape == (1, 3, 512)
+
+    rt = unflatten_pytree(flatten_pytree(qparams))
+    assert isinstance(rt["embed"], QuantizedEmbedding)
+    np.testing.assert_array_equal(np.asarray(rt["embed"].q), np.asarray(qparams["embed"].q))
