@@ -57,6 +57,13 @@ class WhisperConfig:
     translate_id: int = 50359
     first_language_id: int = 50259
     num_languages: int = 100
+    # KV-cache STORAGE dtype: None = encoder compute dtype. "bfloat16"
+    # halves cache HBM while compute stays f32 (attention promotes at the
+    # matmul use points) — the reference's f16 cross-KV storage option
+    # (``Whisper/Export_Whisper.py`` USE_FP16_KV / COMPUTE_IN_F32), with
+    # bf16 instead of f16 because its exponent range needs no overflow
+    # guards (SURVEY.md §7.7).
+    kv_dtype: str | None = None
 
     @property
     def head_dim(self) -> int:
@@ -128,9 +135,11 @@ def encode(params: dict, cfg: WhisperConfig, mel: jnp.ndarray) -> jnp.ndarray:
 
 
 def make_state(params: dict, cfg: WhisperConfig, enc: jnp.ndarray) -> dict:
-    """Build decode state: precomputed cross-KV + zeroed self-KV caches."""
+    """Build decode state: precomputed cross-KV + zeroed self-KV caches.
+    ``cfg.kv_dtype`` selects the cache STORAGE dtype (compute unchanged:
+    attention upcasts at the matmul use points)."""
     b = enc.shape[0]
-    dtype = enc.dtype
+    dtype = jnp.dtype(cfg.kv_dtype) if cfg.kv_dtype else enc.dtype
     t_max = cfg.max_target_positions
     h, hd = cfg.num_heads, cfg.head_dim
     layers = []
@@ -138,8 +147,8 @@ def make_state(params: dict, cfg: WhisperConfig, enc: jnp.ndarray) -> dict:
         ck, cv = cross_kv(enc, p, cfg.num_heads)
         layers.append(
             {
-                "cross_k": ck,
-                "cross_v": cv,
+                "cross_k": ck.astype(dtype),
+                "cross_v": cv.astype(dtype),
                 "self_k": jnp.zeros((b, t_max, h, hd), dtype),
                 "self_v": jnp.zeros((b, t_max, h, hd), dtype),
             }

@@ -32,11 +32,19 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    src = _DIR / "audio_dsp.cc"
+    return _SO.exists() and src.exists() and src.stat().st_mtime > _SO.stat().st_mtime
+
+
 def get_lib():
-    """Load (building if needed) the native library, or None."""
+    """Load (building if needed, or REbuilding if the source is newer than
+    the cached .so) the native library, or None."""
     global _lib
     if _lib is not None:
         return _lib
+    if _stale():
+        _build()
     if not _SO.exists() and not _build():
         return None
     try:

@@ -141,7 +141,14 @@ def load_audio_batch(
         pass
     for i in range(n):
         if valid[i] < 0:  # native miss -> python ingest
-            mono = load_audio(paths[i], sample_rate)  # int16 range
+            try:
+                mono = load_audio(paths[i], sample_rate)  # int16 range
+            except Exception:
+                # Undecodable file (malformed header, unknown codec): a
+                # silent zero-length row instead of aborting the batch.
+                out[i] = 0.0
+                valid[i] = 0
+                continue
             keep = min(len(mono), window_samples)
             out[i, :keep] = mono[:keep]
             out[i, keep:] = 0.0

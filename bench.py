@@ -103,17 +103,45 @@ def _measure() -> None:
 
     audio_seconds = ITERS * BATCH * WINDOW_SECONDS
     rtf = elapsed / audio_seconds
-    print(
-        json.dumps(
-            {
-                "metric": METRIC,
-                "value": round(rtf, 6),
-                "unit": "s_elapsed_per_s_audio",
-                "vs_baseline": round(rtf / BASELINE_RTF, 6),
-                "platform": platform,
-            }
-        )
-    )
+    record = {
+        "metric": METRIC,
+        "value": round(rtf, 6),
+        "unit": "s_elapsed_per_s_audio",
+        "vs_baseline": round(rtf / BASELINE_RTF, 6),
+        "platform": platform,
+    }
+    print(json.dumps(record))
+    _save_run_record(record, elapsed)
+
+
+def _save_run_record(record: dict, elapsed: float) -> None:
+    """Audit trail: append the raw measurement (device, precision, compile
+    cache state) under bench_runs/ so perf claims link to artifacts."""
+    try:
+        import datetime
+
+        import jax
+
+        runs = os.path.join(os.path.dirname(os.path.abspath(sys.argv[0])), "bench_runs")
+        os.makedirs(runs, exist_ok=True)
+        stamp = datetime.datetime.now(datetime.timezone.utc).strftime("%Y%m%dT%H%M%SZ")
+        dev = jax.devices()[0]
+        full = record | {
+            "timestamp_utc": stamp,
+            "device": str(dev),
+            "device_kind": getattr(dev, "device_kind", "?"),
+            "batch": BATCH,
+            "window_seconds": WINDOW_SECONDS,
+            "iters": ITERS,
+            "elapsed_seconds": round(elapsed, 4),
+            "matmul_precision": "highest (f32 parity config)",
+            "compile_cache": "/tmp/jax_cache (persistent; warm if pre-populated)",
+        }
+        path = os.path.join(runs, f"bench_{record['platform']}_{stamp}.json")
+        with open(path, "w") as f:
+            json.dump(full, f, indent=2)
+    except Exception:
+        pass  # the stdout JSON line is the contract; the audit file is best-effort
 
 
 def _run_child(flag: str, timeout: float):

@@ -55,3 +55,36 @@ def test_audio_ingest_uses_native_when_available():
 
     out = audio_io.load_audio("/root/reference/Test_Examples/en/test_sample.wav", 16000)
     assert out.ndim == 1 and out.dtype == np.float32
+
+
+def test_malformed_wav_rejected(tmp_path):
+    """Hostile WAV headers must not crash the native loader: fmt chunk
+    < 16 bytes (would be an OOB read) and a data chunk claiming 4 GiB
+    (would be a huge alloc) both fail or truncate safely (ADVICE r1)."""
+    import struct
+
+    lib = native.get_lib()
+    assert lib is not None
+
+    def riff(chunks: bytes) -> bytes:
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    tiny_fmt = riff(b"fmt " + struct.pack("<I", 8) + struct.pack("<HHI", 1, 1, 16000))
+    p1 = tmp_path / "tiny_fmt.wav"
+    p1.write_bytes(tiny_fmt)
+
+    good_fmt = b"fmt " + struct.pack("<I", 16) + struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    huge = riff(good_fmt + b"data" + struct.pack("<I", 0xFFFF0000) + b"\x01\x00" * 16)
+    p2 = tmp_path / "huge_data.wav"
+    p2.write_bytes(huge)
+
+    ok = riff(good_fmt + b"data" + struct.pack("<I", 8) + struct.pack("<4h", 100, -100, 200, -200))
+    p3 = tmp_path / "ok.wav"
+    p3.write_bytes(ok)
+
+    from asr_tpu.runtime.audio import load_audio_batch
+
+    buf, valid = load_audio_batch([str(p1), str(p2), str(p3)], 16000, 64)
+    assert valid[0] == 0                      # fmt too small -> silent zero row
+    assert valid[1] <= 16                     # declared 4 GiB truncated to real bytes
+    assert valid[2] == 4 and buf[2, 0] == 100.0
