@@ -364,6 +364,25 @@ def cmd_build(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """HTTP serving: micro-batched transcription endpoint (the production
+    counterpart of the reference's per-file script loop)."""
+    mesh = None
+    if getattr(args, "data_parallel", 0):
+        from asr_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.data_parallel, model_parallel=1)
+    sess = _build_session(Path(args.model_dir), language=args.language, mesh=mesh)
+    if not hasattr(sess, "_forward"):
+        raise SystemExit(f"family {type(sess).__name__} has no batchable "
+                         "window forward; serve supports the offline families")
+    from asr_tpu.parallel.http_server import serve_forever
+
+    serve_forever(sess, host=args.host, port=args.port,
+                  max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="asr_tpu")
     parser.add_argument("--platform", default=None,
@@ -421,6 +440,16 @@ def main(argv=None) -> int:
     p.add_argument("--plan", required=True,
                    help="JSON with {plans: {name: {...}}, assign: [[glob, name], ...]}")
     p.set_defaults(fn=cmd_optimize)
+
+    p = sub.add_parser("serve", help="HTTP transcription endpoint (micro-batched)")
+    p.add_argument("--model-dir", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--language", default=None)
+    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--max-wait-ms", type=float, default=5.0)
+    p.add_argument("--data-parallel", type=int, default=0, metavar="N")
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("build", help="build an artifact folder from a source checkpoint")
     p.add_argument("--family", required=True,

@@ -1,0 +1,158 @@
+"""Production HTTP serving: sessions behind the micro-batching scheduler.
+
+The reference stops at per-file script loops; a deployable runtime needs a
+network surface. This is a stdlib-only (no extra deps) threaded HTTP server
+whose POST handler enqueues each request into :class:`MicroBatcher`, so
+concurrent requests coalesce into fixed-shape device batches — one compiled
+executable at every traffic level, batch-8-per-dispatch throughput
+(BASELINE target shape) with at most ``max_wait_ms`` of batching latency.
+
+Endpoints:
+- ``POST /transcribe``  body = WAV bytes (16-bit PCM or f32; any rate —
+  resampled server-side). Response JSON: text, token_ids, audio_seconds.
+- ``GET /healthz``      scheduler counters.
+
+Run via ``python -m asr_tpu serve --model-dir M --port 8000``.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import wave
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from asr_tpu.parallel.server import MicroBatcher
+from asr_tpu.runtime import audio as audio_io
+
+
+def decode_wav_bytes(data: bytes, target_rate: int) -> np.ndarray:
+    """In-memory WAV -> mono float32 in the int16 numeric range."""
+    with wave.open(io.BytesIO(data), "rb") as w:
+        rate = w.getframerate()
+        channels = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width == 2:
+        samples = np.frombuffer(raw, np.int16).astype(np.float32)
+    elif width == 4:
+        samples = np.frombuffer(raw, np.float32) * 32768.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if channels > 1:
+        samples = samples.reshape(-1, channels).mean(axis=1)
+    if rate != target_rate:
+        samples = audio_io.resample(samples, rate, target_rate)
+    return np.ascontiguousarray(samples, np.float32)
+
+
+class SessionServer:
+    """Wraps a windowed session's batch forward in a MicroBatcher and an
+    HTTP front end. One window per request (<= session window length)."""
+
+    def __init__(self, session, max_batch: int = 8, max_wait_ms: float = 5.0):
+        import jax
+        import jax.numpy as jnp
+
+        self.session = session
+        self.sample_rate = getattr(session, "sample_rate", 16000)
+        self.pcm_scale = getattr(session, "pcm_scale", 32768.0)
+        self.window = session.window_samples
+
+        def batch_fn(audio: np.ndarray, valid: np.ndarray):
+            toks, counts = session._forward(
+                session.params, jnp.asarray(audio), jnp.asarray(valid)
+            )
+            return {"tokens": toks, "counts": counts}
+
+        self.batcher = MicroBatcher(
+            batch_fn, self.window, max_batch=max_batch, max_wait_ms=max_wait_ms
+        )
+
+    def transcribe_bytes(self, data: bytes) -> dict:
+        samples = decode_wav_bytes(data, self.sample_rate)
+        if self.pcm_scale != 32768.0:
+            samples = samples * np.float32(self.pcm_scale / 32768.0)
+        samples = samples[: self.window]
+        out = self.batcher.submit(samples).result()
+        counts = int(out["counts"])
+        ids = [int(t) for t in np.asarray(out["tokens"])[:counts]]
+        tok = self.session.tokenizer
+        text = self.session._postprocess(tok.decode(ids)) if tok else ""
+        return {
+            "text": text,
+            "token_ids": ids,
+            "audio_seconds": len(samples) / self.sample_rate,
+        }
+
+    def stats(self) -> dict:
+        return {
+            "ok": True,
+            "batches_dispatched": self.batcher.batches_dispatched,
+            "requests_served": self.batcher.requests_served,
+            "window_samples": self.window,
+            "sample_rate": self.sample_rate,
+        }
+
+    def close(self) -> None:
+        self.batcher.close()
+
+
+def make_http_server(server: SessionServer, host: str = "127.0.0.1", port: int = 8000):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _reply(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, server.stats())
+            else:
+                self._reply(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/transcribe":
+                self._reply(404, {"error": "not found"})
+                return
+            length = int(self.headers.get("Content-Length", "0"))
+            data = self.rfile.read(length)
+            try:
+                self._reply(200, server.transcribe_bytes(data))
+            except Exception as exc:  # malformed audio etc.
+                self._reply(400, {"error": str(exc)})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve_forever(session, host: str = "127.0.0.1", port: int = 8000,
+                  max_batch: int = 8, max_wait_ms: float = 5.0):
+    """Blocking entry point used by the CLI ``serve`` subcommand."""
+    srv = SessionServer(session, max_batch=max_batch, max_wait_ms=max_wait_ms)
+    httpd = make_http_server(srv, host, port)
+    print(f"serving on http://{host}:{httpd.server_address[1]} "
+          f"(max_batch={max_batch}, max_wait_ms={max_wait_ms})")
+    try:
+        httpd.serve_forever()
+    finally:
+        srv.close()
+
+
+def start_background(session, host: str = "127.0.0.1", port: int = 0,
+                     max_batch: int = 8, max_wait_ms: float = 5.0):
+    """Non-blocking start (tests / embedding): returns (httpd, SessionServer,
+    thread); actual port in ``httpd.server_address[1]``."""
+    srv = SessionServer(session, max_batch=max_batch, max_wait_ms=max_wait_ms)
+    httpd = make_http_server(srv, host, port)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    return httpd, srv, thread

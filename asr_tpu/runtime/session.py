@@ -167,3 +167,14 @@ class SenseVoiceSession:
     def warmup(self) -> None:
         silent = np.zeros(self.window_samples, dtype=np.float32)
         self.transcribe(silent)
+
+    # ── windowed-session protocol (used by parallel.http_server) ──────────
+    pcm_scale = 32768.0
+    sample_rate = 16000
+
+    def _forward(self, params, audio: jnp.ndarray, valid: jnp.ndarray, language: str = "auto"):
+        lang = jnp.full((audio.shape[0],), self.language_index(language), jnp.int32)
+        return sv.forward(params, self.cfg, audio, valid, lang)
+
+    def _postprocess(self, text: str) -> str:
+        return text

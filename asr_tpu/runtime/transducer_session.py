@@ -85,6 +85,40 @@ class _WindowedSession:
                                 audio_seconds=n / self.sample_rate,
                                 elapsed_seconds=elapsed)
 
+    def transcribe_batch(self, paths, n_threads: int = 0, **kw) -> list[TranscribeResult]:
+        """Many short files -> ONE device dispatch: the native parallel
+        batch loader fills a fixed (N, window) buffer (files longer than one
+        window fall back to the per-file sliding-window path). Available on
+        every windowed family (reference: per-file script loops)."""
+        buf, true_len = audio_io.load_audio_batch(
+            paths, self.sample_rate, self.window_samples,
+            pcm_scale=self.pcm_scale, n_threads=n_threads,
+        )
+        valid = np.minimum(true_len, self.window_samples).astype(np.int32)
+        t0 = time.perf_counter()
+        if self.runner is not None:
+            toks, counts = self.runner(
+                lambda p, a, v: self._forward(p, a, v, **kw), self.params, buf, valid
+            )
+        else:
+            toks, counts = self._forward(self.params, jnp.asarray(buf), jnp.asarray(valid), **kw)
+        toks = np.asarray(jax.block_until_ready(toks))
+        counts = np.asarray(counts)
+        elapsed = time.perf_counter() - t0
+        results = []
+        for i, path in enumerate(paths):
+            if true_len[i] > self.window_samples:
+                results.append(self.transcribe(path, **kw))
+                continue
+            ids = [int(t) for t in toks[i, : counts[i]]]
+            text = self._postprocess(self.tokenizer.decode(ids)) if self.tokenizer else ""
+            results.append(TranscribeResult(
+                text=text, token_ids=ids,
+                audio_seconds=float(valid[i]) / self.sample_rate,
+                elapsed_seconds=elapsed, batch_size=len(paths),
+            ))
+        return results
+
 
 class ParakeetSession(_WindowedSession):
     """Parakeet-TDT offline (reference ``Inference_Parakeet_ASR_ONNX.py``).

@@ -1,0 +1,138 @@
+"""HTTP serving layer: WAV-bytes decode, micro-batched endpoint round trip,
+health stats, malformed input, and the generalized per-family
+transcribe_batch."""
+
+import io
+import json
+import struct
+import threading
+import urllib.request
+import wave
+
+import numpy as np
+import pytest
+import jax
+
+from asr_tpu.parallel.http_server import SessionServer, decode_wav_bytes, start_background
+
+
+class _Tok:
+    def decode(self, ids):
+        return " ".join(map(str, ids))
+
+
+def _wav_bytes(samples: np.ndarray, rate: int = 16000) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.asarray(samples, np.int16).tobytes())
+    return buf.getvalue()
+
+
+def _sensevoice_session():
+    from asr_tpu.models import sensevoice as sv
+    from asr_tpu.runtime.session import SenseVoiceSession
+
+    cfg = sv.SenseVoiceConfig(
+        vocab_size=64, hidden=32, num_heads=4, head_dim=8, ffn_dim=48,
+        num_encoders0=1, num_encoders=1, num_tp_encoders=1, fsmn_kernel=5,
+    )
+    params = sv.init_params(cfg, jax.random.PRNGKey(0))
+    return SenseVoiceSession(params, cfg, tokenizer=_Tok(), window_seconds=0.5)
+
+
+def test_decode_wav_bytes_resamples_and_downmixes():
+    rng = np.random.default_rng(0)
+    stereo = (rng.standard_normal((800, 2)) * 1000).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(stereo.tobytes())
+    mono = decode_wav_bytes(buf.getvalue(), 16000)
+    assert mono.ndim == 1 and abs(len(mono) - 1600) <= 2
+    with pytest.raises(Exception):
+        decode_wav_bytes(b"not a wav", 16000)
+
+
+def test_http_round_trip_and_batching():
+    sess = _sensevoice_session()
+    httpd, srv, thread = start_background(sess, port=0, max_batch=4, max_wait_ms=15.0)
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        rng = np.random.default_rng(1)
+        wav = _wav_bytes((rng.standard_normal(4000) * 2000))
+
+        # Reference output through the plain session path.
+        pcm = np.frombuffer(wav[44:], np.int16).astype(np.float32)
+        want = sess.transcribe(pcm).token_ids
+
+        def post(path, data):
+            req = urllib.request.Request(base + path, data=data, method="POST")
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                return resp.status, json.loads(resp.read())
+
+        # Concurrent requests coalesce into one dispatch (same audio).
+        results = [None] * 3
+        def worker(i):
+            results[i] = post("/transcribe", wav)
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for status, payload in results:
+            assert status == 200
+            assert payload["token_ids"] == want
+
+        with urllib.request.urlopen(base + "/healthz", timeout=10) as resp:
+            health = json.loads(resp.read())
+        assert health["ok"] and health["requests_served"] >= 3
+        assert health["batches_dispatched"] <= 3  # some coalescing happened
+
+        # Malformed audio -> 400, server stays alive.
+        req = urllib.request.Request(base + "/transcribe", data=b"junk", method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=10)
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        status, payload = post("/transcribe", wav)
+        assert status == 200 and payload["token_ids"] == want
+    finally:
+        httpd.shutdown()
+        srv.close()
+
+
+def test_windowed_transcribe_batch_matches_individual(tmp_path):
+    """transcribe_batch on a windowed family == per-file transcribe."""
+    from asr_tpu.frontend.nemo_mel import NemoMelConfig
+    from asr_tpu.models import parakeet as pk
+    from asr_tpu.runtime.transducer_session import ParakeetSession
+
+    cfg = pk.ParakeetConfig(
+        vocab_size=40, blank_id=39, d_model=64, num_layers=1, num_heads=4,
+        ffn_dim=96, conv_kernel=9, sub_channels=16, dec_hidden=32,
+        mel=NemoMelConfig(n_mels=80),
+    )
+    params = pk.init_params(cfg, jax.random.PRNGKey(0))
+    sess = ParakeetSession(params, cfg, tokenizer=_Tok(), window_seconds=0.5)
+    rng = np.random.default_rng(2)
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"a{i}.wav"
+        samples = (rng.standard_normal(4000 + 800 * i) * 2000).astype(np.int16)
+        with wave.open(str(p), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(samples.tobytes())
+        paths.append(str(p))
+    batch = sess.transcribe_batch(paths)
+    for p, r in zip(paths, batch):
+        assert r.token_ids == sess.transcribe(p).token_ids
+        assert r.batch_size in (1, 3)

@@ -229,10 +229,10 @@ def test_load_audio_batch_native_and_fallback(tmp_path):
     b2, _ = load_audio_batch(paths, 16000, 16000, pcm_scale=1.0)
     np.testing.assert_allclose(b2, batch / 32768.0, atol=1e-6)
 
-    # unsupported rows fall back to python ingest (here: nonexistent -> raises)
-    import pytest as _pytest
-    with _pytest.raises(Exception):
-        load_audio_batch([tmp_path / "missing.wav"], 16000, 16000)
+    # undecodable rows (nonexistent/malformed) become silent zero-length
+    # rows instead of aborting the whole batch.
+    bmiss, vmiss = load_audio_batch([tmp_path / "missing.wav"], 16000, 16000)
+    assert vmiss[0] == 0 and (bmiss == 0).all()
 
 
 def test_sensevoice_transcribe_batch(tmp_path):
