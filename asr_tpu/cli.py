@@ -364,6 +364,61 @@ def cmd_build(args) -> int:
     return 0
 
 
+def cmd_parity(args) -> int:
+    """One-command correctness harness (BASELINE.md gate: token-for-token
+    transcripts vs the ONNX reference on Test_Examples). Run the moment a
+    real checkpoint is available:
+
+      asr_tpu parity --model-dir M                    # print transcripts
+      asr_tpu parity --model-dir M --save-golden G    # capture goldens
+      asr_tpu parity --model-dir M --golden G         # compare (rc!=0 on drift)
+
+    Goldens are JSON {fixture: {"language","text","token_ids"}}; capture
+    them from the reference's Inference_*.py output (text match) or a prior
+    run of this framework (regression match).
+    """
+    from asr_tpu.runtime.examples import model_audio_cases
+    from asr_tpu.runtime.metadata import ModelMetadata
+
+    meta = ModelMetadata.load(Path(args.model_dir))
+    sess = _build_session(Path(args.model_dir))
+    import inspect
+
+    cases = model_audio_cases(args.family or meta.family,
+                              Path(args.examples) if args.examples else None)
+    if not cases:
+        raise SystemExit(f"no registered fixtures for family {meta.family!r}")
+    results = {}
+    for lang, path in cases:
+        kwargs = {}
+        if "language" in inspect.signature(sess.transcribe).parameters:
+            kwargs["language"] = lang
+        res = sess.transcribe(str(path), **kwargs)
+        results[path.name] = {"language": lang, "text": res.text,
+                              "token_ids": res.token_ids}
+        print(f"{path.name}\t[{lang}]\tRTF {res.rtf:.4f}\t{res.text}")
+    if args.save_golden:
+        Path(args.save_golden).write_text(json.dumps(results, ensure_ascii=False, indent=2))
+        print(f"goldens captured -> {args.save_golden}")
+        return 0
+    if args.golden:
+        golden = json.loads(Path(args.golden).read_text())
+        failures = []
+        for name, want in golden.items():
+            got = results.get(name)
+            if got is None:
+                failures.append(f"{name}: fixture missing from run")
+            elif want.get("token_ids") and got["token_ids"] != want["token_ids"]:
+                failures.append(f"{name}: token ids drifted")
+            elif got["text"] != want["text"]:
+                failures.append(f"{name}: text {got['text']!r} != {want['text']!r}")
+        if failures:
+            print("PARITY FAIL:\n  " + "\n  ".join(failures))
+            return 1
+        print(f"PARITY OK: {len(golden)} fixtures token-for-token")
+    return 0
+
+
 def cmd_serve(args) -> int:
     """HTTP serving: micro-batched transcription endpoint (the production
     counterpart of the reference's per-file script loop)."""
@@ -440,6 +495,14 @@ def main(argv=None) -> int:
     p.add_argument("--plan", required=True,
                    help="JSON with {plans: {name: {...}}, assign: [[glob, name], ...]}")
     p.set_defaults(fn=cmd_optimize)
+
+    p = sub.add_parser("parity", help="transcribe registered fixtures; capture/compare goldens")
+    p.add_argument("--model-dir", required=True)
+    p.add_argument("--family", default=None, help="override the artifact's family for fixture lookup")
+    p.add_argument("--examples", default=None, help="Test_Examples root (default: reference fixtures)")
+    p.add_argument("--golden", default=None, help="compare against a goldens JSON (rc!=0 on drift)")
+    p.add_argument("--save-golden", default=None, help="write transcripts as goldens JSON")
+    p.set_defaults(fn=cmd_parity)
 
     p = sub.add_parser("serve", help="HTTP transcription endpoint (micro-batched)")
     p.add_argument("--model-dir", required=True)

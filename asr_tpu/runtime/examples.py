@@ -32,9 +32,9 @@ def model_audio_cases(family: str, root: Path | None = None) -> list[tuple[str, 
     for lang, rel in _MODEL_AUDIO_FILES.get(family, []):
         p = root / rel
         if p.suffix == ".mp3":
-            import shutil
+            from asr_tpu.runtime.mp3 import mpg123_available
 
-            if shutil.which("ffmpeg") is None:
+            if not mpg123_available():
                 continue
         if p.exists():
             out.append((lang, p))

@@ -67,3 +67,38 @@ def test_cli_build_firered(tmp_path):
     assert rc == 0
     sess = _build_session(out)
     assert type(sess).__name__ == "FireRedSession"
+
+
+def test_cli_parity_harness(tmp_path):
+    """parity: transcribe fixtures, capture goldens, detect drift."""
+    import json
+
+    import torch
+
+    from asr_tpu.cli import main
+    from tests.test_firered import TINY, _firered_sd
+
+    rng = np.random.default_rng(2)
+    src = tmp_path / "ckpt"
+    src.mkdir()
+    torch.save({"args": {}, "model_state_dict": _firered_sd(TINY, rng)},
+               src / "model.pth.tar")
+    (src / "dict.txt").write_text("\n".join(f"t{i} {i}" for i in range(TINY.vocab_size)))
+    art = tmp_path / "artifact"
+    assert main(["--platform", "cpu", "build", "--family", "firered",
+                 "--checkpoint", str(src), "--out", str(art)]) == 0
+
+    golden = tmp_path / "golden.json"
+    assert main(["--platform", "cpu", "parity", "--model-dir", str(art),
+                 "--save-golden", str(golden)]) == 0
+    data = json.loads(golden.read_text())
+    assert "zh-Shanghai.wav" in data
+
+    # Same run -> OK; perturbed golden -> drift detected.
+    assert main(["--platform", "cpu", "parity", "--model-dir", str(art),
+                 "--golden", str(golden)]) == 0
+    data["zh-Shanghai.wav"]["token_ids"] = [1, 2, 3]
+    data["zh-Shanghai.wav"]["text"] = "different"
+    golden.write_text(json.dumps(data))
+    assert main(["--platform", "cpu", "parity", "--model-dir", str(art),
+                 "--golden", str(golden)]) == 1
