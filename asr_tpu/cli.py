@@ -14,16 +14,24 @@ import sys
 from pathlib import Path
 
 
-def _build_session(folder: Path, language: str | None = None, mesh=None):
+def _build_session(folder: Path, language: str | None = None, mesh=None,
+                   dtype: str | None = None):
     """Artifact folder -> ready session, for every family (the reference's
     per-family inference scripts collapsed into one dispatch).
 
     ``mesh``: optional jax.sharding.Mesh — offline (windowed) sessions run
-    batch-data-parallel over its ``data`` axis (parallel/serve.py)."""
+    batch-data-parallel over its ``data`` axis (parallel/serve.py).
+    ``dtype``: serving cast, e.g. "bfloat16" — halves weight HBM; norms and
+    softmax stay f32 inside the models (the bf16 replacement for the
+    reference's F16 guard machinery, SURVEY.md §7.7)."""
     from asr_tpu.runtime.artifact import load_model
     from asr_tpu.runtime.metadata import config_from_dict
 
     params, meta = load_model(folder)
+    if dtype:
+        from asr_tpu.quant.quantize import cast_pytree
+
+        params = cast_pytree(params, dtype)
     family = meta.family
     tokenizer = _build_tokenizer(folder, meta)
     cfg_dict = meta.extra.get("config", {})
@@ -217,7 +225,8 @@ def cmd_transcribe(args) -> int:
         from asr_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(args.data_parallel, model_parallel=1)
-    sess = _build_session(Path(args.model_dir), language=args.language, mesh=mesh)
+    sess = _build_session(Path(args.model_dir), language=args.language, mesh=mesh,
+                          dtype=getattr(args, "dtype", None))
     import contextlib
     import inspect
 
@@ -455,6 +464,9 @@ def main(argv=None) -> int:
     p.add_argument("--data-parallel", type=int, default=0, metavar="N",
                    help="shard window batches over an N-device data-parallel "
                         "mesh (0 = single device)")
+    p.add_argument("--dtype", default=None, choices=("bfloat16", "float32"),
+                   help="serving cast (bfloat16 halves weight HBM; norms/"
+                        "softmax stay f32)")
     p.add_argument("--profile", default=None, metavar="LOGDIR",
                    help="capture an xprof device trace of the run into LOGDIR")
     p.add_argument("audio", nargs="+")

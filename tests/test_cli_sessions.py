@@ -242,3 +242,27 @@ def test_build_session_every_family_constructs(tmp_path):
         save_model(folder, params, meta)
         sess = _build_session(folder)
         assert sess is not None, family
+
+
+def test_dtype_bf16_serving_cast(tmp_path):
+    """--dtype bfloat16: the session is built from a bf16-cast pytree and
+    still transcribes (norms/softmax internally f32)."""
+    import jax.numpy as jnp
+
+    from asr_tpu.cli import _build_session
+    from asr_tpu.models import sensevoice as sv
+
+    cfg = sv.SenseVoiceConfig(
+        vocab_size=64, hidden=32, num_heads=4, head_dim=8, ffn_dim=48,
+        num_encoders0=1, num_encoders=1, num_tp_encoders=1, fsmn_kernel=5,
+    )
+    params = sv.init_params(cfg, jax.random.PRNGKey(0))
+    folder = tmp_path / "artifact"
+    folder.mkdir()
+    meta = ModelMetadata(family="sensevoice", extra={"config": dataclasses.asdict(cfg) | {"fbank": None}})
+    meta.extra["config"].pop("fbank", None)
+    save_model(folder, params, meta)
+    sess = _build_session(folder, dtype="bfloat16")
+    assert sess.params["encoders"][0]["qkv"]["w"].dtype == jnp.bfloat16
+    res = sess.transcribe(np.zeros(8000, np.float32))
+    assert res.audio_seconds > 0
