@@ -20,3 +20,18 @@ def test_fused_fbank_matches_xla_path():
     valid = cfg.num_frames(20000)
     np.testing.assert_allclose(np.asarray(out)[:, :valid], np.asarray(ref)[:, :valid],
                                rtol=1e-4, atol=1e-4)
+
+
+def test_fused_dispatch_env_gate(monkeypatch):
+    """ASR_TPU_FUSED_FBANK=interpret routes log_mel_fbank through the Pallas
+    kernel transparently, matching the XLA path on the valid frames."""
+    cfg = KaldiFbankConfig()
+    rng = np.random.default_rng(1)
+    audio = jnp.asarray((rng.standard_normal((2, 20000)) * 3000).astype(np.float32))
+    n = cfg.num_frames(20000)
+    ref = np.asarray(log_mel_fbank(audio, cfg, n))
+    monkeypatch.setenv("ASR_TPU_FUSED_FBANK", "interpret")
+    out = np.asarray(log_mel_fbank(audio, cfg, n))
+    monkeypatch.delenv("ASR_TPU_FUSED_FBANK")
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
