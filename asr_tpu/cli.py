@@ -227,6 +227,11 @@ def cmd_transcribe(args) -> int:
         mesh = make_mesh(args.data_parallel, model_parallel=1)
     sess = _build_session(Path(args.model_dir), language=args.language, mesh=mesh,
                           dtype=getattr(args, "dtype", None))
+    if mesh is not None and getattr(sess, "runner", None) is None:
+        raise SystemExit(
+            f"--data-parallel is not wired for {type(sess).__name__} "
+            "(offline windowed families only); rerun without it"
+        )
     import contextlib
     import inspect
 
@@ -286,8 +291,15 @@ def cmd_quantize(args) -> int:
                               refine_iters=args.refine_iters, pack=args.pack,
                               objective=args.algorithm, min_size=args.min_size,
                               quantize_embeddings=args.quantize_embeddings)
-    meta.extra["quantization"] = {"bits": args.bits, "block": args.block,
-                                  "algorithm": args.algorithm}
+    if args.algorithm == "dynamic" and (args.bits != 8 or args.pack):
+        print("note: --algorithm dynamic is always 8-bit per-column, unpacked "
+              "(activations quantize at call time); --bits/--pack ignored")
+    meta.extra["quantization"] = {
+        # Record what was actually applied (dynamic forces 8-bit/unpacked).
+        "bits": 8 if args.algorithm == "dynamic" else args.bits,
+        "block": args.block,
+        "algorithm": args.algorithm,
+    }
     save_model(Path(args.out), qparams, meta)
     _copy_artifact_assets(Path(args.model_dir), Path(args.out), meta)
     print(f"quantized ({args.bits}-bit {args.algorithm}, block {args.block}) -> {args.out}")
@@ -295,14 +307,17 @@ def cmd_quantize(args) -> int:
 
 
 def _copy_artifact_assets(src: Path, dst: Path, meta) -> None:
-    """Carry tokenizer/vocab asset files into a derived artifact (the
-    reference copies tokenizer assets into every optimized folder, e.g.
+    """Carry EVERY companion asset (tokenizer/vocab/spm/yaml) into a derived
+    artifact — not just the primary tokenizer file; e.g. FireRed artifacts
+    ship dict.txt + the encode-side train_bpe1000.model (the reference
+    copies all assets into every optimized folder,
     ``SenseVoice/Export_SenseVoice.py:415-421``)."""
     import shutil
 
-    tok_file = meta.tokenizer.get("file", "")
-    if tok_file and (src / tok_file).exists() and not (dst / tok_file).exists():
-        shutil.copy2(src / tok_file, dst / tok_file)
+    skip = {"weights.safetensors", "metadata.json"}
+    for f in src.iterdir():
+        if f.is_file() and f.name not in skip and not (dst / f.name).exists():
+            shutil.copy2(f, dst / f.name)
 
 
 def cmd_align(args) -> int:
@@ -440,6 +455,11 @@ def cmd_serve(args) -> int:
     if not hasattr(sess, "_forward"):
         raise SystemExit(f"family {type(sess).__name__} has no batchable "
                          "window forward; serve supports the offline families")
+    if mesh is not None and getattr(sess, "runner", None) is None:
+        raise SystemExit(
+            f"--data-parallel is not wired for {type(sess).__name__}; "
+            "rerun without it"
+        )
     from asr_tpu.parallel.http_server import serve_forever
 
     serve_forever(sess, host=args.host, port=args.port,

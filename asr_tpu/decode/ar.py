@@ -46,6 +46,7 @@ def select_token(
     history_len: jnp.ndarray,
     cfg: DecodeConfig,
     key: jax.Array,
+    history_start: jnp.ndarray | int = 0,
 ) -> tuple[jnp.ndarray, jax.Array]:
     """Pick the next token from already-suppressed logits ``(B, V)`` using the
     configured strategy. Shared by the in-loop steps AND the prefill first
@@ -53,12 +54,15 @@ def select_token(
     logits through the same strategy graph,
     ``Whisper/Inference_Whisper_ONNX.py:584-612``).
 
-    ``history_buf (B, T)`` / ``history_len`` feed the repetition penalty.
+    ``history_buf (B, T)`` / ``history_len`` feed the repetition penalty;
+    ``history_start`` (the prompt length) excludes prompt slots — the
+    reference penalizes only generated ids (``save_id`` starts empty).
     Returns ``(token (B,), next key)``.
     """
     if cfg.strategy in ("penalty", "sampling") and cfg.penalty != 1.0:
         logits = apply_repetition_penalty(
-            logits, history_buf, history_len, cfg.penalty, cfg.penalty_range
+            logits, history_buf, history_len, cfg.penalty, cfg.penalty_range,
+            hist_start=history_start,
         )
     if cfg.strategy == "sampling":
         key, sub = jax.random.split(key)
@@ -114,7 +118,7 @@ def ar_decode(
         cur = jax.lax.dynamic_slice(buf, (0, pos), (b, 1)).astype(jnp.int32)
         logits, state = step(state, cur, pos)
         logits = suppress_tokens(logits.astype(jnp.float32), cfg.suppress_ids)
-        nxt, key = select_token(logits, buf, pos + 1, cfg, key)
+        nxt, key = select_token(logits, buf, pos + 1, cfg, key, history_start=prompt_len)
         nxt = jnp.where(finished, cfg.eot_id, nxt)
         buf = jax.lax.dynamic_update_slice(buf, nxt[:, None].astype(buf.dtype), (0, pos + 1))
         counts = counts + jnp.where(finished, 0, 1).astype(jnp.int32)

@@ -29,23 +29,29 @@ def apply_repetition_penalty(
     hist_len: jnp.ndarray,
     penalty: float,
     penalty_range: int,
+    hist_start: jnp.ndarray | int = 0,
 ) -> jnp.ndarray:
     """Penalize ids seen in the last ``penalty_range`` generated tokens.
 
     Reference semantics (``Whisper/Export_Whisper.py:318-331``): for each
     id in the window, ``logit = logit * penalty if logit < 0 else
-    logit / penalty``.
+    logit / penalty``. The reference's ``save_id`` history holds ONLY
+    generated ids (it starts empty) — ``hist_start`` excludes the prompt
+    slots of our combined buffer so semantics match (and embed-prompt
+    models whose buffer slots are zeros don't phantom-penalize id 0).
 
     Args:
       logits: ``(B, V)``.
       history: ``(B, H)`` full token buffer (prompt + generated).
       hist_len: ``(B,)`` or scalar number of valid tokens in ``history``.
+      hist_start: first penalizable slot (the prompt length).
     """
     b, v = logits.shape
     h = history.shape[1]
     idx = jnp.arange(h, dtype=jnp.int32)[None, :]
     hist_len = jnp.broadcast_to(jnp.asarray(hist_len, jnp.int32), (b,))[:, None]
-    in_window = (idx < hist_len) & (idx >= hist_len - penalty_range)
+    start = jnp.broadcast_to(jnp.asarray(hist_start, jnp.int32), (b,))[:, None]
+    in_window = (idx < hist_len) & (idx >= hist_len - penalty_range) & (idx >= start)
     # Scatter window membership into vocab space.
     marks = jnp.zeros((b, v), bool)
     bidx = jnp.arange(b, dtype=jnp.int32)[:, None]

@@ -37,8 +37,8 @@ def build_sensevoice_artifact(
     checkpoint_dir = Path(checkpoint_dir)
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    cfg = cfg or SenseVoiceConfig()
     sd = funasr.load_checkpoint_file(checkpoint_dir / "model.pt")
+    cfg = cfg or funasr.sensevoice_config_from_state_dict(sd)
     neg_means, istd = funasr.parse_kaldi_mvn(checkpoint_dir / "am.mvn")
     params = funasr.sensevoice_params_from_state_dict(sd, cfg, neg_means, istd)
 
@@ -131,8 +131,8 @@ def build_paraformer_artifact(
     checkpoint_dir = Path(checkpoint_dir)
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    cfg = cfg or ParaformerConfig()
     sd = funasr.load_checkpoint_file(checkpoint_dir / "model.pt")
+    cfg = cfg or funasr.paraformer_config_from_state_dict(sd)
     neg_means, istd = funasr.parse_kaldi_mvn(checkpoint_dir / "am.mvn")
     params = funasr.paraformer_params_from_state_dict(sd, cfg, neg_means, istd)
 

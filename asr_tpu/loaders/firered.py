@@ -25,32 +25,7 @@ import jax.numpy as jnp
 from asr_tpu.models.firered import FireRedConfig
 
 
-def _np(t) -> np.ndarray:
-    if hasattr(t, "detach"):
-        return t.detach().cpu().numpy()
-    return np.asarray(t)
-
-
-def _lin(sd: Mapping[str, Any], prefix: str) -> dict:
-    p = {"w": jnp.asarray(_np(sd[f"{prefix}.weight"]).T)}
-    if f"{prefix}.bias" in sd:
-        p["b"] = jnp.asarray(_np(sd[f"{prefix}.bias"]))
-    return p
-
-
-def _ln(sd: Mapping[str, Any], prefix: str) -> dict:
-    return {
-        "scale": jnp.asarray(_np(sd[f"{prefix}.weight"])),
-        "bias": jnp.asarray(_np(sd[f"{prefix}.bias"])),
-    }
-
-
-def _conv2d(sd: Mapping[str, Any], prefix: str) -> dict:
-    # torch OIHW -> HWIO (H=time, W=freq both sides).
-    return {
-        "w": jnp.asarray(_np(sd[f"{prefix}.weight"]).transpose(2, 3, 1, 0)),
-        "b": jnp.asarray(_np(sd[f"{prefix}.bias"])),
-    }
+from asr_tpu.loaders._common import conv2d_hwio as _conv2d, lin as _lin, ln as _ln, to_np as _np
 
 
 def config_from_state_dict(sd: Mapping[str, Any], **overrides) -> FireRedConfig:

@@ -87,6 +87,41 @@ def _count_layers(sd: Mapping, pattern: str) -> int:
     return n
 
 
+def sensevoice_config_from_state_dict(sd: Mapping, **overrides) -> SenseVoiceConfig:
+    """Derive SenseVoice geometry from checkpoint shapes (layer counts,
+    hidden/ffn widths, fsmn kernel, vocab; head count is not
+    shape-derivable — override if a variant differs from SenseVoiceSmall)."""
+    kw = dict(
+        vocab_size=_np(sd["ctc.ctc_lo.weight"]).shape[0],
+        hidden=_np(sd["encoder.encoders.0.norm2.weight"]).shape[0],
+        ffn_dim=_np(sd["encoder.encoders.0.feed_forward.w_1.weight"]).shape[0],
+        num_encoders0=_count_layers(sd, "encoder.encoders0"),
+        num_encoders=_count_layers(sd, "encoder.encoders"),
+        num_tp_encoders=_count_layers(sd, "encoder.tp_encoders"),
+        fsmn_kernel=_np(sd["encoder.encoders.0.self_attn.fsmn_block.weight"]).shape[-1],
+    )
+    kw.update(overrides)
+    return SenseVoiceConfig(**kw)
+
+
+def paraformer_config_from_state_dict(sd: Mapping, **overrides) -> ParaformerConfig:
+    """Derive Paraformer geometry from checkpoint shapes — the reference
+    auto-detects the zh/en profile the same way
+    (``Export_Paraformer.py:41-59``)."""
+    kw = dict(
+        vocab_size=_np(sd["decoder.output_layer.weight"]).shape[0],
+        hidden=_np(sd["encoder.encoders.0.norm2.weight"]).shape[0],
+        ffn_dim=_np(sd["encoder.encoders.0.feed_forward.w_1.weight"]).shape[0],
+        num_encoders0=_count_layers(sd, "encoder.encoders0"),
+        num_encoders=_count_layers(sd, "encoder.encoders"),
+        num_decoders=_count_layers(sd, "decoder.decoders"),
+        num_decoder_ffn=_count_layers(sd, "decoder.decoders3"),
+        fsmn_kernel=_np(sd["encoder.encoders.0.self_attn.fsmn_block.weight"]).shape[-1],
+    )
+    kw.update(overrides)
+    return ParaformerConfig(**kw)
+
+
 def sensevoice_params_from_state_dict(
     sd: Mapping,
     cfg: SenseVoiceConfig,

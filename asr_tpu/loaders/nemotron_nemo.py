@@ -27,27 +27,7 @@ import jax.numpy as jnp
 from asr_tpu.models.nemotron import NemotronConfig
 
 
-def _np(t) -> np.ndarray:
-    if hasattr(t, "detach"):
-        return t.detach().cpu().float().numpy()
-    return np.asarray(t, dtype=np.float32)
-
-
-def _lin(sd, key):
-    p = {"w": jnp.asarray(_np(sd[f"{key}.weight"]).T)}
-    if f"{key}.bias" in sd:
-        p["b"] = jnp.asarray(_np(sd[f"{key}.bias"]))
-    return p
-
-
-def _ln(sd, key):
-    return {"scale": jnp.asarray(_np(sd[f"{key}.weight"])),
-            "bias": jnp.asarray(_np(sd[f"{key}.bias"]))}
-
-
-def _conv2d_hwio(sd, key):
-    return {"w": jnp.asarray(_np(sd[f"{key}.weight"]).transpose(2, 3, 1, 0)),
-            "b": jnp.asarray(_np(sd[f"{key}.bias"]))}
+from asr_tpu.loaders._common import conv2d_hwio as _conv2d_hwio, lin as _lin, ln as _ln, to_np as _np
 
 
 def read_nemo_archive(

@@ -32,32 +32,7 @@ from asr_tpu.loaders import qwen3_hf
 from asr_tpu.models.qwen_asr import QwenAsrConfig
 
 
-def _np(t) -> np.ndarray:
-    if hasattr(t, "detach"):
-        return t.detach().cpu().float().numpy()
-    return np.asarray(t)
-
-
-def _lin(sd: Mapping[str, Any], key: str) -> dict:
-    p = {"w": jnp.asarray(_np(sd[f"{key}.weight"]).T)}
-    if f"{key}.bias" in sd:
-        p["b"] = jnp.asarray(_np(sd[f"{key}.bias"]))
-    return p
-
-
-def _ln(sd: Mapping[str, Any], key: str) -> dict:
-    return {
-        "scale": jnp.asarray(_np(sd[f"{key}.weight"])),
-        "bias": jnp.asarray(_np(sd[f"{key}.bias"])),
-    }
-
-
-def _conv2d(sd: Mapping[str, Any], key: str) -> dict:
-    # torch OIHW (H=mel, W=time) -> NHWC HWIO.
-    return {
-        "w": jnp.asarray(_np(sd[f"{key}.weight"]).transpose(2, 3, 1, 0)),
-        "b": jnp.asarray(_np(sd[f"{key}.bias"])),
-    }
+from asr_tpu.loaders._common import conv2d_hwio as _conv2d, lin as _lin, ln as _ln, to_np as _np
 
 
 def strip_thinker_prefix(sd: Mapping[str, Any]) -> dict:

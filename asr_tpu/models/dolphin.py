@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from asr_tpu.decode.ar import DecodeConfig, ar_decode, select_token
 from asr_tpu.decode.strategies import suppress_tokens
+from asr_tpu.quant.quantize import embedding_logits
 from asr_tpu.decode.ctc import ctc_greedy_collapse
 from asr_tpu.frontend.espnet_mel import EspnetMelConfig, log_mel
 from asr_tpu.layers.attention import NEG_INF, length_mask
@@ -175,7 +176,7 @@ def _decoder_pass(params, cfg, state, tokens, pos, cross_bias):
         )
         new_layers.append({**lstate, "self_k": nk, "self_v": nv})
     x = layer_norm(x, dec["ln"]["scale"], dec["ln"]["bias"])
-    return jnp.dot(x, dec["embed"].T), {"layers": tuple(new_layers)}
+    return embedding_logits(dec["embed"], x), {"layers": tuple(new_layers)}
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "decode_cfg"))
@@ -231,7 +232,8 @@ def transcribe(
     buf = jax.lax.dynamic_update_slice(buf, prompt.astype(jnp.int32), (0, 0))
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    first, rng = select_token(logits0, buf, jnp.asarray(p_len, jnp.int32), decode_cfg, rng)
+    first, rng = select_token(logits0, buf, jnp.asarray(p_len, jnp.int32), decode_cfg, rng,
+                              history_start=p_len)
 
     def step(state, token, pos):
         lg, state = _decoder_pass(params, cfg, state, token, pos, cross_bias)

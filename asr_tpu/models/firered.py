@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from asr_tpu.decode.ar import DecodeConfig, ar_decode, select_token
 from asr_tpu.decode.strategies import suppress_tokens
+from asr_tpu.quant.quantize import embedding_logits
 from asr_tpu.frontend.kaldi_fbank import KaldiFbankConfig, log_mel_fbank
 from asr_tpu.layers.attention import NEG_INF, length_mask
 from asr_tpu.layers.conformer import rel_shift, relative_position_embedding
@@ -235,7 +236,7 @@ def _decoder_pass(params, cfg, state, tokens, pos, cross_bias):
     # Tied embedding by default; checkpoints with an untied tgt_word_prj
     # carry it as dec["out"] (loaders/firered.py keeps the tie one-sourced
     # when the tensors are byte-identical).
-    logits = jnp.dot(x, (dec["out"] if "out" in dec else dec["embed"]).T)
+    logits = embedding_logits(dec["out"] if "out" in dec else dec["embed"], x)
     return logits, {"layers": tuple(new_layers)}
 
 
@@ -262,7 +263,8 @@ def transcribe(
     buf = jnp.zeros((b, t_total), jnp.int32).at[:, 0].set(cfg.sos_id)
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    first, rng = select_token(logits0, buf, jnp.asarray(1, jnp.int32), decode_cfg, rng)
+    first, rng = select_token(logits0, buf, jnp.asarray(1, jnp.int32), decode_cfg, rng,
+                              history_start=1)
 
     def step(state, token, pos):
         lg, state = _decoder_pass(params, cfg, state, token, pos, cross_bias)

@@ -213,7 +213,8 @@ def transcribe_embeds(
     prompt_len = valid_len[0]
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    first, rng = select_token(logits0, buf, prompt_len, decode_cfg, rng)
+    first, rng = select_token(logits0, buf, prompt_len, decode_cfg, rng,
+                              history_start=prompt_len)
 
     def step(state, token, pos):
         emb = llm_params["embed"][token].astype(embeds.dtype)

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from asr_tpu.decode.ar import DecodeConfig, ar_decode, select_token
 from asr_tpu.decode.strategies import suppress_tokens
+from asr_tpu.quant.quantize import embedding_logits
 from asr_tpu.frontend.whisper_mel import WhisperMelConfig, log_mel_spectrogram
 from asr_tpu.layers.norms import layer_norm
 from asr_tpu.layers.transformer import (
@@ -176,7 +177,7 @@ def _decoder_pass(
         )
         new_layers.append({**lstate, "self_k": nk, "self_v": nv})
     x = layer_norm(x, dec["ln"]["scale"], dec["ln"]["bias"])
-    logits = jnp.dot(x, dec["embed"].T)
+    logits = embedding_logits(dec["embed"], x)
     return logits, {"layers": tuple(new_layers)}
 
 
@@ -254,7 +255,8 @@ def transcribe_window(
     buf = jax.lax.dynamic_update_slice(buf, prompt.astype(jnp.int32), (0, 0))
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    first, rng = select_token(logits0, buf, jnp.asarray(p_len, jnp.int32), decode_cfg, rng)
+    first, rng = select_token(logits0, buf, jnp.asarray(p_len, jnp.int32), decode_cfg, rng,
+                              history_start=p_len)
 
     def step_fn(state, token, pos):
         return step(params, cfg, state, token, pos)

@@ -39,7 +39,9 @@ def decode_wav_bytes(data: bytes, target_rate: int) -> np.ndarray:
     if width == 2:
         samples = np.frombuffer(raw, np.int16).astype(np.float32)
     elif width == 4:
-        samples = np.frombuffer(raw, np.float32) * 32768.0
+        # Python's wave module only delivers integer PCM (it rejects
+        # format-3 float WAVs), so width 4 is int32 — scale to int16 range.
+        samples = np.frombuffer(raw, np.int32).astype(np.float32) / 65536.0
     else:
         raise ValueError(f"unsupported WAV sample width {width}")
     if channels > 1:
@@ -53,7 +55,10 @@ class SessionServer:
     """Wraps a windowed session's batch forward in a MicroBatcher and an
     HTTP front end. One window per request (<= session window length)."""
 
-    def __init__(self, session, max_batch: int = 8, max_wait_ms: float = 5.0):
+    def __init__(self, session, max_batch: int = 8, max_wait_ms: float = 5.0,
+                 warmup: bool = True):
+        import time
+
         import jax
         import jax.numpy as jnp
 
@@ -61,16 +66,40 @@ class SessionServer:
         self.sample_rate = getattr(session, "sample_rate", 16000)
         self.pcm_scale = getattr(session, "pcm_scale", 32768.0)
         self.window = session.window_samples
+        self._lat_lock = threading.Lock()
+        self._lat_total = 0.0
+        self._lat_count = 0
+        self._lat_max = 0.0
 
         def batch_fn(audio: np.ndarray, valid: np.ndarray):
-            toks, counts = session._forward(
-                session.params, jnp.asarray(audio), jnp.asarray(valid)
-            )
+            t0 = time.perf_counter()
+            runner = getattr(session, "runner", None)
+            if runner is not None:
+                # Session built with mesh=: shard the micro-batch over the
+                # data axis (serve --data-parallel).
+                toks, counts = runner(
+                    lambda p, a, v: session._forward(p, a, v),
+                    session.params, audio, valid,
+                )
+            else:
+                toks, counts = session._forward(
+                    session.params, jnp.asarray(audio), jnp.asarray(valid)
+                )
+            counts = jax.block_until_ready(counts)
+            dt = time.perf_counter() - t0
+            with self._lat_lock:
+                self._lat_total += dt
+                self._lat_count += 1
+                self._lat_max = max(self._lat_max, dt)
             return {"tokens": toks, "counts": counts}
 
         self.batcher = MicroBatcher(
             batch_fn, self.window, max_batch=max_batch, max_wait_ms=max_wait_ms
         )
+        if warmup:
+            # Compile before the first real request (first jit is 5-40 s on
+            # TPU; a cold first client request would eat it otherwise).
+            self.batcher.submit(np.zeros(self.window, np.float32)).result()
 
     def transcribe_bytes(self, data: bytes) -> dict:
         samples = decode_wav_bytes(data, self.sample_rate)
@@ -89,12 +118,17 @@ class SessionServer:
         }
 
     def stats(self) -> dict:
+        with self._lat_lock:
+            avg = self._lat_total / self._lat_count if self._lat_count else 0.0
+            mx = self._lat_max
         return {
             "ok": True,
             "batches_dispatched": self.batcher.batches_dispatched,
             "requests_served": self.batcher.requests_served,
             "window_samples": self.window,
             "sample_rate": self.sample_rate,
+            "batch_latency_avg_s": round(avg, 4),
+            "batch_latency_max_s": round(mx, 4),
         }
 
     def close(self) -> None:
@@ -135,9 +169,10 @@ def make_http_server(server: SessionServer, host: str = "127.0.0.1", port: int =
 
 
 def serve_forever(session, host: str = "127.0.0.1", port: int = 8000,
-                  max_batch: int = 8, max_wait_ms: float = 5.0):
+                  max_batch: int = 8, max_wait_ms: float = 5.0, warmup: bool = True):
     """Blocking entry point used by the CLI ``serve`` subcommand."""
-    srv = SessionServer(session, max_batch=max_batch, max_wait_ms=max_wait_ms)
+    srv = SessionServer(session, max_batch=max_batch, max_wait_ms=max_wait_ms,
+                        warmup=warmup)
     httpd = make_http_server(srv, host, port)
     print(f"serving on http://{host}:{httpd.server_address[1]} "
           f"(max_batch={max_batch}, max_wait_ms={max_wait_ms})")
@@ -148,10 +183,12 @@ def serve_forever(session, host: str = "127.0.0.1", port: int = 8000,
 
 
 def start_background(session, host: str = "127.0.0.1", port: int = 0,
-                     max_batch: int = 8, max_wait_ms: float = 5.0):
+                     max_batch: int = 8, max_wait_ms: float = 5.0,
+                     warmup: bool = True):
     """Non-blocking start (tests / embedding): returns (httpd, SessionServer,
     thread); actual port in ``httpd.server_address[1]``."""
-    srv = SessionServer(session, max_batch=max_batch, max_wait_ms=max_wait_ms)
+    srv = SessionServer(session, max_batch=max_batch, max_wait_ms=max_wait_ms,
+                        warmup=warmup)
     httpd = make_http_server(srv, host, port)
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     thread.start()

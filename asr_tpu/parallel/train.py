@@ -65,6 +65,58 @@ def train_step(
     return params, opt_state, loss
 
 
+def aed_ce_loss(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    target_valid: jnp.ndarray,
+    label_smoothing: float = 0.1,
+) -> jnp.ndarray:
+    """Masked teacher-forced cross-entropy with label smoothing for AED
+    decoders. logits (B, S, V) at positions predicting ``targets`` (B, S)."""
+    v = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    if label_smoothing:
+        uniform = -jnp.mean(logp, axis=-1)
+        nll = (1.0 - label_smoothing) * nll + label_smoothing * uniform
+    mask = (jnp.arange(targets.shape[1])[None, :] < target_valid[:, None]).astype(jnp.float32)
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "optimizer", "label_smoothing"))
+def whisper_train_step(
+    params: Any,
+    opt_state: Any,
+    cfg,
+    optimizer,
+    mel: jnp.ndarray,
+    tokens: jnp.ndarray,
+    token_valid: jnp.ndarray,
+    label_smoothing: float = 0.1,
+):
+    """Teacher-forced AED fine-tuning step for Whisper-style models (the
+    training counterpart the reference lacks for its AR families).
+
+    ``tokens`` (B, S): [prompt... text... eot] padded; the loss predicts
+    ``tokens[:, 1:]`` from ``tokens[:, :-1]`` over ``token_valid - 1``
+    positions. dp x tp shardable with ``mesh.whisper_param_specs``.
+    """
+    from asr_tpu.models import whisper as wh
+
+    def loss_fn(p):
+        enc = wh.encode(p, cfg, mel)
+        state = wh.make_state(p, cfg, enc)
+        logits, _ = wh._decoder_pass(
+            p, cfg, state, tokens[:, :-1], jnp.asarray(0, jnp.int32)
+        )
+        return aed_ce_loss(logits, tokens[:, 1:], token_valid - 1, label_smoothing)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
+
+
 def predictor_states(params: Any, labels: jnp.ndarray, blank_id: int) -> jnp.ndarray:
     """Teacher-forced transducer predictor: LSTM scan over [blank, labels]
     -> (B, U+1, joint_dim) projected decoder states (matches the state

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 
 from asr_tpu.decode.ar import DecodeConfig, ar_decode, select_token
 from asr_tpu.decode.strategies import suppress_tokens
+from asr_tpu.quant.quantize import embedding_logits
 from asr_tpu.frontend.kaldi_fbank import KaldiFbankConfig, log_mel_fbank
 from asr_tpu.layers.attention import NEG_INF
 from asr_tpu.layers.norms import layer_norm
@@ -238,7 +239,7 @@ def rescore_decode(
             )
             new_layers.append({**lst, "self_k": nk, "self_v": nv})
         x = layer_norm(x, dec["ln"]["scale"], dec["ln"]["bias"])
-        return jnp.dot(x, dec["embed"].T), {"layers": tuple(new_layers)}
+        return embedding_logits(dec["embed"], x), {"layers": tuple(new_layers)}
 
     p_len = prompt.shape[1]
     logits, dstate = dec_pass(dstate, prompt, jnp.asarray(0, jnp.int32))
@@ -248,7 +249,8 @@ def rescore_decode(
     buf = jax.lax.dynamic_update_slice(buf, prompt.astype(jnp.int32), (0, 0))
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    first, rng = select_token(logits0, buf, jnp.asarray(p_len, jnp.int32), decode_cfg, rng)
+    first, rng = select_token(logits0, buf, jnp.asarray(p_len, jnp.int32), decode_cfg, rng,
+                              history_start=p_len)
 
     def step(dstate, token, pos):
         lg, dstate = dec_pass(dstate, token, pos)

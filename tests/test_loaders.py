@@ -237,3 +237,17 @@ def test_dolphin_espnet_mapping(tmp_path):
     assert enc.shape[-1] == cfg.d_model
     ids, counts = dp.ctc_decode(params, cfg, enc, valid)
     assert ids.shape[0] == 1
+
+
+def test_funasr_config_derivation():
+    """Geometry auto-derivation from checkpoint shapes (the reference's
+    zh/en profile auto-detection analog, Export_Paraformer.py:41-59)."""
+    rng = np.random.default_rng(3)
+    cfg = SV_CFG
+    sd = _sensevoice_sd(cfg, rng)
+    got = funasr.sensevoice_config_from_state_dict(
+        sd, num_heads=cfg.num_heads, head_dim=cfg.head_dim)
+    assert (got.vocab_size, got.hidden, got.ffn_dim) == (cfg.vocab_size, cfg.hidden, cfg.ffn_dim)
+    assert (got.num_encoders0, got.num_encoders, got.num_tp_encoders) == (
+        cfg.num_encoders0, cfg.num_encoders, cfg.num_tp_encoders)
+    assert got.fsmn_kernel == cfg.fsmn_kernel

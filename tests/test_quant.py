@@ -310,3 +310,45 @@ def test_qwen3_runs_with_quantized_embedding():
     rt = unflatten_pytree(flatten_pytree(qparams))
     assert isinstance(rt["embed"], QuantizedEmbedding)
     np.testing.assert_array_equal(np.asarray(rt["embed"].q), np.asarray(qparams["embed"].q))
+
+
+def test_whisper_runs_with_quantized_embedding():
+    """Tied Whisper logits route through embedding_logits, so
+    quantize_embeddings artifacts transcribe instead of crashing on .T
+    (code-review r2 finding)."""
+    from asr_tpu.decode.ar import DecodeConfig
+    from asr_tpu.models import whisper as wh
+    from asr_tpu.quant.quantize import QuantizedEmbedding, quantize_pytree
+
+    cfg = wh.WhisperConfig(
+        vocab_size=256, d_model=32, encoder_layers=1, decoder_layers=1,
+        num_heads=4, n_mels=16, max_source_positions=20,
+        max_target_positions=16, sot_id=1, eot_id=2, first_language_id=10,
+        num_languages=4, transcribe_id=20, translate_id=21,
+        no_timestamps_id=22, no_speech_id=30,
+    )
+    params = wh.init_params(cfg, jax.random.PRNGKey(0))
+    qparams = quantize_pytree(params, min_size=1 << 10, quantize_embeddings=True)
+    assert isinstance(qparams["decoder"]["embed"], QuantizedEmbedding)
+    mel = jnp.zeros((1, 40, 16), jnp.float32)
+    out = wh.transcribe_window(
+        qparams, cfg, mel, jnp.asarray([[1, -1, 20, 22]], jnp.int32),
+        DecodeConfig(max_new_tokens=3, eot_id=2))
+    assert out["tokens"].shape[0] == 1
+
+
+def test_penalty_excludes_prompt_slots():
+    """Repetition penalty matches the reference's generated-only save_id:
+    prompt slots (incl. zero-filled embed-prompt buffers) are never
+    penalized (code-review r2 finding on qwen's zero buffer)."""
+    from asr_tpu.decode.strategies import apply_repetition_penalty
+
+    logits = jnp.ones((1, 8), jnp.float32)
+    buf = jnp.asarray([[0, 0, 0, 5, 6, 0, 0, 0]], jnp.int32)  # prompt=3 zeros, gen=[5,6]
+    # Without start: id 0 is phantom-penalized via the zero prompt slots.
+    out_bad = np.asarray(apply_repetition_penalty(logits, buf, 5, 2.0, 8))
+    assert out_bad[0, 0] == 0.5
+    # With hist_start=3 only the generated ids 5 and 6 are penalized.
+    out = np.asarray(apply_repetition_penalty(logits, buf, 5, 2.0, 8, hist_start=3))
+    assert out[0, 0] == 1.0 and out[0, 5] == 0.5 and out[0, 6] == 0.5
+    assert out[0, 1] == 1.0
