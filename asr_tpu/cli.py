@@ -178,8 +178,10 @@ def _build_session(folder: Path, language: str | None = None, mesh=None,
             suffix_ids=tuple(meta.extra.get("prompt_suffix_ids", [])),
             tail_ids=tuple(meta.extra.get("prompt_tail_ids", [])),
         )
-        return QwenAsrSession(params["tower"], params["llm"], cfg,
-                              tokenizer=tokenizer, template=tpl)
+        return QwenAsrSession(
+            params["tower"], params["llm"], cfg, tokenizer=tokenizer, template=tpl,
+            language_prompt_ids=meta.extra.get("language_prompt_ids") or {},
+        )
 
     if family == "qwen_aligner":
         from asr_tpu.models.forced_aligner import ForcedAlignerConfig

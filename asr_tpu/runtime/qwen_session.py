@@ -35,6 +35,30 @@ class QwenPromptTemplate:
     tail_ids: tuple[int, ...] = ()      # e.g. <|im_end|><|im_start|>assistant
 
 
+ASR_TEXT_TAG = "<asr_text>"
+LANG_PREFIX = "language "
+
+
+def parse_asr_output(raw: str, user_language: str | None = None) -> tuple[str, str]:
+    """Split a decoded "language English<asr_text>hello" string into
+    (language, text) — reference ``Inference_Qwen_ASR_ONNX.py:106-123``."""
+    text = (raw or "").strip()
+    if not text:
+        return "", ""
+    if user_language:
+        return user_language, text
+    if ASR_TEXT_TAG not in text:
+        return "", text
+    meta_part, text_part = text.split(ASR_TEXT_TAG, 1)
+    language = ""
+    index = meta_part.lower().find(LANG_PREFIX)
+    if index >= 0:
+        language = meta_part[index + len(LANG_PREFIX):].strip()
+        if language:
+            language = language[:1].upper() + language[1:].lower()
+    return language, text_part.strip()
+
+
 class QwenAsrSession:
     def __init__(
         self,
@@ -49,6 +73,7 @@ class QwenAsrSession:
         top_k: int = 0,
         top_p: float = 1.0,
         max_seconds: float = 30.0,
+        language_prompt_ids: dict[str, list[int]] | None = None,
     ):
         self.tower_params = tower_params
         self.llm_params = llm_params
@@ -60,21 +85,39 @@ class QwenAsrSession:
             penalty=penalty, top_k=top_k, top_p=top_p,
         )
         self.max_samples = int(max_seconds * cfg.sample_rate)
+        # code -> prompt token ids ("English<asr_text>" etc.); appending them
+        # to the tail forces the output language (reference
+        # ``Inference_Qwen_ASR_ONNX.py:522-539`` language tail embeds).
+        self.language_prompt_ids = language_prompt_ids or {}
+        self.last_language: str = ""
 
-    def _prompt_ids(self, context: str) -> dict:
+    def _prompt_ids(self, context: str, language: str | None = None) -> dict:
         query = self.tokenizer.encode(context) if (context and self.tokenizer) else []
+        tail = list(self.template.tail_ids)
+        if language:
+            lang_ids = self.language_prompt_ids.get(language.strip().lower())
+            if lang_ids is None:
+                raise KeyError(
+                    f"language {language!r} not in this artifact's prompt catalog "
+                    f"({sorted(self.language_prompt_ids) or 'empty'})"
+                )
+            tail = tail + list(lang_ids)
         mk = lambda ids: jnp.asarray([list(ids) or [0]][0], jnp.int32)[None] if ids else jnp.zeros((1, 0), jnp.int32)
         return {
             "head": mk(self.template.head_ids),
             "query": mk(tuple(query)),
             "suffix": mk(self.template.suffix_ids),
-            "tail": mk(self.template.tail_ids),
+            "tail": mk(tuple(tail)),
         }
 
     def transcribe(
-        self, audio: np.ndarray | str | Path, context: str = "", rng=None
+        self, audio: np.ndarray | str | Path, context: str = "",
+        language: str | None = None, rng=None
     ) -> TranscribeResult:
-        """``context``: optional text prompt (hot words / domain biasing)."""
+        """``context``: optional text prompt (hot words / domain biasing);
+        ``language``: force the output language via the artifact's prompt
+        catalog (None = model auto-detects; the detected name lands in
+        ``self.last_language``)."""
         if isinstance(audio, (str, Path)):
             audio = audio_io.load_audio(audio, self.cfg.sample_rate, pcm_scale=1.0)
         audio = np.asarray(audio, np.float32)[: self.max_samples]
@@ -84,14 +127,15 @@ class QwenAsrSession:
         t0 = time.perf_counter()
         tokens, counts, valid = qa.forward(
             self.tower_params, self.llm_params, self.cfg,
-            jnp.asarray(buf), jnp.asarray([n]), self._prompt_ids(context),
+            jnp.asarray(buf), jnp.asarray([n]), self._prompt_ids(context, language),
             self.decode_cfg, rng,
         )
         tokens = np.asarray(jax.block_until_ready(tokens))
         elapsed = time.perf_counter() - t0
         v, c = int(valid[0]), int(counts[0])
         ids = [int(t) for t in tokens[0, v : v + c] if t != self.cfg.eot_id]
-        text = self.tokenizer.decode(ids) if self.tokenizer else ""
+        raw = self.tokenizer.decode(ids) if self.tokenizer else ""
+        self.last_language, text = parse_asr_output(raw, user_language=language)
         return TranscribeResult(text=text, token_ids=ids,
                                 audio_seconds=n / self.cfg.sample_rate,
                                 elapsed_seconds=elapsed)

@@ -128,3 +128,33 @@ def test_full_pipeline_jit(tiny_llm):
     v = int(valid[0])
     gen = np.asarray(tokens)[0, v : v + int(counts[0])]
     assert ((gen >= 0) & (gen < cfg.vocab_size)).all()
+
+
+def test_language_prompt_and_output_parsing():
+    from asr_tpu.runtime.qwen_session import QwenAsrSession, QwenPromptTemplate, parse_asr_output
+
+    assert parse_asr_output("language English<asr_text>hello world") == ("English", "hello world")
+    assert parse_asr_output("hello") == ("", "hello")
+    assert parse_asr_output("language zh<asr_text>你好", user_language="zh") == ("zh", "language zh<asr_text>你好")
+    assert parse_asr_output("") == ("", "")
+
+    class _Tok:
+        def encode(self, text):
+            return [9, 9]
+
+        def decode(self, ids):
+            return "language English<asr_text>ok"
+
+    sess = QwenAsrSession(
+        None, None, qa.QwenAsrConfig(), tokenizer=_Tok(),
+        template=QwenPromptTemplate(head_ids=(1,), suffix_ids=(2,), tail_ids=(3, 4)),
+        language_prompt_ids={"en": [50, 51], "zh": [60, 61]},
+    )
+    ids = sess._prompt_ids("", language="en")
+    assert ids["tail"].tolist() == [[3, 4, 50, 51]]
+    ids = sess._prompt_ids("", language=None)
+    assert ids["tail"].tolist() == [[3, 4]]
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        sess._prompt_ids("", language="fr")
