@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Validate the Pallas kernels on REAL TPU hardware and record the evidence.
+
+VERDICT r1 item 6: the packed int4/int2 quant matmuls and the fused fbank
+kernel were only interpret-mode validated.  This harness runs each kernel on
+the real chip, compares against the XLA reference path (max abs err), times
+both, and writes ``KERNELS_TPU.json`` at the repo root:
+
+    {"device": ..., "kernels": {name: {max_abs_err, ok, pallas_ms, xla_ms, ...}}}
+
+Run: ``python tools/validate_kernels_tpu.py`` (requires the axon TPU tunnel).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _time(fn, *args, iters=30):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters * 1e3, out  # ms
+
+
+def validate_quant_matmul(bits: int, pack: bool, results: dict) -> None:
+    from asr_tpu.ops import quant_matmul as qm
+    from asr_tpu.quant.quantize import quantize_linear
+
+    m, k, n, block = 512, 4096, 1024, 128
+    rng = np.random.default_rng(bits)
+    w = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32) * 0.02)
+    x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
+    qleaf = quantize_linear(w, bits=bits, block=block, pack=pack)
+
+    pallas_fn = jax.jit(lambda x: qm.quant_dense(x, qleaf))
+    xla_fn = jax.jit(lambda x: qm._xla_quant_dense(x, qleaf))
+
+    got = pallas_fn(x)
+    want = xla_fn(x)
+    err = float(jnp.max(jnp.abs(got - want)))
+    rel = err / (float(jnp.max(jnp.abs(want))) + 1e-30)
+    p_ms, _ = _time(pallas_fn, x)
+    x_ms, _ = _time(xla_fn, x)
+    name = f"quant_matmul_int{bits}" + ("_packed" if pack else "")
+    results[name] = {
+        "shape": [m, k, n],
+        "block": block,
+        "max_abs_err_vs_xla_dequant": round(err, 8),
+        "max_rel_err": round(rel, 8),
+        "ok": bool(rel < 1e-4),
+        "pallas_ms": round(p_ms, 4),
+        "xla_dequant_ms": round(x_ms, 4),
+        "speedup_vs_xla": round(x_ms / p_ms, 3),
+        "effective_tflops": round(2 * m * k * n / (p_ms * 1e-3) / 1e12, 3),
+    }
+    print(name, results[name])
+
+
+def validate_fused_fbank(results: dict) -> None:
+    from asr_tpu.frontend.kaldi_fbank import KaldiFbankConfig, log_mel_fbank
+    from asr_tpu.ops.fused_fbank import fused_log_mel_fbank, fused_frames_for
+
+    cfg = KaldiFbankConfig()
+    rng = np.random.default_rng(0)
+    b, s = 8, 128000  # bench window: batch 8 x 8 s
+    audio = jnp.asarray((rng.standard_normal((b, s)) * 2000).astype(np.float32))
+    n_frames = fused_frames_for(cfg, s)
+
+    fused_fn = jax.jit(lambda a: fused_log_mel_fbank(a, cfg, n_frames))
+    env = os.environ.pop("ASR_TPU_FUSED_FBANK", None)
+    try:
+        unfused_fn = jax.jit(lambda a: log_mel_fbank(a, cfg, n_frames))
+        got = fused_fn(audio)
+        want = unfused_fn(audio)
+    finally:
+        if env is not None:
+            os.environ["ASR_TPU_FUSED_FBANK"] = env
+    real = cfg.num_frames(s)  # padded tail frames differ by design (zeros vs garbage-span)
+    err = float(jnp.max(jnp.abs(got[:, :real] - want[:, :real])))
+    f_ms, _ = _time(fused_fn, audio)
+    u_ms, _ = _time(unfused_fn, audio)
+    results["fused_fbank"] = {
+        "shape": [b, s],
+        "n_frames": int(real),
+        "max_abs_err_vs_unfused": round(err, 8),
+        "ok": bool(err < 2e-3),  # log-domain; values are O(10-20)
+        "pallas_ms": round(f_ms, 4),
+        "xla_unfused_ms": round(u_ms, 4),
+        "speedup_vs_xla": round(u_ms / f_ms, 3),
+    }
+    print("fused_fbank", results["fused_fbank"])
+
+
+def main() -> None:
+    dev = jax.devices()[0]
+    if dev.platform != "tpu":
+        print(json.dumps({"error": f"not a TPU backend: {dev.platform}"}))
+        sys.exit(1)
+    results = {}
+    validate_quant_matmul(8, False, results)
+    validate_quant_matmul(4, True, results)
+    validate_quant_matmul(2, True, results)
+    validate_fused_fbank(results)
+    import datetime
+
+    record = {
+        "timestamp_utc": datetime.datetime.now(datetime.timezone.utc).strftime(
+            "%Y%m%dT%H%M%SZ"
+        ),
+        "device": str(dev),
+        "device_kind": getattr(dev, "device_kind", "?"),
+        "jax": jax.__version__,
+        "all_ok": all(v["ok"] for v in results.values()),
+        "kernels": results,
+    }
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "KERNELS_TPU.json")
+    with open(out, "w") as f:
+        json.dump(record, f, indent=2)
+    print("wrote", out, "all_ok =", record["all_ok"])
+
+
+if __name__ == "__main__":
+    main()
