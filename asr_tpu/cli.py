@@ -326,7 +326,7 @@ def cmd_align(args) -> int:
     sess = _build_session(Path(args.model_dir))
     if not hasattr(sess, "align"):
         raise SystemExit("model artifact is not a forced-aligner family")
-    for item in sess.align(args.audio, args.text):
+    for item in sess.align(args.audio, args.text, language=args.language):
         print(f"{item['start_ms']:>8d} {item['end_ms']:>8d}  {item['text']}")
     return 0
 
@@ -497,6 +497,8 @@ def main(argv=None) -> int:
     p = sub.add_parser("align", help="forced-align a transcript against audio (word timestamps)")
     p.add_argument("--model-dir", required=True)
     p.add_argument("--text", required=True, help="transcript to align")
+    p.add_argument("--language", default=None,
+                   help="unit-splitter language (e.g. japanese); default space/CJK")
     p.add_argument("audio")
     p.set_defaults(fn=cmd_align)
 

@@ -9,9 +9,19 @@ monotone-repaired and grouped per word (``:249-340``).
 
 Word-unit splitting (``:171-246``): keep letters/digits/apostrophes, split
 CJK ideographs into single-character units, everything else on whitespace.
-Japanese/Korean morphological splitters (nagisa / soynlp upstream) are not
-bundled; those languages fall back to the space/CJK splitter unless the
-caller supplies ``split_fn``.
+Language-specific units (reference ``word_units(text, language)``):
+
+- Japanese: upstream uses the nagisa morphological tagger (not bundled —
+  no network); :func:`word_units_japanese` is a self-contained
+  script-class segmenter producing comparable units — a kanji run plus
+  its trailing hiragana (okurigana/particles) is one unit, and each
+  hiragana / katakana / latin-digit run is one unit.
+- Korean: upstream instantiates an UNTRAINED ``soynlp`` ``LTokenizer``
+  (no word-score table), which degenerates to returning each
+  whitespace-separated eojeol unchanged — exactly what the default
+  space splitter does, so Korean needs no extra code.
+
+A custom ``split_fn`` still overrides everything.
 """
 
 from __future__ import annotations
@@ -65,6 +75,54 @@ def word_units(text: str) -> list[str]:
     return units
 
 
+def _jp_script(ch: str) -> str:
+    code = ord(ch)
+    if 0x3040 <= code <= 0x309F:
+        return "hira"
+    if 0x30A0 <= code <= 0x30FF or 0x31F0 <= code <= 0x31FF or ch == "ー":
+        return "kata"
+    if _is_cjk(ch):
+        return "kanji"
+    return "other"
+
+
+def word_units_japanese(text: str) -> list[str]:
+    """Self-contained Japanese unit splitter (nagisa stand-in): segments on
+    script-class transitions, attaching a trailing hiragana run to a
+    preceding kanji run (stem + okurigana form one unit)."""
+    units: list[str] = []
+    buf: list[str] = []
+    buf_script = ""
+    for ch in text:
+        if not _is_kept(ch):
+            if buf:
+                units.append("".join(buf))
+                buf, buf_script = [], ""
+            continue
+        s = _jp_script(ch)
+        if buf and (s == buf_script or (buf_script == "kanji" and s == "hira")):
+            buf.append(ch)
+            if s == "hira":
+                buf_script = "hira"  # okurigana attached; next kanji starts anew
+        else:
+            if buf:
+                units.append("".join(buf))
+            buf, buf_script = [ch], s
+    if buf:
+        units.append("".join(buf))
+    return units
+
+
+def word_units_for_language(text: str, language: str | None) -> list[str]:
+    """Language dispatch mirroring the reference's
+    ``AlignerTextProcessor.word_units(text, language)``: Japanese uses the
+    script segmenter, Korean and everything else the space/CJK splitter
+    (see module docstring for the untrained-LTokenizer equivalence)."""
+    if language and language.lower() in ("japanese", "ja", "jp"):
+        return word_units_japanese(text)
+    return word_units(text)
+
+
 class QwenAlignerSession:
     """NAR forced alignment: (audio, transcript) -> word timestamps."""
 
@@ -95,8 +153,13 @@ class QwenAlignerSession:
     def _embed(self, token_id: int) -> jnp.ndarray:
         return jnp.asarray(self.llm_params["embed"])[None, token_id : token_id + 1]
 
-    def align(self, audio: np.ndarray | str | Path, text: str) -> list[dict]:
-        """Returns [{"text", "start_ms", "end_ms"}] per word unit."""
+    def align(
+        self, audio: np.ndarray | str | Path, text: str, language: str | None = None
+    ) -> list[dict]:
+        """Returns [{"text", "start_ms", "end_ms"}] per word unit.
+
+        ``language`` selects the unit splitter (e.g. ``"japanese"``) when no
+        custom ``split_fn`` was supplied at construction."""
         if isinstance(audio, (str, Path)):
             audio = audio_io.load_audio(audio, self.cfg.asr.sample_rate, pcm_scale=1.0)
         audio = np.asarray(audio, np.float32)[: self.max_samples]
@@ -107,7 +170,10 @@ class QwenAlignerSession:
         if self.tokenizer is None:
             raise ValueError("forced alignment needs a tokenizer with .encode() "
                              "(artifact tokenizer file missing?)")
-        words = self.split_fn(text)
+        if language is not None and self.split_fn is word_units:
+            words = word_units_for_language(text, language)
+        else:
+            words = self.split_fn(text)
         text_ids: list[int] = []
         ts_positions: list[int] = []
         for w in words:

@@ -72,6 +72,36 @@ def test_word_units_splitter():
     assert word_units("v2ray 2024") == ["v2ray", "2024"]
 
 
+def test_word_units_japanese_script_segmenter():
+    from asr_tpu.runtime.aligner_session import (
+        word_units_for_language,
+        word_units_japanese,
+    )
+
+    # kanji + trailing hiragana (okurigana) form one unit; katakana runs and
+    # latin runs are their own units; punctuation splits.
+    assert word_units_japanese("私は東京タワーへ行きました。") == [
+        "私は", "東京", "タワー", "へ", "行きました"]
+    assert word_units_japanese("カタカナABC123ひらがな") == [
+        "カタカナ", "ABC123", "ひらがな"]
+    assert word_units_japanese("ラーメン") == ["ラーメン"]  # prolonged mark stays
+    assert word_units_japanese("") == []
+
+    # dispatch: ja aliases use the segmenter, Korean/others the space splitter
+    assert word_units_for_language("行きます", "ja") == ["行きます"]
+    assert word_units_for_language("안녕하세요 세계", "korean") == ["안녕하세요", "세계"]
+    assert word_units_for_language("hello world", None) == ["hello", "world"]
+
+
+def test_word_units_japanese_mixed_scripts():
+    from asr_tpu.runtime.aligner_session import word_units_japanese
+
+    # hiragana run after katakana starts its own unit (no okurigana
+    # attachment across non-kanji scripts); a kanji after attached
+    # okurigana starts a new unit (compound verbs split at the boundary).
+    assert word_units_japanese("データを読み込む") == ["データ", "を", "読み", "込む"]
+
+
 def test_aligner_session_end_to_end():
     import jax
     import numpy as np

@@ -1,0 +1,334 @@
+#!/usr/bin/env python
+"""Per-family RTF matrix on real TPU — counterpart of the reference's
+headline README performance table (`/root/reference/README.md:44-64`).
+
+Each family runs at REAL checkpoint geometry (the config defaults the
+loaders target) with random weights — RTF is weight-value-independent
+because every decode loop is forced to a fixed step count (``eot_id=-1``
+never matches, transducers cap at max_tokens with padded frames), so the
+measured work equals the work on a real transcript of that length.
+
+Writes one JSON record per family to ``bench_runs/matrix_<ts>.json``
+incrementally (the tunnel can wedge mid-run) and prints a markdown table.
+
+Run: ``python tools/bench_matrix.py [family ...]`` (default: all).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_default_matmul_precision", "highest")
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+except Exception:
+    pass
+
+RESULTS = []
+_TS = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
+_OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "bench_runs", f"matrix_{_TS}.json")
+
+
+def _audio(batch, seconds, rate=16000, scale=2000.0, seed=0):
+    rng = np.random.default_rng(seed)
+    s = int(seconds * rate)
+    a = jnp.asarray((rng.standard_normal((batch, s)) * scale).astype(np.float32))
+    return a, jnp.full((batch,), s, jnp.int32)
+
+
+def _measure(name, fn, args, batch, audio_seconds, iters, ref_cpu_rtf, note=""):
+    t_c0 = time.perf_counter()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    compile_s = time.perf_counter() - t_c0
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t0
+    rtf = elapsed / (iters * batch * audio_seconds)
+    rec = {
+        "family": name,
+        "rtf": round(rtf, 6),
+        "batch": batch,
+        "audio_seconds": audio_seconds,
+        "iters": iters,
+        "compile_s": round(compile_s, 1),
+        "ref_cpu_rtf": ref_cpu_rtf,
+        "speedup_vs_ref": round(ref_cpu_rtf / rtf, 1) if ref_cpu_rtf else None,
+        "note": note,
+    }
+    RESULTS.append(rec)
+    print(json.dumps(rec), flush=True)
+    os.makedirs(os.path.dirname(_OUT), exist_ok=True)
+    dev = jax.devices()[0]
+    with open(_OUT, "w") as f:
+        json.dump({"timestamp_utc": _TS, "device": str(dev),
+                   "device_kind": getattr(dev, "device_kind", "?"),
+                   "precision": "f32 HIGHEST matmuls",
+                   "results": RESULTS}, f, indent=2)
+
+
+def bench_sensevoice():
+    from asr_tpu.models import sensevoice as sv
+    cfg = sv.SenseVoiceConfig()
+    params = sv.init_params(cfg, jax.random.PRNGKey(0))
+    audio, valid = _audio(8, 8.0)
+    lang = jnp.zeros((8,), jnp.int32)
+    fn = jax.jit(lambda p, a, v, l: sv.forward(p, cfg, a, v, l))
+    _measure("sensevoice_small_f32", fn, (params, audio, valid, lang), 8, 8.0, 20,
+             0.019, "reference README.md:52 (best CPU, i3-12300)")
+
+
+def bench_whisper(dtype=jnp.float32, tag="f32"):
+    from asr_tpu.models import whisper as wh
+    from asr_tpu.decode.ar import DecodeConfig
+    cfg = wh.WhisperConfig()  # large-v3-turbo geometry
+    params = wh.init_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
+    audio, _ = _audio(8, 30.0, scale=0.1)
+    mel = wh.mel_for_audio(cfg, audio)
+    prompt = jnp.tile(jnp.asarray(
+        [[cfg.sot_id, -1, cfg.transcribe_id, cfg.no_timestamps_id]], jnp.int32), (8, 1))
+    dc = DecodeConfig(max_new_tokens=200, eot_id=-1)
+    fn = jax.jit(lambda p, m, pr: wh.transcribe_window(p, cfg, m, pr, dc))
+    _measure(f"whisper_large_v3_turbo_{tag}", fn, (params, mel, prompt), 8, 30.0, 3,
+             0.073, "forced 200 decode steps/window; ref README.md:55 q8f32 i3-12300")
+
+
+def bench_paraformer():
+    from asr_tpu.models import paraformer as pf
+    cfg = pf.ParaformerConfig()  # large-zh geometry
+    params = pf.init_params(cfg, jax.random.PRNGKey(0))
+    audio, valid = _audio(8, 8.0)
+    fn = jax.jit(lambda p, a, v: pf.forward(p, cfg, a, v, max_tokens=128))
+    _measure("paraformer_large_f32", fn, (params, audio, valid), 8, 8.0, 10,
+             0.14, "CIF + non-AR decoder; ref README.md:57 q8f32 i5-7300HQ")
+
+
+def bench_parakeet():
+    from asr_tpu.models import parakeet as pk
+    cfg = pk.ParakeetConfig()
+    params = pk.init_params(cfg, jax.random.PRNGKey(0))
+    audio, valid = _audio(8, 8.0, scale=0.1)
+    fn = jax.jit(lambda p, a, v: pk.forward(p, cfg, a, v, max_tokens=128))
+    _measure("parakeet_tdt_0.6b_f32", fn, (params, audio, valid), 8, 8.0, 5,
+             0.08, "TDT greedy over all frames; ref README.md:64 q8f32 i7-1165G7")
+
+
+def bench_nemotron():
+    from asr_tpu.models import nemotron as nm
+    cfg = nm.NemotronConfig()
+    params = nm.init_params(cfg, jax.random.PRNGKey(0))
+    audio, valid = _audio(8, 8.0, scale=0.1)
+    prompt = jnp.zeros((8,), jnp.int32)
+    fn = jax.jit(lambda p, a, v, pr: nm.forward(p, cfg, a, v, pr, max_tokens=128))
+    _measure("nemotron_0.6b_f32", fn, (params, audio, valid, prompt), 8, 8.0, 5,
+             0.1, "RNN-T greedy; ref README.md:63 q8f32 i7-1165G7")
+
+
+def bench_firered():
+    from asr_tpu.models import firered as fr
+    from asr_tpu.decode.ar import DecodeConfig
+    cfg = fr.FireRedConfig()  # AED-L geometry
+    params = fr.init_params(cfg, jax.random.PRNGKey(0))
+    audio, valid = _audio(8, 8.0)
+    dc = DecodeConfig(max_new_tokens=60, eot_id=-1)
+    fn = jax.jit(lambda p, a, v: fr.transcribe(p, cfg, a, v, dc))
+    _measure("firered_aed_l_f32", fn, (params, audio, valid), 8, 8.0, 5,
+             0.17, "forced 60 decode steps; ref README.md:59 q8f32 i3-12300")
+
+
+def bench_dolphin():
+    from asr_tpu.models import dolphin as dp
+    from asr_tpu.decode.ar import DecodeConfig
+    cfg = dp.DolphinConfig()  # small geometry
+    params = dp.init_params(cfg, jax.random.PRNGKey(0))
+    audio, valid = _audio(8, 8.0)
+    # [sos, lang(-1 probe), region(-2 probe), task, notimestamps] layout
+    prompt = jnp.tile(jnp.asarray([[cfg.sos_id, -1, -2, 5, 6]], jnp.int32), (8, 1))
+    dc = DecodeConfig(max_new_tokens=60, eot_id=-1)
+    fn = jax.jit(lambda p, a, v, pr: dp.transcribe(p, cfg, a, v, pr, dc))
+    _measure("dolphin_small_f32", fn, (params, audio, valid, prompt), 8, 8.0, 5,
+             0.14, "forced 60 decode steps; ref README.md:60 q8f32 i7-1165G7")
+
+
+def bench_fun_asr_nano_ctc():
+    from asr_tpu.models import fun_asr_nano as fn_
+    cfg = fn_.FunAsrNanoConfig()
+    params = fn_.init_params(cfg, jax.random.PRNGKey(0))
+    audio, valid = _audio(8, 8.0)
+    fn = jax.jit(lambda p, a, v: fn_.forward_ctc(p, cfg, a, v))
+    _measure("fun_asr_nano_ctc_f32", fn, (params, audio, valid), 8, 8.0, 10,
+             0.11, "fast CTC head (ref number is the q4f32 LLM path, README.md:61)")
+
+
+def bench_qwen_asr():
+    from asr_tpu.models import qwen_asr as qa
+    from asr_tpu.decode.ar import DecodeConfig
+    from asr_tpu.layers import qwen3
+    cfg = qa.QwenAsrConfig()
+    tower = qa.init_tower_params(cfg, jax.random.PRNGKey(0))
+    llm = qwen3.init_params(cfg.llm, jax.random.PRNGKey(1))
+    audio, valid = _audio(1, 8.0, scale=0.1)
+    ids = {
+        "head": jnp.asarray([[1, 2, 3]], jnp.int32),
+        "query": jnp.asarray([[4, 5]], jnp.int32),
+        "suffix": jnp.asarray([[6]], jnp.int32),
+        "tail": jnp.asarray([[7, 8]], jnp.int32),
+    }
+    dc = DecodeConfig(max_new_tokens=100, eot_id=-1)
+    fn = jax.jit(lambda t, l, a, v: qa.forward(t, l, cfg, a, v, ids, dc))
+    _measure("qwen3_asr_0.6b_f32", fn, (tower, llm, audio, valid), 1, 8.0, 3,
+             0.12, "batch 1 (ref layout), forced 100 decode steps; ref README.md:62 q4f32")
+
+
+def _measure_stream(name, step, args, chunk_seconds, ref_cpu_rtf, note="", iters=50):
+    """Streaming RTF: steady-state per-chunk latency / chunk duration
+    (batch 1, single stream — the reference's streaming measurement)."""
+    t_c0 = time.perf_counter()
+    out = step(*args)
+    jax.block_until_ready(out)
+    compile_s = time.perf_counter() - t_c0
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(*args)
+    jax.block_until_ready(out)
+    per_chunk = (time.perf_counter() - t0) / iters
+    rec = {
+        "family": name,
+        "rtf": round(per_chunk / chunk_seconds, 6),
+        "chunk_ms": round(per_chunk * 1e3, 3),
+        "chunk_seconds": chunk_seconds,
+        "batch": 1,
+        "iters": iters,
+        "compile_s": round(compile_s, 1),
+        "ref_cpu_rtf": ref_cpu_rtf,
+        "speedup_vs_ref": round(ref_cpu_rtf * chunk_seconds / per_chunk, 1) if ref_cpu_rtf else None,
+        "note": note,
+    }
+    RESULTS.append(rec)
+    print(json.dumps(rec), flush=True)
+
+
+def bench_paraformer_streaming():
+    from asr_tpu.models import paraformer as pf
+    from asr_tpu.streaming import paraformer_online as po
+    cfg = po.ParaformerStreamConfig(base=pf.ParaformerConfig())
+    params = pf.init_params(cfg.base, jax.random.PRNGKey(0))
+    state = po.init_state(cfg, params)
+    chunk, _ = _audio(1, cfg.chunk_samples / 16000.0)
+    enc_j = jax.jit(lambda p, s, c: po.encoder_step(p, cfg, s, c))
+    dec_j = jax.jit(lambda p, s, e, f, n: po.decoder_step(p, cfg, s, e, f, n))
+
+    def step(p, s, c):
+        s, fired, count, enc_out = enc_j(p, s, c)
+        # Worst case: decoder runs every chunk (reference skips on count==0).
+        s, ids, n = dec_j(p, s, enc_out, fired, count)
+        return s, ids, n
+
+    _measure_stream("paraformer_streaming_f32", step, (params, state, chunk[0][None]),
+                    cfg.chunk_samples / 16000.0, 0.06,
+                    "0.5 s chunks, decoder forced EVERY chunk; ref README.md:58 i3-12300")
+
+
+def bench_zipformer_streaming():
+    from asr_tpu.models import zipformer as zf
+    cfg = zf.ZipformerConfig()
+    params = zf.init_params(cfg, jax.random.PRNGKey(0))
+    state = zf.init_state(cfg)
+    window = _audio(1, cfg.window_samples / 16000.0)[0][0]
+
+    def step(p, s, w):
+        s, enc = zf.encoder_step(p, cfg, s, w)
+        return zf.greedy_chunk(p, cfg, s, enc)
+
+    stepj = jax.jit(step)
+    _measure_stream("x_asr_zipformer_stream_f32", stepj, (params, state, window),
+                    cfg.chunk_size * 0.04, None,
+                    "encoder_step + transducer greedy per chunk (no ref RTF row)")
+
+
+def bench_nemotron_streaming():
+    from asr_tpu.models import nemotron as nm
+    from asr_tpu.streaming import nemotron_stream as ns
+    cfg = ns.NemotronStreamConfig(base=nm.NemotronConfig())
+    params = nm.init_params(cfg.base, jax.random.PRNGKey(0))
+    state = ns.init_state(cfg)
+    window = _audio(1, cfg.window_samples / 16000.0, scale=0.1)[0]
+    prompt = jnp.zeros((1,), jnp.int32)
+
+    def step(p, s, w, pr):
+        s, enc_proj = ns.encoder_step(p, cfg, s, w, pr)
+        return ns.rnnt_stream_step(p, cfg, s, enc_proj)
+
+    stepj = jax.jit(step)
+    chunk_seconds = cfg.mel_chunk * cfg.base.mel.hop_length / 16000.0
+    _measure_stream("nemotron_streaming_f32", stepj, (params, state, window, prompt),
+                    chunk_seconds, 0.1,
+                    "cache-aware chunk + RNN-T continuation; ref README.md:63 (offline row)")
+
+
+def bench_dolphin_streaming():
+    from asr_tpu.models import dolphin as dp
+    from asr_tpu.streaming import dolphin_stream as ds
+    cfg = ds.DolphinStreamConfig(base=dp.DolphinConfig())
+    params = dp.init_params(cfg.base, jax.random.PRNGKey(0))
+    state = ds.init_state(cfg)
+    window = _audio(1, cfg.window_samples / 16000.0)[0][0]
+    stepj = jax.jit(lambda p, s, w: ds.encoder_step(p, cfg, s, w))
+    chunk_seconds = cfg.advance_samples / 16000.0
+    _measure_stream("dolphin_cn_stream_f32", stepj, (params, state, window),
+                    chunk_seconds, 0.14,
+                    "E-Branchformer chunk + in-graph CTC ids; ref README.md:60 (offline row)")
+
+
+BENCHES = {
+    "sensevoice": bench_sensevoice,
+    "whisper": bench_whisper,
+    "whisper_bf16": lambda: bench_whisper(jnp.bfloat16, "bf16"),
+    "paraformer": bench_paraformer,
+    "parakeet": bench_parakeet,
+    "nemotron": bench_nemotron,
+    "firered": bench_firered,
+    "dolphin": bench_dolphin,
+    "fun_asr_nano": bench_fun_asr_nano_ctc,
+    "qwen_asr": bench_qwen_asr,
+    "paraformer_streaming": bench_paraformer_streaming,
+    "zipformer_streaming": bench_zipformer_streaming,
+    "nemotron_streaming": bench_nemotron_streaming,
+    "dolphin_streaming": bench_dolphin_streaming,
+}
+
+
+def main():
+    names = sys.argv[1:] or list(BENCHES)
+    dev = jax.devices()[0]
+    print(f"device: {dev} ({getattr(dev, 'device_kind', '?')})", flush=True)
+    failures = {}
+    for n in names:
+        try:
+            BENCHES[n]()
+        except Exception as e:  # keep going; record the failure
+            failures[n] = f"{type(e).__name__}: {e}"
+            print(f"FAIL {n}: {failures[n]}", flush=True)
+    print("\n| Family | TPU RTF (f32) | Ref best CPU RTF | Speedup |")
+    print("|---|---|---|---|")
+    for r in RESULTS:
+        print(f"| {r['family']} | {r['rtf']} | {r['ref_cpu_rtf']} | {r['speedup_vs_ref']}x |")
+    if failures:
+        print("failures:", json.dumps(failures))
+    print("wrote", _OUT)
+
+
+if __name__ == "__main__":
+    main()
