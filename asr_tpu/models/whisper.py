@@ -127,6 +127,7 @@ def conv1d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, stride: int) -> jnp.n
 def encode(params: dict, cfg: WhisperConfig, mel: jnp.ndarray) -> jnp.ndarray:
     """mel (B, T, n_mels) -> encoder states (B, T // 2, d_model)."""
     e = params["encoder"]
+    mel = mel.astype(e["conv1"]["w"].dtype)  # bf16 serving: f32 mel meets cast weights
     x = jax.nn.gelu(conv1d(mel, e["conv1"]["w"], e["conv1"]["b"], 1), approximate=False)
     x = jax.nn.gelu(conv1d(x, e["conv2"]["w"], e["conv2"]["b"], 2), approximate=False)
     x = x + e["pos"][: x.shape[1]]

@@ -206,3 +206,27 @@ def test_bf16_kv_cache_storage_option():
         params, bf, mel, jnp.asarray([[cfg.sot_id, -1, cfg.transcribe_id, cfg.no_timestamps_id]], jnp.int32),
         DecodeConfig(max_new_tokens=4, eot_id=cfg.eot_id))
     assert out["tokens"].shape[0] == 1
+
+
+def test_bf16_cast_params_full_window():
+    """Whole-pytree bf16 serving (CLI --dtype bfloat16): the f32 mel must
+    meet the bf16 conv stem without a dtype error (regression: encode()
+    casts mel to the conv weight dtype)."""
+    cfg = wh.WhisperConfig(
+        vocab_size=96, d_model=32, encoder_layers=1, decoder_layers=1,
+        num_heads=4, n_mels=16, max_source_positions=40,
+        max_target_positions=16, sot_id=1, eot_id=2, first_language_id=10,
+        num_languages=4, transcribe_id=20, translate_id=21,
+        no_timestamps_id=22, no_speech_id=30,
+    )
+    params = wh.init_params(cfg, jax.random.PRNGKey(3), dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((2, 40, cfg.n_mels)).astype(np.float32))
+    from asr_tpu.decode.ar import DecodeConfig
+
+    prompt = jnp.tile(jnp.asarray(
+        [[cfg.sot_id, -1, cfg.transcribe_id, cfg.no_timestamps_id]], jnp.int32), (2, 1))
+    out = wh.transcribe_window(params, cfg, mel, prompt,
+                               DecodeConfig(max_new_tokens=4, eot_id=-1))
+    assert out["tokens"].shape == (2, 4 + 4 + 1)
+    assert out["tokens"].dtype == jnp.int32

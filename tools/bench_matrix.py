@@ -25,6 +25,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# BENCH_PLATFORM=cpu forces CPU (the axon plugin appends itself to
+# jax_platforms at import, so the env var alone cannot deselect it).
+if os.environ.get("BENCH_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
 jax.config.update("jax_default_matmul_precision", "highest")
 try:
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -90,6 +95,32 @@ def bench_sensevoice():
              0.019, "reference README.md:52 (best CPU, i3-12300)")
 
 
+def bench_sensevoice_bf16():
+    """bf16 serving config (norms/softmax stay f32 inside the model)."""
+    from asr_tpu.models import sensevoice as sv
+    from asr_tpu.quant.quantize import cast_pytree
+    cfg = sv.SenseVoiceConfig()
+    params = cast_pytree(sv.init_params(cfg, jax.random.PRNGKey(0)), jnp.bfloat16)
+    audio, valid = _audio(8, 8.0)
+    lang = jnp.zeros((8,), jnp.int32)
+    fn = jax.jit(lambda p, a, v, l: sv.forward(p, cfg, a, v, l))
+    _measure("sensevoice_small_bf16", fn, (params, audio, valid, lang), 8, 8.0, 20,
+             0.019, "bf16 weights/activations (f32 norms); serving ceiling config")
+
+
+def bench_sensevoice_q8():
+    """q8f32 serving config (reference README.md:53: 0.022 on i3-12300)."""
+    from asr_tpu.models import sensevoice as sv
+    from asr_tpu.quant.quantize import quantize_pytree
+    cfg = sv.SenseVoiceConfig()
+    params = quantize_pytree(sv.init_params(cfg, jax.random.PRNGKey(0)), bits=8)
+    audio, valid = _audio(8, 8.0)
+    lang = jnp.zeros((8,), jnp.int32)
+    fn = jax.jit(lambda p, a, v, l: sv.forward(p, cfg, a, v, l))
+    _measure("sensevoice_small_q8f32", fn, (params, audio, valid, lang), 8, 8.0, 20,
+             0.022, "int8 block-128 weights, Pallas dequant-fused matmuls")
+
+
 def bench_whisper(dtype=jnp.float32, tag="f32"):
     from asr_tpu.models import whisper as wh
     from asr_tpu.decode.ar import DecodeConfig
@@ -103,6 +134,46 @@ def bench_whisper(dtype=jnp.float32, tag="f32"):
     fn = jax.jit(lambda p, m, pr: wh.transcribe_window(p, cfg, m, pr, dc))
     _measure(f"whisper_large_v3_turbo_{tag}", fn, (params, mel, prompt), 8, 30.0, 3,
              0.073, "forced 200 decode steps/window; ref README.md:55 q8f32 i3-12300")
+
+
+def bench_whisper_q8():
+    """q8f32 Whisper-Turbo (reference README.md:55: 0.073 on i3-12300)."""
+    from asr_tpu.models import whisper as wh
+    from asr_tpu.decode.ar import DecodeConfig
+    from asr_tpu.quant.quantize import quantize_pytree
+    cfg = wh.WhisperConfig()
+    params = quantize_pytree(wh.init_params(cfg, jax.random.PRNGKey(0)), bits=8)
+    audio, _ = _audio(8, 30.0, scale=0.1)
+    mel = wh.mel_for_audio(cfg, audio)
+    prompt = jnp.tile(jnp.asarray(
+        [[cfg.sot_id, -1, cfg.transcribe_id, cfg.no_timestamps_id]], jnp.int32), (8, 1))
+    dc = DecodeConfig(max_new_tokens=200, eot_id=-1)
+    fn = jax.jit(lambda p, m, pr: wh.transcribe_window(p, cfg, m, pr, dc))
+    _measure("whisper_large_v3_turbo_q8f32", fn, (params, mel, prompt), 8, 30.0, 3,
+             0.073, "int8 block-128 weights, forced 200 decode steps; ref README.md:55")
+
+
+def bench_qwen_asr_q4():
+    """q4f32 Qwen3-ASR (reference README.md:62: 0.12 on i7-1165G7)."""
+    from asr_tpu.models import qwen_asr as qa
+    from asr_tpu.layers import qwen3
+    from asr_tpu.decode.ar import DecodeConfig
+    from asr_tpu.quant.quantize import quantize_pytree
+    cfg = qa.QwenAsrConfig()
+    tower = qa.init_tower_params(cfg, jax.random.PRNGKey(0))
+    llm = quantize_pytree(qwen3.init_params(cfg.llm, jax.random.PRNGKey(1)),
+                          bits=4, pack=True)
+    audio, valid = _audio(1, 8.0, scale=0.1)
+    ids = {
+        "head": jnp.asarray([[1, 2, 3]], jnp.int32),
+        "query": jnp.asarray([[4, 5]], jnp.int32),
+        "suffix": jnp.asarray([[6]], jnp.int32),
+        "tail": jnp.asarray([[7, 8]], jnp.int32),
+    }
+    dc = DecodeConfig(max_new_tokens=100, eot_id=-1)
+    fn = jax.jit(lambda t, l, a, v: qa.forward(t, l, cfg, a, v, ids, dc))
+    _measure("qwen3_asr_0.6b_q4f32", fn, (tower, llm, audio, valid), 1, 8.0, 3,
+             0.12, "packed-int4 LLM weights (Pallas nibble kernel), forced 100 steps")
 
 
 def bench_paraformer():
@@ -170,6 +241,28 @@ def bench_fun_asr_nano_ctc():
     fn = jax.jit(lambda p, a, v: fn_.forward_ctc(p, cfg, a, v))
     _measure("fun_asr_nano_ctc_f32", fn, (params, audio, valid), 8, 8.0, 10,
              0.11, "fast CTC head (ref number is the q4f32 LLM path, README.md:61)")
+
+
+def bench_fun_asr_nano_llm_q4():
+    """q4f32 LLM path — the reference's measured config (README.md:61)."""
+    from asr_tpu.models import fun_asr_nano as fn_
+    from asr_tpu.layers import qwen3
+    from asr_tpu.decode.ar import DecodeConfig
+    from asr_tpu.quant.quantize import quantize_pytree
+    cfg = fn_.FunAsrNanoConfig()
+    params = fn_.init_params(cfg, jax.random.PRNGKey(0))
+    llm = quantize_pytree(qwen3.init_params(cfg.llm, jax.random.PRNGKey(1)),
+                          bits=4, pack=True)
+    audio, valid = _audio(1, 8.0)
+    ids = {
+        "head": jnp.asarray([[1, 2, 3]], jnp.int32),
+        "query": jnp.asarray([[4, 5]], jnp.int32),
+        "tail": jnp.asarray([[6, 7]], jnp.int32),
+    }
+    dc = DecodeConfig(max_new_tokens=100, eot_id=-1)
+    fn = jax.jit(lambda p, l, a, v: fn_.forward_llm(p, l, cfg, a, v, ids, dc))
+    _measure("fun_asr_nano_llm_q4f32", fn, (params, llm, audio, valid), 1, 8.0, 3,
+             0.11, "packed-int4 LLM, forced 100 decode steps; ref README.md:61 q4f32")
 
 
 def bench_qwen_asr():
@@ -294,7 +387,11 @@ def bench_dolphin_streaming():
 
 BENCHES = {
     "sensevoice": bench_sensevoice,
+    "sensevoice_bf16": bench_sensevoice_bf16,
+    "sensevoice_q8": bench_sensevoice_q8,
     "whisper": bench_whisper,
+    "whisper_q8": bench_whisper_q8,
+    "qwen_asr_q4": bench_qwen_asr_q4,
     "whisper_bf16": lambda: bench_whisper(jnp.bfloat16, "bf16"),
     "paraformer": bench_paraformer,
     "parakeet": bench_parakeet,
@@ -302,6 +399,7 @@ BENCHES = {
     "firered": bench_firered,
     "dolphin": bench_dolphin,
     "fun_asr_nano": bench_fun_asr_nano_ctc,
+    "fun_asr_nano_llm_q4": bench_fun_asr_nano_llm_q4,
     "qwen_asr": bench_qwen_asr,
     "paraformer_streaming": bench_paraformer_streaming,
     "zipformer_streaming": bench_zipformer_streaming,
