@@ -54,7 +54,8 @@ def _kernel(x_ref, q_ref, scale_ref, zero_ref, o_ref, acc_ref, *, block: int, n_
     w = (qb - zero[:, None, :]) * scale[:, None, :]
     w = w.reshape(tk, tn)
     acc_ref[:] += jnp.dot(
-        x_ref[:].astype(jnp.float32), w, preferred_element_type=jnp.float32
+        x_ref[:].astype(jnp.float32), w, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
     @pl.when(kt == n_k_tiles - 1)
@@ -104,18 +105,23 @@ def quant_matmul_pallas(
 
 def _pick_tile_k(k: int, block: int) -> int | None:
     """tile_k must divide k, be a block multiple, and either equal k or
-    cover >= 8 scale rows (Mosaic 8-aligned dynamic slice)."""
+    cover >= 8 scale rows (Mosaic 8-aligned dynamic slice).  A single tile
+    is capped at 4096 rows — beyond that the (tile_m, tile_k) x window
+    plus double buffering crowds the 16 MB VMEM budget."""
     if k % block != 0:
         return None
     if k <= 2048 or k % (8 * block) != 0:
-        return k
+        return k if k <= 4096 else None
     return 8 * block
 
 
 def _kernel_p2(x0_ref, x1_ref, x2_ref, x3_ref, q_ref, scale_ref, zero_ref,
-               o_ref, acc_ref, *, block: int, n_k4_tiles: int, nb_quarter: int):
+               o_ref, acc_ref, *, block: int, n_k4_tiles: int):
     """Packed-int2 grid (M_tiles, N_tiles, K4_tiles): each K4-tile covers
-    matching row ranges of ALL FOUR K-quarters (2-bit planes of one byte)."""
+    matching row ranges of ALL FOUR K-quarters (2-bit planes of one byte).
+    scale/zero arrive as (4, NB_quarter, TN) — one plane per bit-plane, so
+    plane selection is a STATIC index and the only dynamic row slice is the
+    kt offset (8-aligned by construction when multi-tile)."""
     kt = pl.program_id(2)
 
     @pl.when(kt == 0)
@@ -126,17 +132,23 @@ def _kernel_p2(x0_ref, x1_ref, x2_ref, x3_ref, q_ref, scale_ref, zero_ref,
     tk4, tn = u.shape
     nb = tk4 // block
 
-    def deq(vals, base_row):
-        s = scale_ref[pl.ds(pl.multiple_of(base_row, nb), nb), :]
-        z = zero_ref[pl.ds(pl.multiple_of(base_row, nb), nb), :]
+    def deq(vals, plane):
+        if n_k4_tiles == 1:
+            s = scale_ref[plane]            # full plane, static (any nb)
+            z = zero_ref[plane]
+        else:
+            # nb == 8 by dispatch (tile_k4 = 8*block): aligned extent/offset.
+            s = scale_ref[plane, pl.ds(pl.multiple_of(kt * nb, nb), nb), :]
+            z = zero_ref[plane, pl.ds(pl.multiple_of(kt * nb, nb), nb), :]
         vb = vals.reshape(nb, block, tn)
         return ((vb - z[:, None, :]) * s[:, None, :]).reshape(tk4, tn)
 
     for j, x_ref in enumerate((x0_ref, x1_ref, x2_ref, x3_ref)):
         vals = ((u >> (2 * j)) & 0x3).astype(jnp.float32)
-        w = deq(vals, j * nb_quarter + kt * nb)
+        w = deq(vals, j)
         acc_ref[:] += jnp.dot(x_ref[:].astype(jnp.float32), w,
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
 
     @pl.when(kt == n_k4_tiles - 1)
     def _():
@@ -162,76 +174,127 @@ def quant_matmul_pallas_p2(
     n_k4_tiles = k4 // tile_k4
     nb_quarter = k4 // block
     grid = (m // tile_m, n // tile_n, n_k4_tiles)
-    kernel = functools.partial(_kernel_p2, block=block,
-                               n_k4_tiles=n_k4_tiles, nb_quarter=nb_quarter)
+    kernel = functools.partial(_kernel_p2, block=block, n_k4_tiles=n_k4_tiles)
     kb = k4 // tile_k4
     x_spec = lambda j: pl.BlockSpec(
         (tile_m, tile_k4), lambda i, jn, kt, j=j, kb=kb: (i, kt + j * kb),
         memory_space=pltpu.VMEM)
+    scale3 = scale.reshape(4, nb_quarter, n)  # one plane per 2-bit plane
+    zero3 = zero.reshape(4, nb_quarter, n)
+    sz_spec = pl.BlockSpec((4, nb_quarter, tile_n), lambda i, j, kt: (0, 0, j),
+                           memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             x_spec(0), x_spec(1), x_spec(2), x_spec(3),
             pl.BlockSpec((tile_k4, tile_n), lambda i, j, kt: (kt, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k // block, tile_n), lambda i, j, kt: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k // block, tile_n), lambda i, j, kt: (0, j), memory_space=pltpu.VMEM),
+            sz_spec, sz_spec,
         ],
         out_specs=pl.BlockSpec((tile_m, tile_n), lambda i, j, kt: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
         scratch_shapes=[pltpu.VMEM((tile_m, tile_n), jnp.float32)],
         interpret=interpret,
-    )(x, x, x, x, packed, scale, zero)
+    )(x, x, x, x, packed, scale3, zero3)
+
+
+def _plan_tile_m(m: int) -> tuple[int, int]:
+    """(tile_m, padded_m). tile_m is capped at 256 — an uncapped tile
+    (e.g. the whole M=12000 of a batch-8 Whisper encoder) blows the 16 MB
+    VMEM scoped limit; small/ragged M (AR decode steps are M=1) is
+    zero-padded up to one tile so the kernel still runs off the quantized
+    bytes instead of falling back to an f32 dequant."""
+    if m >= 256:
+        return 256, -(-m // 256) * 256
+    m_pad = max(8, -(-m // 8) * 8)
+    return m_pad, m_pad
+
+
+def _fit_tile_m_to_vmem(tile_m: int, m_pad: int, k_window: int, n_windows: int) -> int:
+    """Shrink tile_m until the x operand windows fit the VMEM budget
+    (~1 MiB per window x double buffering; empirical v5e limit — a
+    (256, 2048) f32 window x2 nibble-planes fails to compile)."""
+    budget_elems = (1 << 18) * max(1, 2 // n_windows)  # 1 MiB f32 per window
+    while tile_m > 8 and tile_m * k_window > budget_elems:
+        half = tile_m // 2
+        # keep tile_m a multiple of 8 that divides m_pad
+        while half >= 8 and (half % 8 or m_pad % half):
+            half -= 8
+        if half < 8:
+            break
+        tile_m = half
+    return tile_m
+
+
+def _pallas_quant_dense_2d(x2: jnp.ndarray, qleaf: dict, interpret: bool = False):
+    """(M, K) @ dequant -> (M, N) via the Pallas kernels, or None when the
+    shape/packing has no kernel tiling (caller falls back to XLA)."""
+    q, scale, zero, block = qleaf["q"], qleaf["scale"], qleaf["zero"], qleaf["block"]
+    packed = bool(qleaf["packed"]) if "packed" in qleaf else False
+    m, k = x2.shape
+    n = q.shape[1]
+    tile_m, m_pad = _plan_tile_m(m)
+    # tile_n capped at 256 (an uncapped n — e.g. a 151936-row LM head —
+    # would put the whole weight strip in VMEM).
+    tile_n = 256 if n % 256 == 0 else (128 if n % 128 == 0 else None)
+    if not tile_n:
+        return None
+    scale32 = scale.astype(jnp.float32)
+    zero32 = zero.astype(jnp.float32)
+    if m_pad != m:
+        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+    out = None
+    if packed and int(qleaf["bits"]) == 4:
+        k2 = k // 2
+        tile_k2 = _pick_tile_k(k2, block)
+        if tile_k2:
+            tm = _fit_tile_m_to_vmem(tile_m, m_pad, tile_k2, 2)
+            out = quant_matmul_pallas_p4(
+                x2, q, scale32, zero32, block,
+                tile_m=tm, tile_n=tile_n, tile_k2=tile_k2, interpret=interpret,
+            )
+    elif packed and int(qleaf["bits"]) == 2:
+        k4 = k // 4
+        tile_k4 = _pick_tile_k(k4, block)
+        if tile_k4:
+            tm = _fit_tile_m_to_vmem(tile_m, m_pad, tile_k4, 4)
+            out = quant_matmul_pallas_p2(
+                x2, q, scale32, zero32, block,
+                tile_m=tm, tile_n=tile_n, tile_k4=tile_k4, interpret=interpret,
+            )
+    elif not packed:
+        tile_k = _pick_tile_k(k, block)
+        if tile_k:
+            tm = _fit_tile_m_to_vmem(tile_m, m_pad, tile_k, 1)
+            out = quant_matmul_pallas(
+                x2, q, scale32, zero32, block,
+                tile_m=tm, tile_n=tile_n, tile_k=tile_k, interpret=interpret,
+            )
+    if out is None:
+        return None
+    return out[:m] if m_pad != m else out
 
 
 def quant_dense(x: jnp.ndarray, qleaf: dict) -> jnp.ndarray:
     """Batched dense through a quantized weight; dispatches Pallas/XLA."""
-    q, scale, zero, block = qleaf["q"], qleaf["scale"], qleaf["zero"], qleaf["block"]
-    packed = bool(qleaf["packed"]) if "packed" in qleaf else False
     orig_shape = x.shape
     k = orig_shape[-1]
     x2 = x.reshape(-1, k)
-    m = x2.shape[0]
-    n = q.shape[1]
-    tile_m = 256 if m % 256 == 0 else (m if m % 8 == 0 else None)
-    tile_n = 256 if n % 256 == 0 else (n if n % 128 == 0 else None)
-    if jax.default_backend() == "tpu" and tile_m and tile_n:
-        if packed:
-            if int(qleaf["bits"]) == 4:
-                k2 = k // 2
-                tile_k2 = _pick_tile_k(k2, block)
-                # scale/zero row slices must stay 8-aligned for both halves.
-                if tile_k2 and (k2 // block) % 8 == 0:
-                    out = quant_matmul_pallas_p4(
-                        x2, q, scale.astype(jnp.float32), zero.astype(jnp.float32), block,
-                        tile_m=tile_m, tile_n=tile_n, tile_k2=tile_k2,
-                    )
-                    return out.reshape(orig_shape[:-1] + (n,))
-            elif int(qleaf["bits"]) == 2:
-                k4 = k // 4
-                tile_k4 = _pick_tile_k(k4, block)
-                if tile_k4 and (k4 // block) % 8 == 0:
-                    out = quant_matmul_pallas_p2(
-                        x2, q, scale.astype(jnp.float32), zero.astype(jnp.float32), block,
-                        tile_m=tile_m, tile_n=tile_n, tile_k4=tile_k4,
-                    )
-                    return out.reshape(orig_shape[:-1] + (n,))
-        else:
-            tile_k = _pick_tile_k(k, block)
-            if tile_k:
-                out = quant_matmul_pallas(
-                    x2, q, scale.astype(jnp.float32), zero.astype(jnp.float32), block,
-                    tile_m=tile_m, tile_n=tile_n, tile_k=tile_k,
-                )
-                return out.reshape(orig_shape[:-1] + (n,))
+    n = qleaf["q"].shape[1]
+    if jax.default_backend() == "tpu":
+        out = _pallas_quant_dense_2d(x2, qleaf)
+        if out is not None:
+            return out.reshape(orig_shape[:-1] + (n,))
     out = _xla_quant_dense(x2, qleaf)
     return out.reshape(orig_shape[:-1] + (n,))
 
 
 def _kernel_p4(x_lo_ref, x_hi_ref, q_ref, scale_ref, zero_ref, o_ref, acc_ref, *,
-               block: int, n_k2_tiles: int, nb_half: int):
+               block: int, n_k2_tiles: int):
     """Packed-int4 grid (M_tiles, N_tiles, K2_tiles): each K2-tile covers
-    matching row ranges of BOTH K-halves (low/high nibble planes)."""
+    matching row ranges of BOTH K-halves (low/high nibble planes).
+    scale/zero arrive as (2, NB_half, TN) — the nibble plane is a STATIC
+    index; the kt row offset is 8-aligned by construction when multi-tile."""
     kt = pl.program_id(2)
 
     @pl.when(kt == 0)
@@ -244,18 +307,25 @@ def _kernel_p4(x_lo_ref, x_hi_ref, q_ref, scale_ref, zero_ref, o_ref, acc_ref, *
     tk2, tn = lo.shape
     nb = tk2 // block
 
-    def deq(vals, base_row):
-        s = scale_ref[pl.ds(pl.multiple_of(base_row, nb), nb), :]
-        z = zero_ref[pl.ds(pl.multiple_of(base_row, nb), nb), :]
+    def deq(vals, plane):
+        if n_k2_tiles == 1:
+            s = scale_ref[plane]            # full plane, static (any nb)
+            z = zero_ref[plane]
+        else:
+            # nb == 8 by dispatch (tile_k2 = 8*block): aligned extent/offset.
+            s = scale_ref[plane, pl.ds(pl.multiple_of(kt * nb, nb), nb), :]
+            z = zero_ref[plane, pl.ds(pl.multiple_of(kt * nb, nb), nb), :]
         vb = vals.reshape(nb, block, tn)
         return ((vb - z[:, None, :]) * s[:, None, :]).reshape(tk2, tn)
 
-    w_lo = deq(lo, kt * nb)
-    w_hi = deq(hi, nb_half + kt * nb)
+    w_lo = deq(lo, 0)
+    w_hi = deq(hi, 1)
     acc_ref[:] += jnp.dot(x_lo_ref[:].astype(jnp.float32), w_lo,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
     acc_ref[:] += jnp.dot(x_hi_ref[:].astype(jnp.float32), w_hi,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
 
     @pl.when(kt == n_k2_tiles - 1)
     def _():
@@ -281,8 +351,12 @@ def quant_matmul_pallas_p4(
     n_k2_tiles = k2 // tile_k2
     nb_half = k2 // block
     grid = (m // tile_m, n // tile_n, n_k2_tiles)
-    kernel = functools.partial(_kernel_p4, block=block, n_k2_tiles=n_k2_tiles, nb_half=nb_half)
+    kernel = functools.partial(_kernel_p4, block=block, n_k2_tiles=n_k2_tiles)
     k2_blocks = k2 // tile_k2
+    scale3 = scale.reshape(2, nb_half, n)  # one plane per nibble half
+    zero3 = zero.reshape(2, nb_half, n)
+    sz_spec = pl.BlockSpec((2, nb_half, tile_n), lambda i, j, kt: (0, 0, j),
+                           memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -291,11 +365,10 @@ def quant_matmul_pallas_p4(
             pl.BlockSpec((tile_m, tile_k2), lambda i, j, kt, kb=k2_blocks: (i, kt + kb),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_k2, tile_n), lambda i, j, kt: (kt, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k // block, tile_n), lambda i, j, kt: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k // block, tile_n), lambda i, j, kt: (0, j), memory_space=pltpu.VMEM),
+            sz_spec, sz_spec,
         ],
         out_specs=pl.BlockSpec((tile_m, tile_n), lambda i, j, kt: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
         scratch_shapes=[pltpu.VMEM((tile_m, tile_n), jnp.float32)],
         interpret=interpret,
-    )(x, x, packed, scale, zero)
+    )(x, x, packed, scale3, zero3)

@@ -352,3 +352,55 @@ def test_penalty_excludes_prompt_slots():
     out = np.asarray(apply_repetition_penalty(logits, buf, 5, 2.0, 8, hist_start=3))
     assert out[0, 0] == 1.0 and out[0, 5] == 0.5 and out[0, 6] == 0.5
     assert out[0, 1] == 1.0
+
+
+def test_pallas_dispatch_pads_ragged_and_tiny_m():
+    """_pallas_quant_dense_2d: M=1 (AR decode step), ragged M (1096 — a
+    batch-8 SenseVoice window count) and tile-aligned M all round-trip
+    through the padded kernel path and match the XLA dequant reference.
+    Regression: uncapped tile_m blew the VMEM scoped limit at real model
+    shapes, and M=1 silently fell back to full f32 dequant per step."""
+    import jax.numpy as jnp
+    from asr_tpu.ops.quant_matmul import _pallas_quant_dense_2d, _plan_tile_m, _xla_quant_dense
+    from asr_tpu.quant.quantize import quantize_linear
+
+    assert _plan_tile_m(1) == (8, 8)
+    assert _plan_tile_m(300) == (256, 512)
+    assert _plan_tile_m(12000) == (256, 12032)
+
+    rng = np.random.default_rng(5)
+    k, n = 512, 256
+    w = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32) * 0.05)
+    for bits, pack in ((8, False), (4, True)):
+        qleaf = quantize_linear(w, bits=bits, block=64 if not pack else 32, pack=pack)
+        if pack and not qleaf["packed"]:
+            continue
+        for m in (1, 9, 300):
+            x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
+            got = _pallas_quant_dense_2d(x, qleaf, interpret=True)
+            if got is None:
+                continue
+            want = _xla_quant_dense(x, qleaf)
+            assert got.shape == (m, n)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_pallas_dispatch_small_block_count_packed():
+    """Qwen3-0.6B layer shapes (K=1024, block=128 -> 4 scale rows per
+    nibble half) must take the Pallas packed path — the old 8-aligned-slice
+    guard silently sent every such layer to the XLA dequant fallback,
+    erasing the quantization bandwidth win in AR decode."""
+    import jax.numpy as jnp
+    from asr_tpu.ops.quant_matmul import _pallas_quant_dense_2d, _xla_quant_dense
+    from asr_tpu.quant.quantize import quantize_linear
+
+    rng = np.random.default_rng(7)
+    for bits, k in ((4, 1024), (2, 1024)):
+        w = jnp.asarray(rng.standard_normal((k, 256)).astype(np.float32) * 0.05)
+        qleaf = quantize_linear(w, bits=bits, block=128, pack=True)
+        assert qleaf["packed"]
+        x = jnp.asarray(rng.standard_normal((1, k)).astype(np.float32))
+        got = _pallas_quant_dense_2d(x, qleaf, interpret=True)
+        assert got is not None, f"int{bits} K={k} fell back to XLA"
+        want = _xla_quant_dense(x, qleaf)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)

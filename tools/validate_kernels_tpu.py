@@ -22,6 +22,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# The kernels run their in-kernel dots at HIGHEST; the XLA dequant
+# reference must match or the comparison measures the REFERENCE's bf16
+# pass error (observed 2e-3) instead of the kernel's.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 
 def _time(fn, *args, iters=30):
     out = fn(*args)
