@@ -320,19 +320,26 @@ class QuantizedEmbedding:
     go through :func:`embedding_logits`.
     """
 
-    def __init__(self, q, scale, zero, bits: int, block: int):
+    def __init__(self, q, scale, zero, bits: int, block: int, q_t=None):
         self.q = q            # (V, D) int8, centered (q - 128)
         self.scale = scale    # (V, D // block)
         self.zero = zero      # (V, D // block), centered
         self.bits = int(bits)
         self.block = int(block)
+        # Optional tied-LM-head copy in QuantizedLinear orientation
+        # ((D, V) int8): logits route through the Pallas dequant-fused
+        # matmul reading int8 bytes only, instead of materializing the
+        # full f32 table every decode step. Costs one extra int8 copy
+        # (still 2x smaller than one f32 table).
+        self.q_t = q_t
 
     def tree_flatten(self):
-        return (self.q, self.scale, self.zero), (self.bits, self.block)
+        return (self.q, self.scale, self.zero, self.q_t), (self.bits, self.block)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        q, scale, zero, q_t = children
+        return cls(q, scale, zero, *aux, q_t=q_t)
 
     def __getitem__(self, ids):
         ids = jnp.asarray(ids)
@@ -367,20 +374,49 @@ class QuantizedEmbedding:
 def embedding_logits(embed, y: jnp.ndarray) -> jnp.ndarray:
     """Tied-head logits ``y @ embed.T`` for plain or quantized tables."""
     if isinstance(embed, QuantizedEmbedding):
-        return jnp.dot(y, embed.dequant().T.astype(y.dtype))
+        if embed.q_t is not None:
+            # Pallas dequant-fused matmul over the stored (D, V) copy —
+            # reads int8 bytes only, nothing dequantizes to HBM.
+            from asr_tpu.ops.quant_matmul import quant_dense
+
+            leaf = {"q": embed.q_t, "scale": embed.scale.T, "zero": embed.zero.T,
+                    "bits": embed.bits, "block": embed.block, "packed": False}
+            return quant_dense(y, leaf)
+        # Blockwise decomposition: logits_v = sum_b s[v,b] (y_b . q[v,b])
+        #                                   - sum_b s[v,b] z[v,b] sum(y_b)
+        # — never materializes the f32 table (the naive dequant().T costs
+        # a (V, D) f32 write+read PER DECODE STEP).
+        v, d = embed.q.shape
+        nb = embed.scale.shape[1]
+        blk = d // nb
+        y32 = y.astype(jnp.float32)
+        yb = y32.reshape(*y.shape[:-1], nb, blk)
+        qb = embed.q.reshape(v, nb, blk)
+        part = jnp.einsum("...nk,vnk->...nv", yb, qb.astype(jnp.float32))
+        ysum = yb.sum(-1)
+        logits = jnp.einsum("...nv,vn->...v", part, embed.scale.astype(jnp.float32))
+        logits -= jnp.einsum("...n,vn->...v", ysum,
+                             (embed.scale * embed.zero).astype(jnp.float32))
+        return logits.astype(y.dtype)
     return jnp.dot(y, embed.T)
 
 
 def quantize_embedding(
-    w: jnp.ndarray, bits: int = 8, block: int = 128, objective: str = "rtn"
+    w: jnp.ndarray, bits: int = 8, block: int = 128, objective: str = "rtn",
+    tie_head: bool = True,
 ) -> QuantizedEmbedding:
-    """(V, D) table -> per-row block quantization along D."""
+    """(V, D) table -> per-row block quantization along D.
+
+    ``tie_head``: also store the (D, V) int8 orientation so a tied LM head
+    runs through the Pallas quant matmul (see :class:`QuantizedEmbedding`).
+    """
     v, d = w.shape
     if d % block != 0:
         block = d
     # quantize_weight blocks along axis 0: feed the transpose.
     q, scale, zero = quantize_weight(w.T, bits, block, 0, objective=objective)
-    return QuantizedEmbedding(q.T, scale.T, zero.T, bits, block)
+    q_t = jnp.asarray(q) if tie_head else None  # already (D, V) from quantize_weight
+    return QuantizedEmbedding(q.T, scale.T, zero.T, bits, block, q_t=q_t)
 
 
 def is_quantized(leaf) -> bool:

@@ -36,6 +36,8 @@ def flatten_pytree(tree: Any, prefix: str = "") -> dict[str, np.ndarray]:
             out[f"{prefix}__qembed__/{k}"] = np.ascontiguousarray(np.asarray(getattr(tree, k)))
         out[f"{prefix}__qembed__/bits"] = np.asarray(tree.bits, np.int32)
         out[f"{prefix}__qembed__/block"] = np.asarray(tree.block, np.int32)
+        # tied-head orientation is derived (q.T) — store only the flag
+        out[f"{prefix}__qembed__/tied"] = np.asarray(int(tree.q_t is not None), np.int32)
     elif isinstance(tree, dict):
         for k, v in tree.items():
             out.update(flatten_pytree(v, f"{prefix}{k}/"))
@@ -73,8 +75,10 @@ def unflatten_pytree(flat: dict[str, np.ndarray]) -> Any:
             from asr_tpu.quant.quantize import QuantizedEmbedding
 
             q = node["__qembed__"]
+            q_t = (np.ascontiguousarray(np.asarray(q["q"]).T)
+                   if int(q.get("tied", 1)) else None)
             return QuantizedEmbedding(q["q"], q["scale"], q["zero"],
-                                      int(q["bits"]), int(q["block"]))
+                                      int(q["bits"]), int(q["block"]), q_t=q_t)
         keys = list(node.keys())
         if keys and all(k.isdigit() for k in keys):
             return [listify(node[str(i)]) for i in range(len(keys))]
@@ -159,6 +163,7 @@ def _to_device(tree: Any, _memo: dict | None = None) -> Any:
     if isinstance(tree, QuantizedEmbedding):
         return QuantizedEmbedding(
             put(tree.q), put(tree.scale), put(tree.zero), tree.bits, tree.block,
+            q_t=None if tree.q_t is None else put(tree.q_t),
         )
     if isinstance(tree, dict):
         return {k: _to_device(v, memo) for k, v in tree.items()}

@@ -404,3 +404,34 @@ def test_pallas_dispatch_small_block_count_packed():
         assert got is not None, f"int{bits} K={k} fell back to XLA"
         want = _xla_quant_dense(x, qleaf)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_quantized_embedding_tied_head_paths_agree():
+    """The Pallas tied-head path (stored (D, V) copy), the blockwise
+    einsum fallback, and dense y @ dequant().T all agree; artifact
+    roundtrip rebuilds the transposed copy from the stored flag."""
+    import jax.numpy as jnp
+    from asr_tpu.quant.quantize import quantize_embedding, embedding_logits
+    from asr_tpu.runtime.artifact import flatten_pytree, unflatten_pytree
+
+    rng = np.random.default_rng(3)
+    v, d = 384, 256
+    w = jnp.asarray(rng.standard_normal((v, d)).astype(np.float32) * 0.05)
+    y = jnp.asarray(rng.standard_normal((2, d)).astype(np.float32))
+
+    emb = quantize_embedding(w, bits=8, block=64)
+    assert emb.q_t is not None and emb.q_t.shape == (d, v)
+    dense_ref = np.asarray(y @ emb.dequant().T)
+
+    got_tied = np.asarray(embedding_logits(emb, y))          # q_t path (XLA on CPU)
+    np.testing.assert_allclose(got_tied, dense_ref, rtol=1e-5, atol=1e-5)
+
+    emb_nt = quantize_embedding(w, bits=8, block=64, tie_head=False)
+    got_einsum = np.asarray(embedding_logits(emb_nt, y))     # blockwise fallback
+    np.testing.assert_allclose(got_einsum, dense_ref, rtol=1e-4, atol=1e-4)
+
+    back = unflatten_pytree(flatten_pytree({"embed": emb}))["embed"]
+    assert back.q_t is not None
+    np.testing.assert_array_equal(np.asarray(back.q_t), np.asarray(emb.q_t))
+    back_nt = unflatten_pytree(flatten_pytree({"embed": emb_nt}))["embed"]
+    assert back_nt.q_t is None

@@ -243,6 +243,30 @@ def bench_fun_asr_nano_ctc():
              0.11, "fast CTC head (ref number is the q4f32 LLM path, README.md:61)")
 
 
+def bench_qwen_asr_q4_qembed():
+    """q4 weights + quantized tied embed/LM head: the head is the single
+    biggest HBM read of each decode step (151936 x 1024 f32 = 622 MB)."""
+    from asr_tpu.models import qwen_asr as qa
+    from asr_tpu.layers import qwen3
+    from asr_tpu.decode.ar import DecodeConfig
+    from asr_tpu.quant.quantize import quantize_pytree
+    cfg = qa.QwenAsrConfig()
+    tower = qa.init_tower_params(cfg, jax.random.PRNGKey(0))
+    llm = quantize_pytree(qwen3.init_params(cfg.llm, jax.random.PRNGKey(1)),
+                          bits=4, pack=True, quantize_embeddings=True)
+    audio, valid = _audio(1, 8.0, scale=0.1)
+    ids = {
+        "head": jnp.asarray([[1, 2, 3]], jnp.int32),
+        "query": jnp.asarray([[4, 5]], jnp.int32),
+        "suffix": jnp.asarray([[6]], jnp.int32),
+        "tail": jnp.asarray([[7, 8]], jnp.int32),
+    }
+    dc = DecodeConfig(max_new_tokens=100, eot_id=-1)
+    fn = jax.jit(lambda t, l, a, v: qa.forward(t, l, cfg, a, v, ids, dc))
+    _measure("qwen3_asr_0.6b_q4f32_qembed", fn, (tower, llm, audio, valid), 1, 8.0, 3,
+             0.12, "packed-int4 LLM + int4 quantized tied embed head, forced 100 steps")
+
+
 def bench_fun_asr_nano_llm_q4():
     """q4f32 LLM path — the reference's measured config (README.md:61)."""
     from asr_tpu.models import fun_asr_nano as fn_
@@ -392,6 +416,7 @@ BENCHES = {
     "whisper": bench_whisper,
     "whisper_q8": bench_whisper_q8,
     "qwen_asr_q4": bench_qwen_asr_q4,
+    "qwen_asr_q4_qembed": bench_qwen_asr_q4_qembed,
     "whisper_bf16": lambda: bench_whisper(jnp.bfloat16, "bf16"),
     "paraformer": bench_paraformer,
     "parakeet": bench_parakeet,
