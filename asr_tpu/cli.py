@@ -445,6 +445,27 @@ def cmd_parity(args) -> int:
     return 0
 
 
+def cmd_bench(args) -> int:
+    """Run the per-family RTF matrix (tools/bench_matrix.py) — measures every
+    family at real checkpoint geometry and writes bench_runs/ audit records."""
+    import importlib.util
+
+    tool = Path(__file__).resolve().parent.parent / "tools" / "bench_matrix.py"
+    if not tool.exists():
+        raise SystemExit(f"bench matrix tool not found: {tool}")
+    spec = importlib.util.spec_from_file_location("bench_matrix", tool)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    import sys as _sys
+
+    argv, _sys.argv = _sys.argv, [str(tool)] + list(args.families)
+    try:
+        mod.main()
+    finally:
+        _sys.argv = argv
+    return 0
+
+
 def cmd_serve(args) -> int:
     """HTTP serving: micro-batched transcription endpoint (the production
     counterpart of the reference's per-file script loop)."""
@@ -539,6 +560,11 @@ def main(argv=None) -> int:
     p.add_argument("--golden", default=None, help="compare against a goldens JSON (rc!=0 on drift)")
     p.add_argument("--save-golden", default=None, help="write transcripts as goldens JSON")
     p.set_defaults(fn=cmd_parity)
+
+    p = sub.add_parser("bench", help="per-family RTF benchmark matrix (real geometry, random weights)")
+    p.add_argument("families", nargs="*",
+                   help="family keys (default: all) — see tools/bench_matrix.py BENCHES")
+    p.set_defaults(fn=cmd_bench)
 
     p = sub.add_parser("serve", help="HTTP transcription endpoint (micro-batched)")
     p.add_argument("--model-dir", required=True)
