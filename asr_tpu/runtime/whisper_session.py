@@ -53,6 +53,9 @@ class WhisperSessionConfig:
     no_speech_threshold: float | None = 0.6
     suppress_ids: tuple[int, ...] = ()
     begin_suppress_ids: tuple[int, ...] = ()
+    # Reference REMOVE_REPEATED_PARTS (``Inference_Whisper_ONNX.py:80``,
+    # default False): strip a repeating tail span from each window's ids.
+    remove_repeats: bool = False
 
 
 class WhisperSession:
@@ -161,7 +164,7 @@ class WhisperSession:
             if self.scfg.no_speech_threshold is not None and nsp[i] > self.scfg.no_speech_threshold:
                 continue
             win_ids = [int(t) for t in tokens[i, p_len : p_len + counts[i]] if t != self.cfg.eot_id]
-            ids.extend(remove_repeated_tail(win_ids))
+            ids.extend(remove_repeated_tail(win_ids) if self.scfg.remove_repeats else win_ids)
         text = self.tokenizer.decode(ids) if self.tokenizer is not None else ""
         return TranscribeResult(
             text=text, token_ids=ids, audio_seconds=n / self.cfg.sample_rate, elapsed_seconds=elapsed
