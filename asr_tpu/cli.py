@@ -181,6 +181,7 @@ def _build_session(folder: Path, language: str | None = None, mesh=None,
         return QwenAsrSession(
             params["tower"], params["llm"], cfg, tokenizer=tokenizer, template=tpl,
             language_prompt_ids=meta.extra.get("language_prompt_ids") or {},
+            metadata=meta,
         )
 
     if family == "qwen_aligner":
@@ -245,7 +246,9 @@ def cmd_transcribe(args) -> int:
     with profile_ctx:
         if len(args.audio) > 1 and hasattr(sess, "transcribe_batch"):
             # many files -> one batched device dispatch (native parallel ingest)
-            kwargs = {"language": args.language} if args.language else {}
+            kwargs = {}
+            if args.language and "language" in inspect.signature(sess.transcribe_batch).parameters:
+                kwargs["language"] = args.language
             for audio, res in zip(args.audio, sess.transcribe_batch(args.audio, **kwargs)):
                 print(f"{audio}\t({res.audio_seconds:.2f}s, RTF {res.rtf:.4f})")
                 print(res.text if res.text else res.token_ids)
@@ -486,7 +489,8 @@ def cmd_serve(args) -> int:
     from asr_tpu.parallel.http_server import serve_forever
 
     serve_forever(sess, host=args.host, port=args.port,
-                  max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+                  max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+                  language=args.language)
     return 0
 
 

@@ -140,8 +140,16 @@ WavData read_wav_mono(const char* path) {
                                (static_cast<unsigned long>(chdr[7]) << 24);
     if (std::memcmp(chdr, "fmt ", 4) == 0) {
       // Untrusted header: a PCM fmt chunk is >= 16 bytes; anything smaller
-      // would make the b[14]/b[15] reads below out-of-bounds.
+      // would make the b[14]/b[15] reads below out-of-bounds. Bound the
+      // declared size by the bytes remaining in the file too — a hostile
+      // 32-bit size field would otherwise zero-initialize up to 4 GiB
+      // (and bad_alloc across the ctypes boundary aborts the process).
       if (size < 16) break;
+      const long fpos = std::ftell(f);
+      if (fpos < 0 || std::fseek(f, 0, SEEK_END) != 0) break;
+      const long fend = std::ftell(f);
+      if (fend < fpos || std::fseek(f, fpos, SEEK_SET) != 0) break;
+      if (size > static_cast<unsigned long>(fend - fpos)) break;
       std::vector<unsigned char> b(size);
       if (std::fread(b.data(), 1, size, f) != size) break;
       fmt = b[0] | (b[1] << 8);

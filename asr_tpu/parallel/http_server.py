@@ -56,13 +56,21 @@ class SessionServer:
     HTTP front end. One window per request (<= session window length)."""
 
     def __init__(self, session, max_batch: int = 8, max_wait_ms: float = 5.0,
-                 warmup: bool = True):
+                 warmup: bool = True, language: str | None = None):
+        import inspect
         import time
 
         import jax
         import jax.numpy as jnp
 
         self.session = session
+        # Forward a fixed serving language into the batch forward when the
+        # session supports one (e.g. SenseVoice); otherwise the flag would
+        # be silently ignored and requests served with auto-detection.
+        fwd_kw = {}
+        if language and "language" in inspect.signature(session._forward).parameters:
+            fwd_kw["language"] = language
+        self._forward_kw = fwd_kw
         self.sample_rate = getattr(session, "sample_rate", 16000)
         self.pcm_scale = getattr(session, "pcm_scale", 32768.0)
         self.window = session.window_samples
@@ -78,12 +86,13 @@ class SessionServer:
                 # Session built with mesh=: shard the micro-batch over the
                 # data axis (serve --data-parallel).
                 toks, counts = runner(
-                    lambda p, a, v: session._forward(p, a, v),
+                    lambda p, a, v: session._forward(p, a, v, **self._forward_kw),
                     session.params, audio, valid,
                 )
             else:
                 toks, counts = session._forward(
-                    session.params, jnp.asarray(audio), jnp.asarray(valid)
+                    session.params, jnp.asarray(audio), jnp.asarray(valid),
+                    **self._forward_kw,
                 )
             counts = jax.block_until_ready(counts)
             dt = time.perf_counter() - t0
@@ -105,7 +114,17 @@ class SessionServer:
         samples = decode_wav_bytes(data, self.sample_rate)
         if self.pcm_scale != 32768.0:
             samples = samples * np.float32(self.pcm_scale / 32768.0)
-        samples = samples[: self.window]
+        if len(samples) > self.window:
+            # Longer than one window: route through the session's own
+            # sliding-window path (correct, just not micro-batched) instead
+            # of silently truncating the request.
+            res = self.session.transcribe(samples)
+            return {
+                "text": res.text,
+                "token_ids": res.token_ids,
+                "audio_seconds": res.audio_seconds,
+                "windows": "sliding",
+            }
         out = self.batcher.submit(samples).result()
         counts = int(out["counts"])
         ids = [int(t) for t in np.asarray(out["tokens"])[:counts]]
@@ -169,10 +188,11 @@ def make_http_server(server: SessionServer, host: str = "127.0.0.1", port: int =
 
 
 def serve_forever(session, host: str = "127.0.0.1", port: int = 8000,
-                  max_batch: int = 8, max_wait_ms: float = 5.0, warmup: bool = True):
+                  max_batch: int = 8, max_wait_ms: float = 5.0, warmup: bool = True,
+                  language: str | None = None):
     """Blocking entry point used by the CLI ``serve`` subcommand."""
     srv = SessionServer(session, max_batch=max_batch, max_wait_ms=max_wait_ms,
-                        warmup=warmup)
+                        warmup=warmup, language=language)
     httpd = make_http_server(srv, host, port)
     print(f"serving on http://{host}:{httpd.server_address[1]} "
           f"(max_batch={max_batch}, max_wait_ms={max_wait_ms})")

@@ -151,7 +151,11 @@ class QwenAlignerSession:
         self.split_fn = split_fn or word_units
 
     def _embed(self, token_id: int) -> jnp.ndarray:
-        return jnp.asarray(self.llm_params["embed"])[None, token_id : token_id + 1]
+        emb = self.llm_params["embed"]
+        if isinstance(emb, jnp.ndarray) or isinstance(emb, np.ndarray):
+            return jnp.asarray(emb)[None, token_id : token_id + 1]
+        # QuantizedEmbedding (quantize --quantize-embeddings): gather-dequant
+        return emb[jnp.asarray([[token_id]], jnp.int32)]
 
     def align(
         self, audio: np.ndarray | str | Path, text: str, language: str | None = None

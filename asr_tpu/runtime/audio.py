@@ -143,9 +143,17 @@ def load_audio_batch(
         if valid[i] < 0:  # native miss -> python ingest
             try:
                 mono = load_audio(paths[i], sample_rate)  # int16 range
-            except Exception:
-                # Undecodable file (malformed header, unknown codec): a
-                # silent zero-length row instead of aborting the batch.
+            except Exception as exc:
+                # Undecodable file (malformed header, unknown codec): keep
+                # the batch alive with a zero-length row, but SAY so — a
+                # silent empty transcript is indistinguishable from silence.
+                import warnings
+
+                warnings.warn(
+                    f"load_audio_batch: could not decode {paths[i]!r} "
+                    f"({type(exc).__name__}: {exc}); emitting an empty row",
+                    stacklevel=2,
+                )
                 out[i] = 0.0
                 valid[i] = 0
                 continue

@@ -74,6 +74,7 @@ class QwenAsrSession:
         top_p: float = 1.0,
         max_seconds: float = 30.0,
         language_prompt_ids: dict[str, list[int]] | None = None,
+        metadata=None,
     ):
         self.tower_params = tower_params
         self.llm_params = llm_params
@@ -89,13 +90,26 @@ class QwenAsrSession:
         # to the tail forces the output language (reference
         # ``Inference_Qwen_ASR_ONNX.py:522-539`` language tail embeds).
         self.language_prompt_ids = language_prompt_ids or {}
+        # Optional ModelMetadata: lets users write any declared alias/name
+        # ("Chinese", "mandarin", "中文" -> "zh"), like the reference's
+        # ``ORT_IO.resolve_supported_language``.
+        self.metadata = metadata
         self.last_language: str = ""
+
+    def _resolve_language_code(self, language: str) -> str:
+        code = language.strip().lower()
+        if code not in self.language_prompt_ids and self.metadata is not None:
+            try:
+                code = self.metadata.resolve_language(language).code.lower()
+            except KeyError:
+                pass  # fall through to the catalog KeyError below
+        return code
 
     def _prompt_ids(self, context: str, language: str | None = None) -> dict:
         query = self.tokenizer.encode(context) if (context and self.tokenizer) else []
         tail = list(self.template.tail_ids)
         if language:
-            lang_ids = self.language_prompt_ids.get(language.strip().lower())
+            lang_ids = self.language_prompt_ids.get(self._resolve_language_code(language))
             if lang_ids is None:
                 raise KeyError(
                     f"language {language!r} not in this artifact's prompt catalog "

@@ -135,3 +135,40 @@ def test_aligner_session_end_to_end():
     for o in out:
         assert 0 <= o["start_ms"] <= o["end_ms"] <= (cfg.classify_num - 1) * cfg.segment_ms
     assert sess.align(np.zeros(1000, np.float32), "...") == []
+
+
+def test_aligner_session_with_quantized_embeddings():
+    """quantize --quantize-embeddings artifacts must still align: the
+    session's special-token embed lookup goes through the
+    QuantizedEmbedding gather instead of jnp.asarray (regression)."""
+    import jax
+    import numpy as np
+    from asr_tpu.layers import qwen3
+    from asr_tpu.models import qwen_asr as qa
+    from asr_tpu.quant.quantize import quantize_embedding
+    from asr_tpu.runtime.aligner_session import QwenAlignerSession
+
+    lcfg = qwen3.Qwen3Config(vocab_size=120, hidden=48, num_layers=1, num_heads=4,
+                             num_kv_heads=2, head_dim=16, ffn_dim=64, rope_theta=1e4)
+    acfg = qa.QwenAsrConfig(
+        n_mels=16, tower_dim=32, tower_layers=1, tower_heads=4, tower_ffn=48,
+        downsample_hidden=8, chunks_per_window=2, output_dim=lcfg.hidden, llm=lcfg, eot_id=-1,
+    )
+    cfg = fa.ForcedAlignerConfig(asr=acfg, classify_num=25, segment_ms=80)
+    tower = qa.init_tower_params(acfg, jax.random.PRNGKey(0))
+    llm = qwen3.init_params(lcfg, jax.random.PRNGKey(1))
+    llm["embed"] = quantize_embedding(jax.numpy.asarray(llm["embed"]), bits=8, block=48)
+    head = {"w": jax.random.normal(jax.random.PRNGKey(2), (lcfg.hidden, cfg.classify_num)) * 0.1}
+
+    class _Tok:
+        def encode(self, text):
+            return [ord(c) % 100 for c in text][:3]
+
+    sess = QwenAlignerSession(
+        tower, llm, head, cfg, tokenizer=_Tok(),
+        special_ids={"timestamp": 110, "audio_start": 111, "audio_end": 112},
+        tokens_per_word=1, max_seconds=1.0,
+    )
+    rng = np.random.default_rng(0)
+    out = sess.align((rng.standard_normal(12000) * 0.1).astype(np.float32), "hello world")
+    assert [o["text"] for o in out] == ["hello", "world"]

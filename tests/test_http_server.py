@@ -137,3 +137,41 @@ def test_windowed_transcribe_batch_matches_individual(tmp_path):
     for p, r in zip(paths, batch):
         assert r.token_ids == sess.transcribe(p).token_ids
         assert r.batch_size in (1, 3)
+
+
+def test_overlength_request_uses_sliding_window_not_truncation():
+    """A request longer than one batching window must be transcribed via the
+    session's sliding-window path (full duration reported), not silently
+    truncated to the first window."""
+    sess = _sensevoice_session()
+    srv = SessionServer(sess, max_batch=2, max_wait_ms=1.0, warmup=False)
+    try:
+        rng = np.random.default_rng(1)
+        long = (rng.standard_normal(3 * srv.window) * 1000).astype(np.int16)
+        out = srv.transcribe_bytes(_wav_bytes(long))
+        assert out.get("windows") == "sliding"
+        assert abs(out["audio_seconds"] - len(long) / 16000.0) < 1e-6
+    finally:
+        srv.close()
+
+
+def test_server_language_forwarded_to_forward():
+    """serve --language must reach the session's batch forward (it was
+    silently dropped for SenseVoice)."""
+    sess = _sensevoice_session()
+    seen = {}
+    orig = sess._forward
+
+    def spy(params, audio, valid, language="auto"):
+        seen["language"] = language
+        return orig(params, audio, valid, language=language)
+
+    sess._forward = spy
+    srv = SessionServer(sess, max_batch=1, max_wait_ms=1.0, warmup=False,
+                        language="zh")
+    try:
+        short = np.zeros(srv.window // 2, np.int16)
+        srv.transcribe_bytes(_wav_bytes(short))
+        assert seen["language"] == "zh"
+    finally:
+        srv.close()

@@ -88,3 +88,22 @@ def test_malformed_wav_rejected(tmp_path):
     assert valid[0] == 0                      # fmt too small -> silent zero row
     assert valid[1] <= 16                     # declared 4 GiB truncated to real bytes
     assert valid[2] == 4 and buf[2, 0] == 100.0
+
+
+def test_hostile_fmt_chunk_size_rejected(tmp_path):
+    """A fmt chunk declaring ~4 GiB must be rejected BEFORE allocation
+    (bounded by bytes remaining in the file), not zero-initialized."""
+    import struct
+
+    def riff(body):
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    hostile = riff(b"fmt " + struct.pack("<I", 0xFFFFFFF0) +
+                   struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16))
+    p = tmp_path / "hostile_fmt.wav"
+    p.write_bytes(hostile)
+
+    from asr_tpu.runtime.audio import load_audio_batch
+
+    buf, valid = load_audio_batch([str(p)], 16000, 64)
+    assert valid[0] == 0

@@ -279,3 +279,26 @@ def test_sensevoice_sliding_window_stride():
     assert r1.audio_seconds == r2.audio_seconds
     # 50% overlap roughly doubles the transcribed token stream.
     assert len(r2.token_ids) > len(r1.token_ids)
+
+
+def test_qwen_session_language_alias_resolution():
+    """transcribe(language=...) accepts any alias/name the artifact's
+    metadata declares, not only the exact lowercase code."""
+    from asr_tpu.runtime.qwen_session import QwenAsrSession
+    from asr_tpu.runtime.metadata import LanguageProfile, ModelMetadata
+
+    meta = ModelMetadata(
+        family="qwen_asr",
+        supported_languages=[
+            LanguageProfile("zh", "Chinese", ("Mandarin", "中文"), 0, 0),
+            LanguageProfile("en", "English", (), 0, 0),
+        ],
+    )
+    sess = QwenAsrSession.__new__(QwenAsrSession)
+    sess.language_prompt_ids = {"zh": [11, 12], "en": [13]}
+    sess.metadata = meta
+    assert sess._resolve_language_code("Chinese") == "zh"
+    assert sess._resolve_language_code("mandarin") == "zh"
+    assert sess._resolve_language_code("zh") == "zh"
+    assert sess._resolve_language_code("English") == "en"
+    assert sess._resolve_language_code("klingon") == "klingon"  # caller raises

@@ -75,6 +75,12 @@ def _measure(name, fn, args, batch, audio_seconds, iters, ref_cpu_rtf, note=""):
     }
     RESULTS.append(rec)
     print(json.dumps(rec), flush=True)
+    _write_audit()
+
+
+def _write_audit() -> None:
+    """Rewrite the incremental audit record (called after EVERY row — the
+    tunnel can wedge mid-run and partial evidence still counts)."""
     os.makedirs(os.path.dirname(_OUT), exist_ok=True)
     dev = jax.devices()[0]
     with open(_OUT, "w") as f:
@@ -335,6 +341,7 @@ def _measure_stream(name, step, args, chunk_seconds, ref_cpu_rtf, note="", iters
     }
     RESULTS.append(rec)
     print(json.dumps(rec), flush=True)
+    _write_audit()
 
 
 def bench_paraformer_streaming():
