@@ -235,9 +235,17 @@ def _pallas_quant_dense_2d(x2: jnp.ndarray, qleaf: dict, interpret: bool = False
     n = q.shape[1]
     tile_m, m_pad = _plan_tile_m(m)
     # tile_n capped at 256 (an uncapped n — e.g. a 151936-row LM head —
-    # would put the whole weight strip in VMEM).
-    tile_n = 256 if n % 256 == 0 else (128 if n % 128 == 0 else None)
-    if not tile_n:
+    # would put the whole weight strip in VMEM) — except small-M matvecs
+    # (AR decode steps) over a short K, where a 512-wide tile halves the
+    # grid-step count of a huge-N head while the dequant intermediate
+    # (K x tile_n f32) stays <= 2 MiB.
+    if n % 512 == 0 and m <= 64 and k * 512 * 4 <= (1 << 21):
+        tile_n = 512
+    elif n % 256 == 0:
+        tile_n = 256
+    elif n % 128 == 0:
+        tile_n = 128
+    else:
         return None
     scale32 = scale.astype(jnp.float32)
     zero32 = zero.astype(jnp.float32)

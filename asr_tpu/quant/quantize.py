@@ -320,26 +320,32 @@ class QuantizedEmbedding:
     go through :func:`embedding_logits`.
     """
 
-    def __init__(self, q, scale, zero, bits: int, block: int, q_t=None):
+    def __init__(self, q, scale, zero, bits: int, block: int,
+                 q_t=None, scale_t=None, zero_t=None):
         self.q = q            # (V, D) int8, centered (q - 128)
         self.scale = scale    # (V, D // block)
         self.zero = zero      # (V, D // block), centered
         self.bits = int(bits)
         self.block = int(block)
         # Optional tied-LM-head copy in QuantizedLinear orientation
-        # ((D, V) int8): logits route through the Pallas dequant-fused
-        # matmul reading int8 bytes only, instead of materializing the
-        # full f32 table every decode step. Costs one extra int8 copy
-        # (still 2x smaller than one f32 table).
+        # ((D, V_pad) int8, V zero-padded to a 512 multiple so the Pallas
+        # matvec can tile N at 512 — a prime-factor vocab like 151936 =
+        # 2^7 x 1187 otherwise forces 128-wide tiles and ~1200
+        # latency-bound grid steps): logits route through the dequant-
+        # fused kernel reading int8 bytes only, instead of materializing
+        # the full f32 table every decode step.
         self.q_t = q_t
+        self.scale_t = scale_t  # (NB, V_pad)
+        self.zero_t = zero_t
 
     def tree_flatten(self):
-        return (self.q, self.scale, self.zero, self.q_t), (self.bits, self.block)
+        return (self.q, self.scale, self.zero,
+                self.q_t, self.scale_t, self.zero_t), (self.bits, self.block)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        q, scale, zero, q_t = children
-        return cls(q, scale, zero, *aux, q_t=q_t)
+        q, scale, zero, q_t, scale_t, zero_t = children
+        return cls(q, scale, zero, *aux, q_t=q_t, scale_t=scale_t, zero_t=zero_t)
 
     def __getitem__(self, ids):
         ids = jnp.asarray(ids)
@@ -375,13 +381,13 @@ def embedding_logits(embed, y: jnp.ndarray) -> jnp.ndarray:
     """Tied-head logits ``y @ embed.T`` for plain or quantized tables."""
     if isinstance(embed, QuantizedEmbedding):
         if embed.q_t is not None:
-            # Pallas dequant-fused matmul over the stored (D, V) copy —
+            # Pallas dequant-fused matmul over the stored (D, V_pad) copy —
             # reads int8 bytes only, nothing dequantizes to HBM.
             from asr_tpu.ops.quant_matmul import quant_dense
 
-            leaf = {"q": embed.q_t, "scale": embed.scale.T, "zero": embed.zero.T,
+            leaf = {"q": embed.q_t, "scale": embed.scale_t, "zero": embed.zero_t,
                     "bits": embed.bits, "block": embed.block, "packed": False}
-            return quant_dense(y, leaf)
+            return quant_dense(y, leaf)[..., : embed.q.shape[0]]
         # Blockwise decomposition: logits_v = sum_b s[v,b] (y_b . q[v,b])
         #                                   - sum_b s[v,b] z[v,b] sum(y_b)
         # — never materializes the f32 table (the naive dequant().T costs
@@ -401,22 +407,37 @@ def embedding_logits(embed, y: jnp.ndarray) -> jnp.ndarray:
     return jnp.dot(y, embed.T)
 
 
+def tied_head_arrays(q_t: jnp.ndarray, scale_t: jnp.ndarray, zero_t: jnp.ndarray):
+    """Pad the (D, V) head copy's V axis to a 512 multiple (zero scale in
+    the pad keeps padded logits at exactly 0; callers slice [:V])."""
+    v = q_t.shape[1]
+    pad = (-v) % 512
+    if pad:
+        q_t = jnp.pad(q_t, ((0, 0), (0, pad)))
+        scale_t = jnp.pad(scale_t, ((0, 0), (0, pad)))
+        zero_t = jnp.pad(zero_t, ((0, 0), (0, pad)))
+    return q_t, scale_t, zero_t
+
+
 def quantize_embedding(
     w: jnp.ndarray, bits: int = 8, block: int = 128, objective: str = "rtn",
     tie_head: bool = True,
 ) -> QuantizedEmbedding:
     """(V, D) table -> per-row block quantization along D.
 
-    ``tie_head``: also store the (D, V) int8 orientation so a tied LM head
-    runs through the Pallas quant matmul (see :class:`QuantizedEmbedding`).
+    ``tie_head``: also store the (D, V_pad) int8 orientation so a tied LM
+    head runs through the Pallas quant matmul (see :class:`QuantizedEmbedding`).
     """
     v, d = w.shape
     if d % block != 0:
         block = d
     # quantize_weight blocks along axis 0: feed the transpose.
     q, scale, zero = quantize_weight(w.T, bits, block, 0, objective=objective)
-    q_t = jnp.asarray(q) if tie_head else None  # already (D, V) from quantize_weight
-    return QuantizedEmbedding(q.T, scale.T, zero.T, bits, block, q_t=q_t)
+    q_t = scale_t = zero_t = None
+    if tie_head:
+        q_t, scale_t, zero_t = tied_head_arrays(jnp.asarray(q), scale, zero)
+    return QuantizedEmbedding(q.T, scale.T, zero.T, bits, block,
+                              q_t=q_t, scale_t=scale_t, zero_t=zero_t)
 
 
 def is_quantized(leaf) -> bool:

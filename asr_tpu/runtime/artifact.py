@@ -75,10 +75,19 @@ def unflatten_pytree(flat: dict[str, np.ndarray]) -> Any:
             from asr_tpu.quant.quantize import QuantizedEmbedding
 
             q = node["__qembed__"]
-            q_t = (np.ascontiguousarray(np.asarray(q["q"]).T)
-                   if int(q.get("tied", 1)) else None)
+            q_t = scale_t = zero_t = None
+            if int(q.get("tied", 1)):
+                from asr_tpu.quant.quantize import tied_head_arrays
+                import jax.numpy as _jnp
+
+                q_t, scale_t, zero_t = tied_head_arrays(
+                    _jnp.asarray(np.ascontiguousarray(np.asarray(q["q"]).T)),
+                    _jnp.asarray(np.ascontiguousarray(np.asarray(q["scale"]).T)),
+                    _jnp.asarray(np.ascontiguousarray(np.asarray(q["zero"]).T)),
+                )
             return QuantizedEmbedding(q["q"], q["scale"], q["zero"],
-                                      int(q["bits"]), int(q["block"]), q_t=q_t)
+                                      int(q["bits"]), int(q["block"]),
+                                      q_t=q_t, scale_t=scale_t, zero_t=zero_t)
         keys = list(node.keys())
         if keys and all(k.isdigit() for k in keys):
             return [listify(node[str(i)]) for i in range(len(keys))]
@@ -164,6 +173,8 @@ def _to_device(tree: Any, _memo: dict | None = None) -> Any:
         return QuantizedEmbedding(
             put(tree.q), put(tree.scale), put(tree.zero), tree.bits, tree.block,
             q_t=None if tree.q_t is None else put(tree.q_t),
+            scale_t=None if tree.scale_t is None else put(tree.scale_t),
+            zero_t=None if tree.zero_t is None else put(tree.zero_t),
         )
     if isinstance(tree, dict):
         return {k: _to_device(v, memo) for k, v in tree.items()}

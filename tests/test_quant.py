@@ -420,7 +420,9 @@ def test_quantized_embedding_tied_head_paths_agree():
     y = jnp.asarray(rng.standard_normal((2, d)).astype(np.float32))
 
     emb = quantize_embedding(w, bits=8, block=64)
-    assert emb.q_t is not None and emb.q_t.shape == (d, v)
+    v_pad = -(-v // 512) * 512  # head copy pads V to a 512 multiple
+    assert emb.q_t is not None and emb.q_t.shape == (d, v_pad)
+    assert emb.scale_t.shape == (d // 64, v_pad)
     dense_ref = np.asarray(y @ emb.dequant().T)
 
     got_tied = np.asarray(embedding_logits(emb, y))          # q_t path (XLA on CPU)
