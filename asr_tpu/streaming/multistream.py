@@ -1,0 +1,118 @@
+"""Multi-stream batched streaming: N concurrent real-time sessions, ONE
+vmapped jitted device step per chunk tick.
+
+The reference runtime is strictly single-stream (one ORT session per
+process, caches ping-ponged per stream —
+``Paraformer/Streaming/Inference_Paraformer_Streaming_ONNX.py:405-449``).
+On TPU the per-chunk step is a pure function of (params, state, chunk), so
+serving N streams is ``jax.vmap`` over stacked state pytrees: one MXU
+dispatch per tick carries every stream, and per-stream chunk latency stays
+~flat while throughput scales with N (chunk compute is far from saturating
+the chip at batch 1).
+
+Decoder gating: the single-stream session host-reads the CIF fire count
+and skips the decoder when 0 (reference behavior, caches untouched).
+Streams fire independently, so here the gate is a ``lax.cond`` INSIDE the
+step — under vmap it lowers to select (both branches run batched), which
+preserves the cache semantics exactly while keeping one fixed-shape
+dispatch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class MultiStreamRunner:
+    """Run N independent copies of a streaming step as one device batch.
+
+    ``init_state_fn() -> state`` builds ONE stream's state pytree;
+    ``step_fn(params, state, chunk) -> (state', outputs)`` advances one
+    stream by one chunk (pure, fixed shapes). All streams share ``params``.
+    """
+
+    def __init__(self, params, n_streams: int, init_state_fn: Callable[[], Any],
+                 step_fn: Callable[..., Any]):
+        self.params = params
+        self.n_streams = int(n_streams)
+        self._init_state_fn = init_state_fn
+        one = init_state_fn()
+        self.states = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (self.n_streams,) + x.shape), one
+        )
+        self._step = jax.jit(jax.vmap(step_fn, in_axes=(None, 0, 0)))
+
+    def step(self, chunks: np.ndarray):
+        """chunks (n_streams, chunk_samples) -> outputs pytree, each leaf
+        with a leading ``n_streams`` axis. One jitted dispatch."""
+        chunks = jnp.asarray(chunks)
+        assert chunks.shape[0] == self.n_streams, (chunks.shape, self.n_streams)
+        self.states, outs = self._step(self.params, self.states, chunks)
+        return outs
+
+    def reset(self, stream: int) -> None:
+        """Reset one stream's state (new utterance) without touching others."""
+        fresh = self._init_state_fn()
+        self.states = jax.tree.map(
+            lambda s, f: s.at[stream].set(f.astype(s.dtype)), self.states, fresh
+        )
+
+
+def paraformer_multistream(params, cfg, n_streams: int) -> MultiStreamRunner:
+    """N concurrent streaming-Paraformer sessions (0.5 s chunks).
+
+    Step outputs: {"ids": (N, max_fires) int32, "count": (N,) int32} —
+    tokens fired by each stream this chunk (count 0 = nothing fired; the
+    decoder caches of such streams are left untouched via lax.cond).
+    """
+    from asr_tpu.streaming import paraformer_online as po
+
+    def step(p, state, chunk):
+        state, fired, count, enc_out = po.encoder_step(p, cfg, state, chunk[None])
+
+        def run_dec(st):
+            st, ids, n = po.decoder_step(p, cfg, st, enc_out, fired, count)
+            return st, ids[0], n
+
+        def skip_dec(st):
+            return st, jnp.zeros((fired.shape[1],), jnp.int32), jnp.asarray(0, jnp.int32)
+
+        state, ids, n = jax.lax.cond(count > 0, run_dec, skip_dec, state)
+        return state, {"ids": ids, "count": n}
+
+    return MultiStreamRunner(params, n_streams, lambda: po.init_state(cfg, params), step)
+
+
+def zipformer_multistream(params, cfg, n_streams: int) -> MultiStreamRunner:
+    """N concurrent X-ASR Zipformer2 transducer streams (one window/tick).
+
+    Step outputs: {"ids": (N, max_new), "count": (N,)}."""
+    from asr_tpu.models import zipformer as zf
+
+    def step(p, state, window):
+        state, enc = zf.encoder_step(p, cfg, state, window)
+        state, ids, count = zf.greedy_chunk(p, cfg, state, enc)
+        return state, {"ids": ids, "count": count}
+
+    return MultiStreamRunner(params, n_streams, lambda: zf.init_state(cfg), step)
+
+
+def nemotron_multistream(params, cfg, n_streams: int,
+                         prompt_id: int = 0) -> MultiStreamRunner:
+    """N concurrent cache-aware Nemotron RNN-T streams.
+
+    Step outputs: {"ids": (N, max_new), "count": (N,)}."""
+    from asr_tpu.streaming import nemotron_stream as ns
+
+    pid = jnp.asarray([prompt_id], jnp.int32)
+
+    def step(p, state, window):
+        state, enc_proj = ns.encoder_step(p, cfg, state, window[None], pid)
+        state, ids, count = ns.rnnt_stream_step(p, cfg, state, enc_proj)
+        return state, {"ids": ids[0], "count": count}
+
+    return MultiStreamRunner(params, n_streams, lambda: ns.init_state(cfg), step)

@@ -365,6 +365,52 @@ def bench_paraformer_streaming():
                     "0.5 s chunks, decoder forced EVERY chunk; ref README.md:58 i3-12300")
 
 
+def bench_paraformer_multistream(n_streams: int = 8):
+    """N concurrent streaming-Paraformer sessions as ONE vmapped step
+    (asr_tpu.streaming.multistream): per-stream chunk latency should stay
+    ~flat vs single-stream, i.e. N x streaming throughput per chip."""
+    from asr_tpu.models import paraformer as pf
+    from asr_tpu.streaming import multistream as ms
+    from asr_tpu.streaming import paraformer_online as po
+    cfg = po.ParaformerStreamConfig(base=pf.ParaformerConfig())
+    params = pf.init_params(cfg.base, jax.random.PRNGKey(0))
+    runner = ms.paraformer_multistream(params, cfg, n_streams)
+    rng = np.random.default_rng(0)
+    chunks = jnp.asarray(
+        (rng.standard_normal((n_streams, cfg.chunk_samples)) * 2000).astype(np.float32))
+
+    def step(c):
+        out = runner.step(c)
+        return out["count"]
+
+    chunk_seconds = cfg.chunk_samples / 16000.0
+    t0 = time.perf_counter()
+    jax.block_until_ready(step(chunks))
+    compile_s = time.perf_counter() - t0
+    iters = 50
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(chunks)
+    jax.block_until_ready(out)
+    per_chunk = (time.perf_counter() - t0) / iters
+    rec = {
+        "family": f"paraformer_multistream_x{n_streams}_f32",
+        "rtf": round(per_chunk / (n_streams * chunk_seconds), 6),
+        "chunk_ms": round(per_chunk * 1e3, 3),
+        "chunk_seconds": chunk_seconds,
+        "batch": n_streams,
+        "iters": iters,
+        "compile_s": round(compile_s, 1),
+        "ref_cpu_rtf": 0.06,
+        "speedup_vs_ref": round(0.06 * n_streams * chunk_seconds / per_chunk, 1),
+        "note": f"{n_streams} concurrent streams, one vmapped dispatch/tick; "
+                "aggregate RTF (per-stream latency = chunk_ms)",
+    }
+    RESULTS.append(rec)
+    print(json.dumps(rec), flush=True)
+    _write_audit()
+
+
 def bench_zipformer_streaming():
     from asr_tpu.models import zipformer as zf
     cfg = zf.ZipformerConfig()
@@ -434,6 +480,7 @@ BENCHES = {
     "fun_asr_nano_llm_q4": bench_fun_asr_nano_llm_q4,
     "qwen_asr": bench_qwen_asr,
     "paraformer_streaming": bench_paraformer_streaming,
+    "paraformer_multistream": bench_paraformer_multistream,
     "zipformer_streaming": bench_zipformer_streaming,
     "nemotron_streaming": bench_nemotron_streaming,
     "dolphin_streaming": bench_dolphin_streaming,
