@@ -101,6 +101,21 @@ def zipformer_multistream(params, cfg, n_streams: int) -> MultiStreamRunner:
     return MultiStreamRunner(params, n_streams, lambda: zf.init_state(cfg), step)
 
 
+def dolphin_multistream(params, cfg, n_streams: int) -> MultiStreamRunner:
+    """N concurrent Dolphin CN-Dialect streaming encoders (per-chunk CTC).
+
+    Step outputs: {"ctc_ids": (N, chunk_frames) int32} — raw per-chunk CTC
+    ids (collapse across chunks with ``dolphin_stream.collapse_stream_ctc``
+    per stream, as the single-stream session does)."""
+    from asr_tpu.streaming import dolphin_stream as ds
+
+    def step(p, state, window):
+        state, ctc_ids, _enc = ds.encoder_step(p, cfg, state, window)
+        return state, {"ctc_ids": ctc_ids[0]}
+
+    return MultiStreamRunner(params, n_streams, lambda: ds.init_state(cfg), step)
+
+
 def nemotron_multistream(params, cfg, n_streams: int,
                          prompt_id: int = 0) -> MultiStreamRunner:
     """N concurrent cache-aware Nemotron RNN-T streams.

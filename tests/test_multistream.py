@@ -106,3 +106,76 @@ def test_zipformer_multistream_matches_sequential():
         for s in range(n):
             got = [int(t) for t in np.asarray(out["ids"])[s, : int(out["count"][s])]]
             assert got == want[s][c], (s, c)
+
+
+def test_dolphin_multistream_matches_sequential():
+    from asr_tpu.models import dolphin as dp
+    from asr_tpu.streaming import dolphin_stream as ds
+
+    base = dp.DolphinConfig(
+        vocab_size=60, d_model=32, enc_layers=2, enc_heads=4, enc_ffn=48,
+        cgmlp_dim=64, csgu_kernel=5, fusion_kernel=3, dec_layers=2, dec_heads=4,
+        dec_ffn=48, sos_id=50, eos_id=51, max_target_positions=24,
+    )
+    cfg = ds.DolphinStreamConfig(base=base, chunk_frames=8, max_frames=64)
+    params = dp.init_params(base, jax.random.PRNGKey(2))
+    n = 2
+    rng = np.random.default_rng(5)
+    wins = [
+        [(rng.standard_normal(cfg.window_samples) * 2000).astype(np.float32) for _ in range(2)]
+        for _ in range(n)
+    ]
+    want = []
+    for s in range(n):
+        state = ds.init_state(cfg)
+        per = []
+        for w in wins[s]:
+            state, ctc_ids, _enc = ds.encoder_step(params, cfg, state, jnp.asarray(w))
+            per.append(np.asarray(ctc_ids)[0].tolist())
+        want.append(per)
+
+    runner = ms.dolphin_multistream(params, cfg, n)
+    for c in range(2):
+        out = runner.step(np.stack([wins[s][c] for s in range(n)]))
+        for s in range(n):
+            assert np.asarray(out["ctc_ids"])[s].tolist() == want[s][c], (s, c)
+
+
+def test_nemotron_multistream_matches_sequential():
+    from asr_tpu.models import nemotron as nm
+    from asr_tpu.streaming import nemotron_stream as ns
+
+    from asr_tpu.frontend.nemo_mel import NemoMelConfig
+
+    base = nm.NemotronConfig(
+        vocab_size=30, d_model=32, num_layers=2, num_heads=4, ffn_dim=48,
+        conv_kernel=5, sub_channels=8, pred_hidden=16, joint_hidden=16,
+        prompt_hidden=16, lstm_layers=1, num_prompts=4,
+        left_context=8, right_context=3,
+        mel=NemoMelConfig(n_mels=40),
+    )
+    cfg = ns.NemotronStreamConfig(base=base)
+    params = nm.init_params(base, jax.random.PRNGKey(3))
+    n = 2
+    rng = np.random.default_rng(6)
+    wins = [
+        [(rng.standard_normal(cfg.window_samples) * 0.1).astype(np.float32) for _ in range(2)]
+        for _ in range(n)
+    ]
+    pid = jnp.asarray([0], jnp.int32)
+    want = []
+    for s in range(n):
+        state = ns.init_state(cfg)
+        per = []
+        for w in wins[s]:
+            state, enc_proj = ns.encoder_step(params, cfg, state, jnp.asarray(w)[None], pid)
+            state, ids, count = ns.rnnt_stream_step(params, cfg, state, enc_proj)
+            per.append([int(t) for t in np.asarray(ids)[0, : int(count)]])
+        want.append(per)
+
+    runner = ms.nemotron_multistream(params, cfg, n, prompt_id=0)
+    for c in range(2):
+        out = runner.step(np.stack([wins[s][c] for s in range(n)]))
+        for s in range(n):
+            got = [int(t) for t in np.asarray(out["ids"])[s, : int(out["count"][s])]]
+            assert got == want[s][c], (s, c)
