@@ -266,3 +266,37 @@ def test_dtype_bf16_serving_cast(tmp_path):
     assert sess.params["encoders"][0]["qkv"]["w"].dtype == jnp.bfloat16
     res = sess.transcribe(np.zeros(8000, np.float32))
     assert res.audio_seconds > 0
+
+
+def test_cli_multifile_transcribe_with_language_windowed_family(tmp_path):
+    """`transcribe --language X a.wav b.wav` on a windowed (transducer-style)
+    family must not crash: the batch path gates kwargs on the
+    transcribe_batch signature (regression — language was forwarded
+    unconditionally into _forward)."""
+    import wave
+
+    from asr_tpu.cli import main
+    from asr_tpu.models import paraformer as pf
+
+    cfg = pf.ParaformerConfig(
+        vocab_size=50, hidden=32, num_heads=4, head_dim=8, ffn_dim=48,
+        num_encoders0=1, num_encoders=1, num_decoders=1, num_decoder_ffn=1,
+        fsmn_kernel=5, predictor_kernel=3,
+    )
+    params = pf.init_params(cfg, jax.random.PRNGKey(0))
+    folder = _save(tmp_path, "paraformer", params, cfg)
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(2):
+        p = tmp_path / f"a{i}.wav"
+        with wave.open(str(p), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes((rng.standard_normal(8000) * 1000).astype(np.int16).tobytes())
+        paths.append(str(p))
+
+    rc = main(["--platform", "cpu", "transcribe", "--model-dir", str(folder),
+               "--language", "zh", *paths])
+    assert rc == 0
