@@ -91,14 +91,21 @@ def _measure() -> None:
     valid = jnp.full((BATCH,), samples, jnp.int32)
     lang = jnp.zeros((BATCH,), jnp.int32)
 
+    def fetch(x):
+        """Force completion with a 1-element host read: block_until_ready
+        is not trusted through the remote-TPU tunnel (observed returning
+        before queued device work finished); a D2H copy of the result
+        cannot resolve until every execution producing it has run."""
+        np.asarray(jnp.ravel(x)[:1])
+
     # Warmup / compile.
     toks, cnt = sv.forward(params, cfg, audio, valid, lang)
-    jax.block_until_ready(toks)
+    fetch(toks)
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
         toks, cnt = sv.forward(params, cfg, audio, valid, lang)
-    jax.block_until_ready(toks)
+    fetch(toks)
     elapsed = time.perf_counter() - t0
 
     audio_seconds = ITERS * BATCH * WINDOW_SECONDS

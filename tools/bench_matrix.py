@@ -51,15 +51,28 @@ def _audio(batch, seconds, rate=16000, scale=2000.0, seed=0):
     return a, jnp.full((batch,), s, jnp.int32)
 
 
+def _fetch(out) -> None:
+    """Force completion with a host read of one element per leaf.
+
+    ``block_until_ready`` alone is NOT trusted through the remote-TPU
+    tunnel (observed returning before device work completed for small
+    dispatch chains); a device-to-host copy of the result cannot resolve
+    until every queued execution producing it has finished."""
+    for leaf in jax.tree.leaves(out):
+        # tiny on-device slice first so the host copy moves 1 element,
+        # not the whole array
+        np.asarray(jnp.ravel(leaf)[:1])
+
+
 def _measure(name, fn, args, batch, audio_seconds, iters, ref_cpu_rtf, note=""):
     t_c0 = time.perf_counter()
     out = fn(*args)
-    jax.block_until_ready(out)
+    _fetch(out)
     compile_s = time.perf_counter() - t_c0
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _fetch(out)
     elapsed = time.perf_counter() - t0
     rtf = elapsed / (iters * batch * audio_seconds)
     rec = {
