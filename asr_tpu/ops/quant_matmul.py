@@ -14,11 +14,35 @@ on CPU (and for shapes the kernel does not tile).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# Matmul mode inside the kernels once the weight tile is dequantized:
+#   "bf16" (default): cast weight+activation tiles to bf16, one MXU pass,
+#     f32 accumulation.  Rounding is ~2^-8 relative — below the inherent
+#     quantization error of q8 and far below q4/q2 — while f32 HIGHEST on
+#     the TPU MXU is emulated with 6 bf16 passes (~28 vs ~130 TF/s measured
+#     on v5e), so bf16 is strictly better for quantized serving.
+#   "f32": dequantize to f32 and run Precision.HIGHEST — bit-exact against
+#     the XLA dequant reference; used by parity/validation paths.
+# Resolved from ASR_TPU_QUANT_MM when not passed explicitly.  NOTE: the
+# env var is read at TRACE time — set it before the first jit of a
+# session; changing it later does not retrace already-compiled functions.
+_MM_ENV = "ASR_TPU_QUANT_MM"
+
+
+def _resolve_mm(mm: str | None) -> str:
+    return mm if mm is not None else os.environ.get(_MM_ENV, "bf16")
+
+
+def _mm_cfg(mm: str):
+    if mm == "f32":
+        return jnp.float32, jax.lax.Precision.HIGHEST
+    return jnp.bfloat16, jax.lax.Precision.DEFAULT
 
 
 def _xla_quant_dense(x: jnp.ndarray, qleaf: dict) -> jnp.ndarray:
@@ -28,7 +52,8 @@ def _xla_quant_dense(x: jnp.ndarray, qleaf: dict) -> jnp.ndarray:
     return jnp.dot(x, w)
 
 
-def _kernel(x_ref, q_ref, scale_ref, zero_ref, o_ref, acc_ref, *, block: int, n_k_tiles: int):
+def _kernel(x_ref, q_ref, scale_ref, zero_ref, o_ref, acc_ref, *, block: int, n_k_tiles: int,
+            mm: str = "f32"):
     """Grid (M_tiles, N_tiles, K_tiles); K is the reduction axis.
 
     scale/zero arrive as the FULL (K // block, TN) column strip (tiny —
@@ -52,10 +77,11 @@ def _kernel(x_ref, q_ref, scale_ref, zero_ref, o_ref, acc_ref, *, block: int, n_
         zero = zero_ref[pl.ds(pl.multiple_of(kt * nb, nb), nb), :]
     qb = q.reshape(nb, block, tn)
     w = (qb - zero[:, None, :]) * scale[:, None, :]
-    w = w.reshape(tk, tn)
+    wdtype, prec = _mm_cfg(mm)
+    w = w.reshape(tk, tn).astype(wdtype)
     acc_ref[:] += jnp.dot(
-        x_ref[:].astype(jnp.float32), w, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        x_ref[:].astype(wdtype), w, preferred_element_type=jnp.float32,
+        precision=prec,
     )
 
     @pl.when(kt == n_k_tiles - 1)
@@ -63,7 +89,9 @@ def _kernel(x_ref, q_ref, scale_ref, zero_ref, o_ref, acc_ref, *, block: int, n_
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "tile_m", "tile_n", "tile_k", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("block", "tile_m", "tile_n", "tile_k", "interpret", "mm")
+)
 def quant_matmul_pallas(
     x: jnp.ndarray,
     q: jnp.ndarray,
@@ -74,6 +102,7 @@ def quant_matmul_pallas(
     tile_n: int = 256,
     tile_k: int = 512,
     interpret: bool = False,
+    mm: str = "f32",
 ) -> jnp.ndarray:
     """x (M, K) @ dequant(q (K, N)) -> (M, N). Requires M/K/N divisible by
     the tile sizes and ``tile_k`` divisible by ``block``."""
@@ -81,7 +110,7 @@ def quant_matmul_pallas(
     _, n = q.shape
     n_k_tiles = k // tile_k
     grid = (m // tile_m, n // tile_n, n_k_tiles)
-    kernel = functools.partial(_kernel, block=block, n_k_tiles=n_k_tiles)
+    kernel = functools.partial(_kernel, block=block, n_k_tiles=n_k_tiles, mm=mm)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -116,7 +145,7 @@ def _pick_tile_k(k: int, block: int) -> int | None:
 
 
 def _kernel_p2(x0_ref, x1_ref, x2_ref, x3_ref, q_ref, scale_ref, zero_ref,
-               o_ref, acc_ref, *, block: int, n_k4_tiles: int):
+               o_ref, acc_ref, *, block: int, n_k4_tiles: int, mm: str = "f32"):
     """Packed-int2 grid (M_tiles, N_tiles, K4_tiles): each K4-tile covers
     matching row ranges of ALL FOUR K-quarters (2-bit planes of one byte).
     scale/zero arrive as (4, NB_quarter, TN) — one plane per bit-plane, so
@@ -143,19 +172,22 @@ def _kernel_p2(x0_ref, x1_ref, x2_ref, x3_ref, q_ref, scale_ref, zero_ref,
         vb = vals.reshape(nb, block, tn)
         return ((vb - z[:, None, :]) * s[:, None, :]).reshape(tk4, tn)
 
+    wdtype, prec = _mm_cfg(mm)
     for j, x_ref in enumerate((x0_ref, x1_ref, x2_ref, x3_ref)):
         vals = ((u >> (2 * j)) & 0x3).astype(jnp.float32)
-        w = deq(vals, j)
-        acc_ref[:] += jnp.dot(x_ref[:].astype(jnp.float32), w,
+        w = deq(vals, j).astype(wdtype)
+        acc_ref[:] += jnp.dot(x_ref[:].astype(wdtype), w,
                               preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
+                              precision=prec)
 
     @pl.when(kt == n_k4_tiles - 1)
     def _():
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "tile_m", "tile_n", "tile_k4", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("block", "tile_m", "tile_n", "tile_k4", "interpret", "mm")
+)
 def quant_matmul_pallas_p2(
     x: jnp.ndarray,
     packed: jnp.ndarray,
@@ -166,6 +198,7 @@ def quant_matmul_pallas_p2(
     tile_n: int = 256,
     tile_k4: int = 512,
     interpret: bool = False,
+    mm: str = "f32",
 ) -> jnp.ndarray:
     """x (M, K) @ dequant(packed (K/4, N) int2-quarters) -> (M, N)."""
     m, k = x.shape
@@ -174,7 +207,7 @@ def quant_matmul_pallas_p2(
     n_k4_tiles = k4 // tile_k4
     nb_quarter = k4 // block
     grid = (m // tile_m, n // tile_n, n_k4_tiles)
-    kernel = functools.partial(_kernel_p2, block=block, n_k4_tiles=n_k4_tiles)
+    kernel = functools.partial(_kernel_p2, block=block, n_k4_tiles=n_k4_tiles, mm=mm)
     kb = k4 // tile_k4
     x_spec = lambda j: pl.BlockSpec(
         (tile_m, tile_k4), lambda i, jn, kt, j=j, kb=kb: (i, kt + j * kb),
@@ -226,7 +259,8 @@ def _fit_tile_m_to_vmem(tile_m: int, m_pad: int, k_window: int, n_windows: int) 
     return tile_m
 
 
-def _pallas_quant_dense_2d(x2: jnp.ndarray, qleaf: dict, interpret: bool = False):
+def _pallas_quant_dense_2d(x2: jnp.ndarray, qleaf: dict, interpret: bool = False,
+                           mm: str | None = None):
     """(M, K) @ dequant -> (M, N) via the Pallas kernels, or None when the
     shape/packing has no kernel tiling (caller falls back to XLA)."""
     q, scale, zero, block = qleaf["q"], qleaf["scale"], qleaf["zero"], qleaf["block"]
@@ -260,6 +294,7 @@ def _pallas_quant_dense_2d(x2: jnp.ndarray, qleaf: dict, interpret: bool = False
             out = quant_matmul_pallas_p4(
                 x2, q, scale32, zero32, block,
                 tile_m=tm, tile_n=tile_n, tile_k2=tile_k2, interpret=interpret,
+                mm=_resolve_mm(mm),
             )
     elif packed and int(qleaf["bits"]) == 2:
         k4 = k // 4
@@ -269,6 +304,7 @@ def _pallas_quant_dense_2d(x2: jnp.ndarray, qleaf: dict, interpret: bool = False
             out = quant_matmul_pallas_p2(
                 x2, q, scale32, zero32, block,
                 tile_m=tm, tile_n=tile_n, tile_k4=tile_k4, interpret=interpret,
+                mm=_resolve_mm(mm),
             )
     elif not packed:
         tile_k = _pick_tile_k(k, block)
@@ -277,6 +313,7 @@ def _pallas_quant_dense_2d(x2: jnp.ndarray, qleaf: dict, interpret: bool = False
             out = quant_matmul_pallas(
                 x2, q, scale32, zero32, block,
                 tile_m=tm, tile_n=tile_n, tile_k=tile_k, interpret=interpret,
+                mm=_resolve_mm(mm),
             )
     if out is None:
         return None
@@ -298,7 +335,7 @@ def quant_dense(x: jnp.ndarray, qleaf: dict) -> jnp.ndarray:
 
 
 def _kernel_p4(x_lo_ref, x_hi_ref, q_ref, scale_ref, zero_ref, o_ref, acc_ref, *,
-               block: int, n_k2_tiles: int):
+               block: int, n_k2_tiles: int, mm: str = "f32"):
     """Packed-int4 grid (M_tiles, N_tiles, K2_tiles): each K2-tile covers
     matching row ranges of BOTH K-halves (low/high nibble planes).
     scale/zero arrive as (2, NB_half, TN) — the nibble plane is a STATIC
@@ -326,21 +363,24 @@ def _kernel_p4(x_lo_ref, x_hi_ref, q_ref, scale_ref, zero_ref, o_ref, acc_ref, *
         vb = vals.reshape(nb, block, tn)
         return ((vb - z[:, None, :]) * s[:, None, :]).reshape(tk2, tn)
 
-    w_lo = deq(lo, 0)
-    w_hi = deq(hi, 1)
-    acc_ref[:] += jnp.dot(x_lo_ref[:].astype(jnp.float32), w_lo,
+    wdtype, prec = _mm_cfg(mm)
+    w_lo = deq(lo, 0).astype(wdtype)
+    w_hi = deq(hi, 1).astype(wdtype)
+    acc_ref[:] += jnp.dot(x_lo_ref[:].astype(wdtype), w_lo,
                           preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
-    acc_ref[:] += jnp.dot(x_hi_ref[:].astype(jnp.float32), w_hi,
+                          precision=prec)
+    acc_ref[:] += jnp.dot(x_hi_ref[:].astype(wdtype), w_hi,
                           preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
+                          precision=prec)
 
     @pl.when(kt == n_k2_tiles - 1)
     def _():
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "tile_m", "tile_n", "tile_k2", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("block", "tile_m", "tile_n", "tile_k2", "interpret", "mm")
+)
 def quant_matmul_pallas_p4(
     x: jnp.ndarray,
     packed: jnp.ndarray,
@@ -351,6 +391,7 @@ def quant_matmul_pallas_p4(
     tile_n: int = 256,
     tile_k2: int = 512,
     interpret: bool = False,
+    mm: str = "f32",
 ) -> jnp.ndarray:
     """x (M, K) @ dequant(packed (K/2, N) int4-halves) -> (M, N)."""
     m, k = x.shape
@@ -359,7 +400,7 @@ def quant_matmul_pallas_p4(
     n_k2_tiles = k2 // tile_k2
     nb_half = k2 // block
     grid = (m // tile_m, n // tile_n, n_k2_tiles)
-    kernel = functools.partial(_kernel_p4, block=block, n_k2_tiles=n_k2_tiles)
+    kernel = functools.partial(_kernel_p4, block=block, n_k2_tiles=n_k2_tiles, mm=mm)
     k2_blocks = k2 // tile_k2
     scale3 = scale.reshape(2, nb_half, n)  # one plane per nibble half
     zero3 = zero.reshape(2, nb_half, n)

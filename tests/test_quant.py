@@ -377,7 +377,7 @@ def test_pallas_dispatch_pads_ragged_and_tiny_m():
             continue
         for m in (1, 9, 300):
             x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
-            got = _pallas_quant_dense_2d(x, qleaf, interpret=True)
+            got = _pallas_quant_dense_2d(x, qleaf, interpret=True, mm="f32")
             if got is None:
                 continue
             want = _xla_quant_dense(x, qleaf)
@@ -400,7 +400,7 @@ def test_pallas_dispatch_small_block_count_packed():
         qleaf = quantize_linear(w, bits=bits, block=128, pack=True)
         assert qleaf["packed"]
         x = jnp.asarray(rng.standard_normal((1, k)).astype(np.float32))
-        got = _pallas_quant_dense_2d(x, qleaf, interpret=True)
+        got = _pallas_quant_dense_2d(x, qleaf, interpret=True, mm="f32")
         assert got is not None, f"int{bits} K={k} fell back to XLA"
         want = _xla_quant_dense(x, qleaf)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
@@ -437,3 +437,26 @@ def test_quantized_embedding_tied_head_paths_agree():
     np.testing.assert_array_equal(np.asarray(back.q_t), np.asarray(emb.q_t))
     back_nt = unflatten_pytree(flatten_pytree({"embed": emb_nt}))["embed"]
     assert back_nt.q_t is None
+
+
+def test_pallas_bf16_mm_mode_within_quant_error():
+    """Default kernel mode dequantizes to bf16 and runs one MXU pass:
+    rounding must stay well below the quantization error itself (and the
+    f32 mode must remain exact vs the XLA dequant reference)."""
+    import jax.numpy as jnp
+    from asr_tpu.ops.quant_matmul import _pallas_quant_dense_2d, _xla_quant_dense
+    from asr_tpu.quant.quantize import quantize_linear
+
+    rng = np.random.default_rng(11)
+    k, n = 512, 256
+    w = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32) * 0.05)
+    x = jnp.asarray(rng.standard_normal((4, k)).astype(np.float32))
+    for bits, pack in ((8, False), (4, True)):
+        qleaf = quantize_linear(w, bits=bits, block=64 if not pack else 32, pack=pack)
+        want = np.asarray(_xla_quant_dense(x, qleaf))
+        got16 = np.asarray(_pallas_quant_dense_2d(x, qleaf, interpret=True, mm="bf16"))
+        # bf16 rounding: relative error ~2^-8 per product, sqrt(K) growth.
+        scale = np.abs(want).max() + 1e-6
+        assert np.abs(got16 - want).max() / scale < 5e-2
+        got32 = np.asarray(_pallas_quant_dense_2d(x, qleaf, interpret=True, mm="f32"))
+        np.testing.assert_allclose(got32, want, rtol=2e-5, atol=2e-5)

@@ -28,13 +28,20 @@ import numpy as np
 jax.config.update("jax_default_matmul_precision", "highest")
 
 
+def _fetch(out) -> None:
+    """Force completion with a 1-element host read (block_until_ready is
+    not trusted through the remote-TPU tunnel for small dispatch chains)."""
+    for leaf in jax.tree.leaves(out):
+        np.asarray(jnp.ravel(leaf)[:1])
+
+
 def _time(fn, *args, iters=30):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _fetch(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _fetch(out)
     return (time.perf_counter() - t0) / iters * 1e3, out  # ms
 
 
@@ -48,26 +55,34 @@ def validate_quant_matmul(bits: int, pack: bool, results: dict) -> None:
     x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
     qleaf = quantize_linear(w, bits=bits, block=block, pack=pack)
 
-    pallas_fn = jax.jit(lambda x: qm.quant_dense(x, qleaf))
+    pallas_f32 = jax.jit(lambda x: qm._pallas_quant_dense_2d(x, qleaf, mm="f32"))
+    pallas_bf16 = jax.jit(lambda x: qm._pallas_quant_dense_2d(x, qleaf, mm="bf16"))
     xla_fn = jax.jit(lambda x: qm._xla_quant_dense(x, qleaf))
 
-    got = pallas_fn(x)
     want = xla_fn(x)
-    err = float(jnp.max(jnp.abs(got - want)))
-    rel = err / (float(jnp.max(jnp.abs(want))) + 1e-30)
-    p_ms, _ = _time(pallas_fn, x)
+    ref_scale = float(jnp.max(jnp.abs(want))) + 1e-30
+    got32 = pallas_f32(x)
+    err32 = float(jnp.max(jnp.abs(got32 - want)))
+    got16 = pallas_bf16(x)
+    err16 = float(jnp.max(jnp.abs(got16 - want)))
+    p32_ms, _ = _time(pallas_f32, x)
+    p16_ms, _ = _time(pallas_bf16, x)
     x_ms, _ = _time(xla_fn, x)
     name = f"quant_matmul_int{bits}" + ("_packed" if pack else "")
     results[name] = {
         "shape": [m, k, n],
         "block": block,
-        "max_abs_err_vs_xla_dequant": round(err, 8),
-        "max_rel_err": round(rel, 8),
-        "ok": bool(rel < 1e-4),
-        "pallas_ms": round(p_ms, 4),
+        # f32 mode: bit-exact gate vs the XLA dequant reference.
+        "max_rel_err_f32_mode": round(err32 / ref_scale, 8),
+        # bf16 mode (serving default): one MXU pass; rounding must stay
+        # well under the quantization error itself.
+        "max_rel_err_bf16_mode": round(err16 / ref_scale, 8),
+        "ok": bool(err32 / ref_scale < 1e-4 and err16 / ref_scale < 2e-2),
+        "pallas_f32_ms": round(p32_ms, 4),
+        "pallas_bf16_ms": round(p16_ms, 4),
         "xla_dequant_ms": round(x_ms, 4),
-        "speedup_vs_xla": round(x_ms / p_ms, 3),
-        "effective_tflops": round(2 * m * k * n / (p_ms * 1e-3) / 1e12, 3),
+        "speedup_vs_xla": round(x_ms / p16_ms, 3),
+        "effective_tflops_bf16": round(2 * m * k * n / (p16_ms * 1e-3) / 1e12, 3),
     }
     print(name, results[name])
 
