@@ -178,3 +178,25 @@ def step_bias(valid_len: jnp.ndarray, pos: jnp.ndarray, t_max: int) -> jnp.ndarr
     kpos = jnp.arange(t_max, dtype=jnp.int32)[None, :]
     keep = (kpos < valid_len[:, None]) | ((kpos >= valid_len[:, None]) & (kpos <= pos))
     return jnp.where(keep, 0.0, NEG_INF)[:, None, None].astype(jnp.float32)
+
+
+def left_prefill_bias(shift: jnp.ndarray, s: int, t_max: int) -> jnp.ndarray:
+    """(B,1,S,T_max) prefill bias for a LEFT-padded prompt occupying slots
+    ``[shift_b, s)``: causal + pad-key masking.  Left padding lets rows of
+    unequal prompt length decode in lockstep from one scalar position —
+    RoPE attention depends only on position differences, so the per-row
+    shift is mathematically a no-op."""
+    qpos = jnp.arange(s, dtype=jnp.int32)[:, None]
+    kpos = jnp.arange(t_max, dtype=jnp.int32)[None, :]
+    causal = kpos <= qpos  # (S, T_max)
+    # (1,S,T) & ((1,1,T) >= (B,1,1) -> (B,1,T)) -> (B,S,T)
+    keep = causal[None] & (kpos[None] >= shift[:, None, None])
+    return jnp.where(keep, 0.0, NEG_INF)[:, None].astype(jnp.float32)
+
+
+def left_step_bias(shift: jnp.ndarray, pos: jnp.ndarray, t_max: int) -> jnp.ndarray:
+    """(B,1,1,T_max) step bias for the left-padded layout: attends
+    ``[shift_b, pos]`` (prompt + all generated slots), masks pad slots."""
+    kpos = jnp.arange(t_max, dtype=jnp.int32)[None, :]
+    keep = (kpos >= shift[:, None]) & (kpos <= pos)
+    return jnp.where(keep, 0.0, NEG_INF)[:, None, None].astype(jnp.float32)

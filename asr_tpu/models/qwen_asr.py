@@ -117,19 +117,22 @@ def _conv2d_s2(x, p):
 def encode_audio(
     tower: dict, cfg: QwenAsrConfig, mel: jnp.ndarray, valid_frames: jnp.ndarray
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """mel (1, T, n_mels) -> (audio tokens (1, A_max, output_dim), valid count).
+    """mel (B, T, n_mels) -> (audio tokens (B, A_max, output_dim), valid (B,)).
 
     T must be a multiple of chunk_frames * chunks_per_window (pad with
-    zeros); invalid mel frames are zero-masked.
+    zeros); invalid mel frames are zero-masked.  Batched: the window axis
+    already rides the conv/attention batch dim, so B utterances simply
+    become B x num_windows independent windows (the reference is strictly
+    batch-1, ``Inference_Qwen_ASR_ONNX.py``).
     """
-    t = mel.shape[1]
+    b, t = mel.shape[0], mel.shape[1]
     chunk = cfg.chunk_frames
     num_chunks = t // chunk
     keep = jnp.arange(t, dtype=jnp.int32)[None, :] < valid_frames[:, None]
     mel = jnp.where(keep[..., None], mel, 0.0)
 
-    # (1, T, M) -> chunks (num_chunks, M, chunk) -> NHWC (N, M, chunk, 1)
-    x = mel.reshape(num_chunks, chunk, cfg.n_mels).transpose(0, 2, 1)[..., None]
+    # (B, T, M) -> chunks (B*num_chunks, M, chunk) -> NHWC (N, M, chunk, 1)
+    x = mel.reshape(b * num_chunks, chunk, cfg.n_mels).transpose(0, 2, 1)[..., None]
     x = jax.nn.gelu(_conv2d_s2(x, tower["conv1"]), approximate=False)
     x = jax.nn.gelu(_conv2d_s2(x, tower["conv2"]), approximate=False)
     x = jax.nn.gelu(_conv2d_s2(x, tower["conv3"]), approximate=False)  # (N, 16, 13, C)
@@ -139,16 +142,16 @@ def encode_audio(
     pe = jnp.asarray(sinusoid_position_encoding(cfg.tokens_per_chunk, cfg.tower_dim, start=0))
     x = x + pe[None]
 
-    # Per-chunk valid token counts.
+    # Per-chunk valid token counts, per sample.
     chunk_starts = jnp.arange(num_chunks, dtype=jnp.int32) * chunk
-    raw_lens = jnp.clip(valid_frames[0] - chunk_starts, 0, chunk)
-    aftercnn = feat_output_len(raw_lens.astype(jnp.int32), chunk)  # partial-chunk formula
-    # Window packing: (num_windows, tokens_per_window, d)
+    raw_lens = jnp.clip(valid_frames[:, None] - chunk_starts[None, :], 0, chunk)
+    aftercnn = feat_output_len(raw_lens.astype(jnp.int32), chunk)  # (B, num_chunks)
+    # Window packing: (B*num_windows, tokens_per_window, d)
     cpw = cfg.chunks_per_window
     num_windows = num_chunks // cpw
     tw = cfg.tokens_per_window
-    hidden = x.reshape(num_windows, tw, cfg.tower_dim)
-    valid_counts = aftercnn.reshape(num_windows, cpw).sum(axis=1)  # (num_windows,)
+    hidden = x.reshape(b * num_windows, tw, cfg.tower_dim)
+    valid_counts = aftercnn.reshape(b * num_windows, cpw).sum(axis=1)
     kpos = jnp.arange(tw, dtype=jnp.int32)[None, :]
     bias = jnp.where(kpos < valid_counts[:, None], 0.0, -128.0)[:, None, None, :].astype(jnp.float32)
 
@@ -163,8 +166,8 @@ def encode_audio(
         h = h + dense(jax.nn.gelu(dense(y, p["mlp"]["fc1"]), approximate=False), p["mlp"]["fc2"])
     h = layer_norm(h, tower["ln_post"]["scale"], tower["ln_post"]["bias"])
     h = dense(jax.nn.gelu(dense(h, tower["proj1"]), approximate=False), tower["proj2"])
-    audio = h.reshape(1, num_windows * tw, cfg.output_dim)
-    return audio, jnp.sum(aftercnn)[None]
+    audio = h.reshape(b, num_windows * tw, cfg.output_dim)
+    return audio, jnp.sum(aftercnn, axis=1)
 
 
 def assemble_prompt(
@@ -172,17 +175,18 @@ def assemble_prompt(
     audio: jnp.ndarray, audio_valid: jnp.ndarray, tail: jnp.ndarray,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Gather-compact [head|query|suffix|audio_valid|tail] into a static
-    buffer with padding at the END. All inputs (1, L_i, H)."""
+    buffer with padding at the END. All inputs (B, L_i, H); per-sample
+    ``audio_valid`` (B,) compacts each row independently."""
     base = head.shape[1] + query.shape[1] + suffix.shape[1]
     a_max = audio.shape[1]
     full = jnp.concatenate([head, query, suffix, audio, tail], axis=1)
     lf = full.shape[1]
-    a = audio_valid[0]
-    idx = jnp.arange(lf, dtype=jnp.int32)
+    a = audio_valid[:, None].astype(jnp.int32)               # (B, 1)
+    idx = jnp.arange(lf, dtype=jnp.int32)[None, :]           # (1, lf)
     src = jnp.where(idx < base + a, idx, jnp.minimum(idx + (a_max - a), lf - 1))
-    embeds = jnp.take(full, src, axis=1)
-    valid = base + a + tail.shape[1]
-    return embeds, jnp.asarray(valid, jnp.int32)[None]
+    embeds = jnp.take_along_axis(full, src[..., None], axis=1)
+    valid = base + audio_valid.astype(jnp.int32) + tail.shape[1]
+    return embeds, valid
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "decode_cfg"))
@@ -194,23 +198,38 @@ def transcribe_embeds(
     decode_cfg: DecodeConfig,
     rng: jax.Array | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Prompt embeds (1, L, H) + valid length -> generated ids.
+    """Prompt embeds (B, L, H) (valid prefix + END padding, as produced by
+    :func:`assemble_prompt`) + per-sample valid lengths -> generated ids.
 
-    Returns (tokens (1, L + max_new + 1), counts (1,), prompt_len (1,)).
+    Internally each row is re-packed LEFT-padded (valid tokens end at slot
+    ``L``), so rows of UNEQUAL prompt length decode in lockstep from one
+    scalar position: RoPE attention scores depend only on position
+    differences, making the per-row shift mathematically equivalent, and
+    pad slots are masked out of every attention. Generated ids land at
+    slots ``[L, L + counts)`` for every row.
+
+    Returns (tokens (B, L + max_new + 1), counts (B,), prompt_start (B,)
+    — always ``L``).
     """
     lcfg = cfg.llm
     b, lf, _ = embeds.shape
+    valid_len = valid_len.astype(jnp.int32)
+    # Right-compacted -> left-padded: out slot i takes source i - shift.
+    shift = lf - valid_len                                     # (B,)
+    idx = jnp.arange(lf, dtype=jnp.int32)[None, :]
+    src = jnp.clip(idx - shift[:, None], 0, lf - 1)
+    embeds = jnp.take_along_axis(embeds, src[..., None], axis=1)
+
     t_max = lf + decode_cfg.max_new_tokens + 1
     state = qwen3.make_kv_state(lcfg, b, t_max, embeds.dtype)
-    bias = qwen3.causal_prefill_bias(valid_len, lf, t_max)
+    bias = qwen3.left_prefill_bias(shift, lf, t_max)
     hidden, state = qwen3.decoder_pass(llm_params, lcfg, embeds, state, jnp.asarray(0, jnp.int32), bias)
-    # Logits at the last VALID position (per-sample dynamic).
-    last = jnp.take_along_axis(hidden, (valid_len - 1)[:, None, None], axis=1)[:, 0]
-    logits0 = qwen3.logits_from_hidden(llm_params, lcfg, last)
+    # Every row's last valid token sits at slot lf - 1.
+    logits0 = qwen3.logits_from_hidden(llm_params, lcfg, hidden[:, -1])
     logits0 = suppress_tokens(logits0.astype(jnp.float32), decode_cfg.suppress_ids)
 
     buf = jnp.zeros((b, t_max), jnp.int32)
-    prompt_len = valid_len[0]
+    prompt_len = jnp.asarray(lf, jnp.int32)
     if rng is None:
         rng = jax.random.PRNGKey(0)
     first, rng = select_token(logits0, buf, prompt_len, decode_cfg, rng,
@@ -218,12 +237,12 @@ def transcribe_embeds(
 
     def step(state, token, pos):
         emb = llm_params["embed"][token].astype(embeds.dtype)
-        sbias = qwen3.step_bias(valid_len, pos, t_max)
+        sbias = qwen3.left_step_bias(shift, pos, t_max)
         h, state = qwen3.decoder_pass(llm_params, lcfg, emb, state, pos, sbias)
         return qwen3.logits_from_hidden(llm_params, lcfg, h[:, -1]), state
 
     tokens, counts = ar_decode(step, state, prompt_len, first, buf, decode_cfg, rng)
-    return tokens, counts, valid_len
+    return tokens, counts, jnp.full((b,), lf, jnp.int32)
 
 
 def forward(
@@ -236,11 +255,12 @@ def forward(
     decode_cfg: DecodeConfig,
     rng: jax.Array | None = None,
 ):
-    """Raw audio (1, S) [-1,1] + prompt id lists -> generated token ids.
+    """Raw audio (B, S) [-1,1] + prompt id lists -> generated token ids.
 
-    ``prompt_ids``: dict of int32 arrays {"head": (1, Lh), "query": (1, Lq),
-    "suffix": (1, Ls), "tail": (1, Lt)} (reference prompt layout
-    ``Inference_Qwen_ASR_ONNX.py:106-127``).
+    ``prompt_ids``: dict of int32 arrays {"head": (B, Lh), "query": (B, Lq),
+    "suffix": (B, Ls), "tail": (B, Lt)} (reference prompt layout
+    ``Inference_Qwen_ASR_ONNX.py:106-127``; the reference is batch-1 —
+    batching is a TPU-native addition for throughput serving).
     """
     mel_cfg = cfg.mel_config()
     mel = log_mel_spectrogram(audio, mel_cfg)

@@ -72,8 +72,9 @@ def test_forward_llm_pipeline():
         params, llm_params, cfg, jnp.asarray(audio), jnp.asarray([16000]), prompt_ids, dc
     )
     assert int(counts[0]) >= 1
+    # Generated ids start at the static prompt-buffer length (left-padded
+    # lockstep decode): t_max = lf + max_new + 1.
     v = int(valid[0])
-    frames = (16000 - 400) // 160 + 1
-    assert v == 2 + 1 + (-(-frames // 48)) + 2
+    assert v == tokens.shape[1] - dc.max_new_tokens - 1
     gen = np.asarray(tokens)[0, v : v + int(counts[0])]
     assert ((gen >= 0) & (gen < lcfg.vocab_size)).all()

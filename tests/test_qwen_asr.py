@@ -73,10 +73,38 @@ def test_padded_prompt_matches_exact(tiny_llm):
     embeds = params["embed"][jnp.asarray(prompt)]
     dc = DecodeConfig(max_new_tokens=6, eot_id=-1, strategy="greedy")
     qcfg = qa.QwenAsrConfig(llm=cfg)
-    t1, c1, _ = qa.transcribe_embeds(params, qcfg, embeds, jnp.asarray([4]), dc)
+    t1, c1, p1 = qa.transcribe_embeds(params, qcfg, embeds, jnp.asarray([4]), dc)
     padded = jnp.concatenate([embeds, jnp.zeros((1, 3, embeds.shape[-1]))], axis=1)
-    t2, c2, _ = qa.transcribe_embeds(params, qcfg, padded, jnp.asarray([4]), dc)
-    np.testing.assert_array_equal(np.asarray(t1)[0, 4:10], np.asarray(t2)[0, 4:10])
+    t2, c2, p2 = qa.transcribe_embeds(params, qcfg, padded, jnp.asarray([4]), dc)
+    v1, v2 = int(p1[0]), int(p2[0])
+    np.testing.assert_array_equal(np.asarray(t1)[0, v1:v1 + 6], np.asarray(t2)[0, v2:v2 + 6])
+
+
+def test_batched_unequal_prompt_lengths_match_single(tiny_llm):
+    """Two rows with DIFFERENT valid prompt lengths in one batched decode
+    must produce exactly what each row produces decoded alone (the
+    left-padded lockstep layout; regression for the valid_len[0] bug)."""
+    model, cfg, params = tiny_llm
+    dc = DecodeConfig(max_new_tokens=5, eot_id=-1, strategy="greedy")
+    qcfg = qa.QwenAsrConfig(llm=cfg)
+    # THREE rows (B != GQA group count): a malformed bias that lands on the
+    # group axis instead of the batch axis cannot broadcast silently.
+    rows = [
+        (np.array([[5, 30, 77, 11, 42, 7]], np.int64), 6),
+        (np.array([[9, 3, 88, 0, 0, 0]], np.int64), 3),
+        (np.array([[14, 2, 61, 33, 0, 0]], np.int64), 4),
+    ]
+    singles = []
+    for ids, v in rows:
+        emb = params["embed"][jnp.asarray(ids)]
+        ts, cs, ps = qa.transcribe_embeds(params, qcfg, emb, jnp.asarray([v]), dc)
+        singles.append(np.asarray(ts)[0, int(ps[0]):int(ps[0]) + 5])
+    batch = jnp.concatenate([params["embed"][jnp.asarray(ids)] for ids, _ in rows], axis=0)
+    t, c, p = qa.transcribe_embeds(
+        params, qcfg, batch, jnp.asarray([v for _, v in rows]), dc)
+    v = int(p[0])
+    for i, want in enumerate(singles):
+        np.testing.assert_array_equal(np.asarray(t)[i, v:v + 5], want)
 
 
 def test_feat_output_len_formula():

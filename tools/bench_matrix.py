@@ -286,6 +286,29 @@ def bench_qwen_asr_q4_qembed():
              0.12, "packed-int4 LLM + int4 quantized tied embed head, forced 100 steps")
 
 
+def bench_qwen_asr_q4_batch8():
+    """Batch-8 concurrent q4 decode: weight streaming (the decode-step
+    bottleneck — ~300 MB of int4 bytes/step) is amortized across 8
+    utterances in one while_loop, the TPU-native throughput configuration
+    (the reference is strictly batch-1, one ORT launch per token)."""
+    from asr_tpu.models import qwen_asr as qa
+    from asr_tpu.layers import qwen3
+    from asr_tpu.decode.ar import DecodeConfig
+    from asr_tpu.quant.quantize import quantize_pytree
+    cfg = qa.QwenAsrConfig()
+    tower = qa.init_tower_params(cfg, jax.random.PRNGKey(0))
+    llm = quantize_pytree(qwen3.init_params(cfg.llm, jax.random.PRNGKey(1)),
+                          bits=4, pack=True, quantize_embeddings=True)
+    audio, valid = _audio(8, 8.0, scale=0.1)
+    rep = lambda row: jnp.tile(jnp.asarray([row], jnp.int32), (8, 1))
+    ids = {"head": rep([1, 2, 3]), "query": rep([4, 5]),
+           "suffix": rep([6]), "tail": rep([7, 8])}
+    dc = DecodeConfig(max_new_tokens=100, eot_id=-1)
+    fn = jax.jit(lambda t, l, a, v: qa.forward(t, l, cfg, a, v, ids, dc))
+    _measure("qwen3_asr_0.6b_q4f32_batch8", fn, (tower, llm, audio, valid), 8, 8.0, 3,
+             0.12, "8 utterances per decode loop, packed-int4 weights + int4 tied head, forced 100 steps")
+
+
 def bench_fun_asr_nano_llm_q4():
     """q4f32 LLM path — the reference's measured config (README.md:61)."""
     from asr_tpu.models import fun_asr_nano as fn_
@@ -483,6 +506,7 @@ BENCHES = {
     "whisper_q8": bench_whisper_q8,
     "qwen_asr_q4": bench_qwen_asr_q4,
     "qwen_asr_q4_qembed": bench_qwen_asr_q4_qembed,
+    "qwen_asr_q4_batch8": bench_qwen_asr_q4_batch8,
     "whisper_bf16": lambda: bench_whisper(jnp.bfloat16, "bf16"),
     "paraformer": bench_paraformer,
     "parakeet": bench_parakeet,
