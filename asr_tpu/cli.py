@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 from pathlib import Path
 
@@ -299,15 +300,19 @@ def cmd_quantize(args) -> int:
     if args.algorithm == "dynamic" and (args.bits != 8 or args.pack):
         print("note: --algorithm dynamic is always 8-bit per-column, unpacked "
               "(activations quantize at call time); --bits/--pack ignored")
+    # Record what was actually applied (dynamic forces 8-bit, unpacked,
+    # per-COLUMN scales — the CLI --block value does not apply to it).
+    dyn = args.algorithm == "dynamic"
+    bits = 8 if dyn else args.bits
     meta.extra["quantization"] = {
-        # Record what was actually applied (dynamic forces 8-bit/unpacked).
-        "bits": 8 if args.algorithm == "dynamic" else args.bits,
-        "block": args.block,
+        "bits": bits,
+        "block": "per_column" if dyn else args.block,
         "algorithm": args.algorithm,
     }
     save_model(Path(args.out), qparams, meta)
     _copy_artifact_assets(Path(args.model_dir), Path(args.out), meta)
-    print(f"quantized ({args.bits}-bit {args.algorithm}, block {args.block}) -> {args.out}")
+    blk = "per-column" if dyn else f"block {args.block}"
+    print(f"quantized ({bits}-bit {args.algorithm}, {blk}) -> {args.out}")
     return 0
 
 
@@ -409,6 +414,10 @@ def cmd_parity(args) -> int:
     from asr_tpu.runtime.examples import model_audio_cases
     from asr_tpu.runtime.metadata import ModelMetadata
 
+    # Token-for-token gate: quantized artifacts must run the kernels'
+    # bit-exact f32 mode, not the bf16 serving default (env is read at
+    # trace time, so set it before the session's first jit).
+    os.environ.setdefault("ASR_TPU_QUANT_MM", "f32")
     meta = ModelMetadata.load(Path(args.model_dir))
     sess = _build_session(Path(args.model_dir))
     import inspect

@@ -18,6 +18,15 @@ from asr_tpu.runtime.artifact import save_model
 from asr_tpu.runtime.metadata import LanguageProfile, ModelMetadata
 
 
+def _config_dict(cfg) -> dict:
+    """Serializable config dict for ``meta.extra["config"]``: drop the
+    derived ``fbank`` sub-config (reconstructed from the model config at
+    load time, not stored)."""
+    d = dataclasses.asdict(cfg)
+    d.pop("fbank", None)
+    return d
+
+
 def _copy_asset(src_dir: Path, name: str, dst_dir: Path) -> str | None:
     src = src_dir / name
     if src.exists():
@@ -56,9 +65,8 @@ def build_sensevoice_artifact(
             for i, (code, desc, aliases, tok) in enumerate(LANGUAGE_PROFILES)
         ],
         tokenizer={"kind": "sentencepiece", "file": tok_file or ""},
-        extra={"config": dataclasses.asdict(cfg) | {"fbank": None}},
+        extra={"config": _config_dict(cfg)},
     )
-    meta.extra["config"].pop("fbank", None)
     save_model(out_dir, params, meta)
     return out_dir
 
@@ -185,8 +193,7 @@ def build_dolphin_artifact(
         from asr_tpu.streaming.dolphin_stream import DolphinStreamConfig
 
         stream_cfg = stream_cfg or DolphinStreamConfig(base=cfg)
-        cfg_dict = dataclasses.asdict(stream_cfg)
-        cfg_dict.pop("fbank", None)
+        cfg_dict = _config_dict(stream_cfg)
     else:
         cfg_dict = dataclasses.asdict(cfg)
     meta = ModelMetadata(
@@ -469,10 +476,8 @@ def build_fun_asr_nano_artifact(
             audio_pcm_scale=32768.0,
             special_token_ids=special,
             tokenizer={"kind": "tiktoken", "file": tok_file or ""},
-            extra={"config": dataclasses.asdict(cfg) | {"fbank": None, "llm": None}},
+            extra={"config": _config_dict(cfg)},
         )
-        meta.extra["config"].pop("fbank", None)
-        meta.extra["config"]["llm"] = dataclasses.asdict(cfg.llm)
         save_model(out_dir, encoder, meta)
         return out_dir
 
@@ -491,14 +496,12 @@ def build_fun_asr_nano_artifact(
         special_token_ids={"eot": cfg.eot_id},
         tokenizer={"kind": "hf", "file": tok_file or ""},
         extra={
-            "config": dataclasses.asdict(cfg) | {"fbank": None},
+            "config": _config_dict(cfg),
             "prompt_head_ids": head_ids,
             "prompt_suffix_ids": [],
             "prompt_tail_ids": tail_ids,
         },
     )
-    meta.extra["config"].pop("fbank", None)
-    meta.extra["config"]["llm"] = dataclasses.asdict(cfg.llm)
     save_model(out_dir, {"encoder": encoder, "llm": llm}, meta)
     return out_dir
 
@@ -531,9 +534,8 @@ def build_firered_artifact(
         special_token_ids={"sos": cfg.sos_id, "eos": cfg.eos_id},
         max_seq_len=cfg.max_target_positions,
         tokenizer={"kind": "firered_dict", "file": tok_file or ""},
-        extra={"config": dataclasses.asdict(cfg) | {"fbank": None}},
+        extra={"config": _config_dict(cfg)},
     )
-    meta.extra["config"].pop("fbank", None)
     save_model(out_dir, params, meta)
     return out_dir
 

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from asr_tpu.models.firered import FireRedConfig
 
 
-from asr_tpu.loaders._common import conv2d_hwio as _conv2d, lin as _lin, ln as _ln, to_np as _np
+from asr_tpu.loaders._common import conv2d_hwio as _conv2d, dw1d as _dw1d, lin as _lin, ln as _ln, to_np as _np
 
 
 def config_from_state_dict(sd: Mapping[str, Any], **overrides) -> FireRedConfig:
@@ -67,7 +67,6 @@ def firered_params_from_state_dict(
 
     def enc_block(i: int) -> dict:
         p = f"encoder.layer_stack.{i}"
-        dw = _np(sd[f"{p}.conv.depthwise_conv.weight"])  # (2d, 1, K)
         return {
             "ffn1": {
                 "norm": _ln(sd, f"{p}.ffn1.net.0"),
@@ -90,7 +89,7 @@ def firered_params_from_state_dict(
                 "norm": _ln(sd, f"{p}.conv.pre_layer_norm"),
                 # pointwise Conv1d k1 (Cout, Cin, 1) -> dense (Cin, Cout)
                 "pw1": {"w": jnp.asarray(_np(sd[f"{p}.conv.pointwise_conv1.weight"])[:, :, 0].T)},
-                "dw": {"w": jnp.asarray(dw[:, 0, :].T)},  # (K, 2d)
+                "dw": _dw1d(sd, f"{p}.conv.depthwise_conv"),  # (K, 2d)
                 "ln": _ln(sd, f"{p}.conv.batch_norm"),
                 "pw2": {"w": jnp.asarray(_np(sd[f"{p}.conv.pointwise_conv2.weight"])[:, :, 0].T)},
             },

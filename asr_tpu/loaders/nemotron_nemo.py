@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from asr_tpu.models.nemotron import NemotronConfig
 
 
-from asr_tpu.loaders._common import conv2d_hwio as _conv2d_hwio, lin as _lin, ln as _ln, to_np as _np
+from asr_tpu.loaders._common import dw1d as _dw1d, conv2d_hwio as _conv2d_hwio, lin as _lin, ln as _ln, to_np as _np
 
 
 def read_nemo_archive(
@@ -149,7 +149,6 @@ def nemotron_params_from_state_dict(sd: Mapping[str, Any], cfg: NemotronConfig) 
 
     def block(l: int) -> dict:
         p = f"encoder.layers.{l}."
-        dw = _np(sd[p + "conv.depthwise_conv.weight"])  # (d, 1, K)
         return {
             "norm_ff1": _ln(sd, p + "norm_feed_forward1"),
             "ff1": {"w1": _lin(sd, p + "feed_forward1.linear1"),
@@ -167,7 +166,7 @@ def nemotron_params_from_state_dict(sd: Mapping[str, Any], cfg: NemotronConfig) 
             "norm_conv": _ln(sd, p + "norm_conv"),
             "conv": {
                 "pw1": {"w": jnp.asarray(_np(sd[p + "conv.pointwise_conv1.weight"])[:, :, 0].T)},
-                "dw": {"w": jnp.asarray(dw[:, 0, :].T)},  # (K, d)
+                "dw": _dw1d(sd, p + "conv.depthwise_conv"),  # (K, d)
                 "ln": _ln(sd, p + "conv.batch_norm"),
                 "pw2": {"w": jnp.asarray(_np(sd[p + "conv.pointwise_conv2.weight"])[:, :, 0].T)},
             },

@@ -143,7 +143,10 @@ def quantize_weight(
         zero = jnp.clip(jnp.round(zero_f), 0, qmax)
         return (scale, zero), None
 
-    if refine_iters:
+    # HQQ's whole contribution is its Lp-optimized zero points: the MSE
+    # refine loop would re-fit (scale, zero) by least squares and discard
+    # them, silently degrading --algorithm hqq to rtn+refine.
+    if refine_iters and objective != "hqq":
         (scale, zero), _ = jax.lax.scan(refine, (scale, zero), None, length=refine_iters)
     # Store centered int8 (q - 128, zero - 128): algebraically identical and
     # Mosaic supports int8 -> f32 casts (uint8 is unsupported on TPU).

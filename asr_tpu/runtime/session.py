@@ -149,12 +149,20 @@ class SenseVoiceSession:
             paths, self.cfg.sample_rate, self.window_samples, n_threads=n_threads
         )
         lang_idx = np.full((len(paths),), self.language_index(language), np.int32)
+        valid_clip = np.minimum(valid, self.window_samples).astype(np.int32)
         t0 = time.perf_counter()
-        toks, counts = sv.forward(
-            self.params, self.cfg, jnp.asarray(buf),
-            jnp.asarray(np.minimum(valid, self.window_samples), jnp.int32),
-            jnp.asarray(lang_idx),
-        )
+        if self.runner is not None:
+            # Same data-parallel route as transcribe(): --data-parallel must
+            # shard exactly this multi-file batch, not silently no-op.
+            toks, counts = self.runner(
+                lambda p, a, v, li: sv.forward(p, self.cfg, a, v, li),
+                self.params, buf, valid_clip, lang_idx,
+            )
+        else:
+            toks, counts = sv.forward(
+                self.params, self.cfg, jnp.asarray(buf),
+                jnp.asarray(valid_clip), jnp.asarray(lang_idx),
+            )
         toks = np.asarray(jax.block_until_ready(toks))
         counts = np.asarray(counts)
         elapsed = time.perf_counter() - t0

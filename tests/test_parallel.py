@@ -343,3 +343,40 @@ def test_whisper_aed_train_step_dp_tp():
     sval = jax.device_put(tok_valid, pmesh.batch_sharded(mesh))
     _, _, sloss = train.whisper_train_step(sp, so, cfg, optimizer, smel, stok, sval)
     np.testing.assert_allclose(float(sloss), losses[0], rtol=2e-5, atol=2e-5)
+
+
+def test_sensevoice_transcribe_batch_uses_runner(tmp_path):
+    """transcribe_batch must route through the DataParallelRunner when a
+    mesh is configured (regression: --data-parallel was a silent no-op for
+    exactly the multi-file batch workload it exists for) and match the
+    single-device results."""
+    import wave
+
+    from asr_tpu.models import sensevoice as sv
+    from asr_tpu.runtime.session import SenseVoiceSession
+
+    cfg = sv.SenseVoiceConfig(
+        vocab_size=64, hidden=32, num_heads=4, head_dim=8, ffn_dim=48,
+        num_encoders0=1, num_encoders=1, num_tp_encoders=1, fsmn_kernel=5,
+    )
+    params = sv.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    paths = []
+    for i in range(3):  # 3 files: also exercises runner padding (8 devices)
+        pcm = (rng.standard_normal(4000) * 2000).astype(np.int16)
+        p = tmp_path / f"a{i}.wav"
+        with wave.open(str(p), "wb") as w:
+            w.setnchannels(1); w.setsampwidth(2); w.setframerate(16000)
+            w.writeframes(pcm.tobytes())
+        paths.append(str(p))
+
+    single = SenseVoiceSession(params, cfg, window_seconds=0.3)
+    mesh = pmesh.make_mesh(8, model_parallel=1)
+    sharded = SenseVoiceSession(params, cfg, window_seconds=0.3, mesh=mesh)
+    calls = []
+    orig = sharded.runner.__call__
+    sharded.runner = lambda *a, **k: (calls.append(1), orig(*a, **k))[1]
+    r1 = single.transcribe_batch(paths)
+    r8 = sharded.transcribe_batch(paths)
+    assert calls, "transcribe_batch bypassed the DataParallelRunner"
+    assert [r.token_ids for r in r8] == [r.token_ids for r in r1]
