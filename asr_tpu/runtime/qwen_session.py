@@ -154,6 +154,87 @@ class QwenAsrSession:
                                 audio_seconds=n / self.cfg.sample_rate,
                                 elapsed_seconds=elapsed)
 
+    def transcribe_batch(
+        self, items, context: str = "", language: str | None = None, rng=None
+    ) -> list[TranscribeResult]:
+        """N audio files/arrays -> ONE batched prefill + lockstep decode.
+
+        Unequal durations are exact (prompts are re-packed left-padded
+        inside ``transcribe_embeds``); batching amortizes the per-step
+        weight streaming that bounds AR decode (~6x single-stream RTF at
+        batch 8 on v5e). The reference's ORT loop is strictly batch-1.
+        """
+        arrs = []
+        for a in items:
+            if isinstance(a, (str, Path)):
+                a = audio_io.load_audio(a, self.cfg.sample_rate, pcm_scale=1.0)
+            arrs.append(np.asarray(a, np.float32)[: self.max_samples])
+        b = len(arrs)
+        buf = np.zeros((b, self.max_samples), np.float32)
+        valid = np.zeros((b,), np.int32)
+        for i, a in enumerate(arrs):
+            buf[i, : len(a)] = a
+            valid[i] = len(a)
+        ids_d = {k: jnp.tile(v, (b, 1))
+                 for k, v in self._prompt_ids(context, language).items()}
+        t0 = time.perf_counter()
+        tokens, counts, starts = qa.forward(
+            self.tower_params, self.llm_params, self.cfg,
+            jnp.asarray(buf), jnp.asarray(valid), ids_d, self.decode_cfg, rng,
+        )
+        tokens = np.asarray(jax.block_until_ready(tokens))
+        counts = np.asarray(counts)
+        elapsed = time.perf_counter() - t0
+        out = []
+        for i in range(b):
+            v, c = int(starts[i]), int(counts[i])
+            ids = [int(t) for t in tokens[i, v : v + c] if t != self.cfg.eot_id]
+            raw = self.tokenizer.decode(ids) if self.tokenizer else ""
+            _, text = parse_asr_output(raw, user_language=language)
+            out.append(TranscribeResult(
+                text=text, token_ids=ids,
+                audio_seconds=float(valid[i]) / self.cfg.sample_rate,
+                elapsed_seconds=elapsed,      # true latency of the shared call
+            ))
+        return out
+
+    # ---- micro-batched HTTP serving surface (parallel/http_server.py) ----
+
+    @property
+    def params(self):
+        return (self.tower_params, self.llm_params)
+
+    @property
+    def window_samples(self) -> int:
+        return self.max_samples
+
+    @property
+    def sample_rate(self) -> int:
+        return self.cfg.sample_rate
+
+    pcm_scale = 1.0  # tower consumes [-1, 1] PCM
+
+    def _forward(self, params, audio, valid):
+        """(B, W) audio -> (generated tokens (B, max_new+1), counts (B,));
+        the generated region starts at a STATIC offset (left-padded
+        lockstep decode), so the per-request slice is ``row[:count]``."""
+        tower, llm = params
+        ids_d = {k: jnp.tile(v, (audio.shape[0], 1))
+                 for k, v in self._prompt_ids("", None).items()}
+        tokens, counts, _ = qa.forward(
+            tower, llm, self.cfg, audio, valid, ids_d, self.decode_cfg, None)
+        lf = tokens.shape[1] - self.decode_cfg.max_new_tokens - 1
+        gen = tokens[:, lf:]
+        # counts include the EOT when produced — drop it so the server's
+        # row[:count] slice decodes clean text.
+        last = jnp.take_along_axis(
+            gen, jnp.maximum(counts - 1, 0)[:, None].astype(jnp.int32), axis=1)[:, 0]
+        counts = counts - (last == self.cfg.eot_id).astype(counts.dtype)
+        return gen, counts
+
+    def _postprocess(self, raw: str) -> str:
+        return parse_asr_output(raw)[1]
+
 
 class FunAsrNanoLlmSession:
     """Fun-ASR-Nano LLM decode path (reference

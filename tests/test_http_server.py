@@ -175,3 +175,45 @@ def test_server_language_forwarded_to_forward():
         assert seen["language"] == "zh"
     finally:
         srv.close()
+
+
+def test_session_server_qwen_llm_roundtrip():
+    """The micro-batched server now serves the LLM family too: QwenAsrSession
+    exposes the (B, W) -> (generated tokens, counts) surface (batched
+    left-padded lockstep decode), so two concurrent requests coalesce into
+    one device dispatch and decode to the same text as direct calls."""
+    from asr_tpu.layers import qwen3
+    from asr_tpu.models import qwen_asr as qa
+    from asr_tpu.runtime.qwen_session import QwenAsrSession, QwenPromptTemplate
+
+    lcfg = qwen3.Qwen3Config(vocab_size=120, hidden=48, num_layers=1, num_heads=4,
+                             num_kv_heads=2, head_dim=16, ffn_dim=64, rope_theta=1e4)
+    cfg = qa.QwenAsrConfig(
+        n_mels=16, tower_dim=32, tower_layers=1, tower_heads=4, tower_ffn=48,
+        downsample_hidden=8, chunks_per_window=2, output_dim=lcfg.hidden, llm=lcfg, eot_id=-1,
+    )
+    tower = qa.init_tower_params(cfg, jax.random.PRNGKey(0))
+    llm = qwen3.init_params(lcfg, jax.random.PRNGKey(1))
+    sess = QwenAsrSession(tower, llm, cfg, tokenizer=_Tok(),
+                          template=QwenPromptTemplate(head_ids=(1, 2), tail_ids=(4,)),
+                          max_new_tokens=3, max_seconds=1.0)
+    server = SessionServer(sess, max_batch=2, max_wait_ms=30.0, warmup=True)
+    rng = np.random.default_rng(2)
+    pcm = [(rng.standard_normal(8000) * 900).astype(np.int16) for _ in range(2)]
+    want = [sess.transcribe(p.astype(np.float32) / 32768.0) for p in pcm]
+
+    outs = [None, None]
+
+    def call(i):
+        outs[i] = server.transcribe_bytes(_wav_bytes(pcm[i]))
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i in range(2):
+        assert outs[i]["token_ids"] == want[i].token_ids
+        assert outs[i]["text"] == sess._postprocess(_Tok().decode(want[i].token_ids))
+    assert server.batcher.requests_served == 3  # warmup + 2
+    server.batcher.close()

@@ -302,3 +302,51 @@ def test_qwen_session_language_alias_resolution():
     assert sess._resolve_language_code("zh") == "zh"
     assert sess._resolve_language_code("English") == "en"
     assert sess._resolve_language_code("klingon") == "klingon"  # caller raises
+
+
+def test_qwen_session_transcribe_batch_matches_single():
+    """transcribe_batch: unequal-duration utterances in one batched decode
+    produce exactly the single-call results; the server surface _forward
+    returns the generated region with the trailing EOT dropped."""
+    import jax.numpy as jnp
+    from asr_tpu.layers import qwen3
+    from asr_tpu.models import qwen_asr as qa
+    from asr_tpu.runtime.qwen_session import QwenAsrSession, QwenPromptTemplate
+
+    lcfg = qwen3.Qwen3Config(vocab_size=120, hidden=48, num_layers=1, num_heads=4,
+                             num_kv_heads=2, head_dim=16, ffn_dim=64, rope_theta=1e4)
+    cfg = qa.QwenAsrConfig(
+        n_mels=16, tower_dim=32, tower_layers=1, tower_heads=4, tower_ffn=48,
+        downsample_hidden=8, chunks_per_window=2, output_dim=lcfg.hidden, llm=lcfg, eot_id=-1,
+    )
+    tower = qa.init_tower_params(cfg, jax.random.PRNGKey(0))
+    llm = qwen3.init_params(lcfg, jax.random.PRNGKey(1))
+
+    class _Tok:
+        def encode(self, text):
+            return [ord(c) % 100 for c in text][:4]
+
+        def decode(self, ids):
+            return ",".join(map(str, ids))
+
+    sess = QwenAsrSession(tower, llm, cfg, tokenizer=_Tok(),
+                          template=QwenPromptTemplate(head_ids=(1, 2), tail_ids=(4,)),
+                          max_new_tokens=4, max_seconds=2.0)
+    rng = np.random.default_rng(1)
+    a = (rng.standard_normal(24000) * 0.1).astype(np.float32)   # 1.5 s
+    b = (rng.standard_normal(12000) * 0.1).astype(np.float32)   # 0.75 s
+    singles = [sess.transcribe(x) for x in (a, b)]
+    batch = sess.transcribe_batch([a, b])
+    assert [r.token_ids for r in batch] == [r.token_ids for r in singles]
+    assert batch[1].audio_seconds == pytest.approx(0.75)
+
+    # server surface: (B, W) -> generated-region tokens + counts
+    buf = np.zeros((2, sess.window_samples), np.float32)
+    buf[0, : len(a)] = a
+    buf[1, : len(b)] = b
+    gen, counts = sess._forward(sess.params, jnp.asarray(buf),
+                                jnp.asarray([len(a), len(b)], jnp.int32))
+    gen, counts = np.asarray(gen), np.asarray(counts)
+    assert gen.shape == (2, sess.decode_cfg.max_new_tokens + 1)
+    for i, want in enumerate(singles):
+        assert [int(t) for t in gen[i, : counts[i]]] == want.token_ids
