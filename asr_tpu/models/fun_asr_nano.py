@@ -219,16 +219,17 @@ def forward_llm(
     decode_cfg: DecodeConfig,
     rng: jax.Array | None = None,
 ):
-    """LLM path (B=1): audio + prompt ids -> generated token ids.
+    """LLM path: audio (B, S) + prompt ids -> generated token ids.
 
-    ``prompt_ids``: {"head": (1, Lh), "query": (1, Lq), "tail": (1, Lt)}.
-    Reuses the Qwen3-ASR prompt assembly / decode machinery.
+    ``prompt_ids``: {"head": (B, Lh), "query": (B, Lq), "tail": (B, Lt)}.
+    Reuses the Qwen3-ASR prompt assembly / decode machinery (batched,
+    left-padded lockstep decode — unequal audio durations are exact).
     """
     from asr_tpu.models.qwen_asr import QwenAsrConfig
 
     tokens, speech_len = audio_embeds(params, cfg, audio, valid_samples)
     emb = lambda ids: llm_params["embed"][ids].astype(tokens.dtype)
-    empty = jnp.zeros((1, 0, tokens.shape[-1]), tokens.dtype)
+    empty = jnp.zeros((tokens.shape[0], 0, tokens.shape[-1]), tokens.dtype)
     embeds, valid_len = assemble_prompt(
         emb(prompt_ids["head"]), emb(prompt_ids["query"]), empty,
         tokens, speech_len, emb(prompt_ids["tail"]),

@@ -303,3 +303,40 @@ class FunAsrNanoLlmSession:
         return TranscribeResult(text=text, token_ids=ids,
                                 audio_seconds=n / self.cfg.sample_rate,
                                 elapsed_seconds=elapsed)
+
+    def transcribe_batch(self, items, context: str = "", rng=None) -> list[TranscribeResult]:
+        """N audio files/arrays -> ONE batched prefill + lockstep decode
+        (same machinery as :meth:`QwenAsrSession.transcribe_batch`)."""
+        from asr_tpu.models import fun_asr_nano as fn
+
+        arrs = []
+        for a in items:
+            if isinstance(a, (str, Path)):
+                a = audio_io.load_audio(a, self.cfg.sample_rate)  # int16 range
+            arrs.append(np.asarray(a, np.float32)[: self.max_samples])
+        b = len(arrs)
+        buf = np.zeros((b, self.max_samples), np.float32)
+        valid = np.zeros((b,), np.int32)
+        for i, a in enumerate(arrs):
+            buf[i, : len(a)] = a
+            valid[i] = len(a)
+        ids_d = {k: jnp.tile(v, (b, 1)) for k, v in self._prompt_ids(context).items()}
+        t0 = time.perf_counter()
+        tokens, counts, starts = fn.forward_llm(
+            self.params, self.llm_params, self.cfg,
+            jnp.asarray(buf), jnp.asarray(valid), ids_d, self.decode_cfg, rng,
+        )
+        tokens = np.asarray(jax.block_until_ready(tokens))
+        counts = np.asarray(counts)
+        elapsed = time.perf_counter() - t0
+        out = []
+        for i in range(b):
+            v, c = int(starts[i]), int(counts[i])
+            ids = [int(t) for t in tokens[i, v : v + c] if t != self.cfg.eot_id]
+            out.append(TranscribeResult(
+                text=self.tokenizer.decode(ids) if self.tokenizer else "",
+                token_ids=ids,
+                audio_seconds=float(valid[i]) / self.cfg.sample_rate,
+                elapsed_seconds=elapsed,      # true latency of the shared call
+            ))
+        return out

@@ -350,3 +350,40 @@ def test_qwen_session_transcribe_batch_matches_single():
     assert gen.shape == (2, sess.decode_cfg.max_new_tokens + 1)
     for i, want in enumerate(singles):
         assert [int(t) for t in gen[i, : counts[i]]] == want.token_ids
+
+
+def test_fun_asr_nano_llm_batch_matches_single():
+    """FunAsrNanoLlmSession.transcribe_batch: unequal durations, one
+    lockstep decode, exact match with per-file calls."""
+    from asr_tpu.layers import qwen3
+    from asr_tpu.models import fun_asr_nano as fn
+    from asr_tpu.runtime.qwen_session import FunAsrNanoLlmSession, QwenPromptTemplate
+
+    lcfg = qwen3.Qwen3Config(vocab_size=100, hidden=32, num_layers=1, num_heads=4,
+                             num_kv_heads=2, head_dim=8, ffn_dim=48, rope_theta=1e4)
+    cfg = fn.FunAsrNanoConfig(
+        hidden=32, num_heads=4, head_dim=8, ffn_dim=48,
+        num_encoders0=1, num_encoders=1, num_tp_encoders=1, fsmn_kernel=5,
+        adaptor_hidden=32, adaptor_blocks=1, adaptor_heads=4, adaptor_ffn=48,
+        ctc_hidden=32, ctc_blocks=1, ctc_heads=4, ctc_ffn=48, ctc_vocab=50,
+        llm=lcfg, eot_id=-1,
+    )
+    params = fn.init_params(cfg, jax.random.PRNGKey(0))
+    llm = qwen3.init_params(lcfg, jax.random.PRNGKey(1))
+
+    class _Tok:
+        def encode(self, text):
+            return [ord(c) % 90 for c in text][:3]
+
+        def decode(self, ids):
+            return " ".join(map(str, ids))
+
+    sess = FunAsrNanoLlmSession(params, llm, cfg, tokenizer=_Tok(),
+                                template=QwenPromptTemplate(head_ids=(1,), tail_ids=(2,)),
+                                max_new_tokens=3, max_seconds=1.0)
+    rng = np.random.default_rng(4)
+    a = (rng.standard_normal(16000) * 2000).astype(np.float32)
+    b = (rng.standard_normal(8000) * 2000).astype(np.float32)
+    singles = [sess.transcribe(x) for x in (a, b)]
+    batch = sess.transcribe_batch([a, b])
+    assert [r.token_ids for r in batch] == [r.token_ids for r in singles]
