@@ -109,6 +109,7 @@ def decoder_pass(
     state: dict,
     pos: jnp.ndarray,
     bias: jnp.ndarray,
+    pos_offset: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, dict]:
     """Run S embeddings through all layers, updating KV caches at ``pos``.
 
@@ -117,14 +118,26 @@ def decoder_pass(
       state: KV caches (B, T_max, Hkv, D) per layer.
       pos: scalar int32 — slot of x[:, 0].
       bias: (B, 1, S, T_max) additive attention bias (causal + validity).
+      pos_offset: optional (B,) int32 — per-row amount SUBTRACTED from the
+        slot index to get the RoPE position (left-padded batch layout:
+        offset = pad width, so each row's logical positions start at 0
+        exactly like the unpadded computation; pad-slot phases are clipped
+        to 0 and masked out of attention by ``bias``).
 
     Returns (hidden (B, S, H), new state).
     """
     t_max = state["layers"][0]["k"].shape[1]
     cs = jnp.asarray(rope_tables(t_max, cfg.head_dim, cfg.rope_theta))
     s = x.shape[1]
-    cos = jax.lax.dynamic_slice(cs[0], (pos, 0), (s, cfg.head_dim))
-    sin = jax.lax.dynamic_slice(cs[1], (pos, 0), (s, cfg.head_dim))
+    if pos_offset is None:
+        cos = jax.lax.dynamic_slice(cs[0], (pos, 0), (s, cfg.head_dim))
+        sin = jax.lax.dynamic_slice(cs[1], (pos, 0), (s, cfg.head_dim))
+    else:
+        logical = jnp.clip(
+            pos + jnp.arange(s, dtype=jnp.int32)[None, :] - pos_offset[:, None], 0, t_max - 1
+        )  # (B, S)
+        cos = jnp.take(cs[0], logical, axis=0)  # (B, S, D)
+        sin = jnp.take(cs[1], logical, axis=0)
     groups = cfg.num_heads // cfg.num_kv_heads
     b = x.shape[0]
     new_layers = []

@@ -29,7 +29,12 @@ def rotate_half(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
-    """x (B, T, H, D); cos/sin (T, D) broadcast over batch and heads."""
-    c = cos[None, :, None, :].astype(x.dtype)
-    s = sin[None, :, None, :].astype(x.dtype)
+    """x (B, T, H, D); cos/sin (T, D) broadcast over batch and heads, or
+    (B, T, D) for per-row position tables (left-padded batch decode)."""
+    if cos.ndim == 3:
+        c = cos[:, :, None, :].astype(x.dtype)
+        s = sin[:, :, None, :].astype(x.dtype)
+    else:
+        c = cos[None, :, None, :].astype(x.dtype)
+        s = sin[None, :, None, :].astype(x.dtype)
     return x * c + rotate_half(x) * s

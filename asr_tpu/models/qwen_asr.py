@@ -223,7 +223,9 @@ def transcribe_embeds(
     t_max = lf + decode_cfg.max_new_tokens + 1
     state = qwen3.make_kv_state(lcfg, b, t_max, embeds.dtype)
     bias = qwen3.left_prefill_bias(shift, lf, t_max)
-    hidden, state = qwen3.decoder_pass(llm_params, lcfg, embeds, state, jnp.asarray(0, jnp.int32), bias)
+    hidden, state = qwen3.decoder_pass(
+        llm_params, lcfg, embeds, state, jnp.asarray(0, jnp.int32), bias, pos_offset=shift
+    )
     # Every row's last valid token sits at slot lf - 1.
     logits0 = qwen3.logits_from_hidden(llm_params, lcfg, hidden[:, -1])
     logits0 = suppress_tokens(logits0.astype(jnp.float32), decode_cfg.suppress_ids)
@@ -238,7 +240,8 @@ def transcribe_embeds(
     def step(state, token, pos):
         emb = llm_params["embed"][token].astype(embeds.dtype)
         sbias = qwen3.left_step_bias(shift, pos, t_max)
-        h, state = qwen3.decoder_pass(llm_params, lcfg, emb, state, pos, sbias)
+        h, state = qwen3.decoder_pass(llm_params, lcfg, emb, state, pos, sbias,
+                                      pos_offset=shift)
         return qwen3.logits_from_hidden(llm_params, lcfg, h[:, -1]), state
 
     tokens, counts = ar_decode(step, state, prompt_len, first, buf, decode_cfg, rng)
