@@ -416,8 +416,9 @@ def cmd_parity(args) -> int:
 
     # Token-for-token gate: quantized artifacts must run the kernels'
     # bit-exact f32 mode, not the bf16 serving default (env is read at
-    # trace time, so set it before the session's first jit).
-    os.environ.setdefault("ASR_TPU_QUANT_MM", "f32")
+    # trace time, so set it before the session's first jit). Overrides any
+    # inherited serving value — parity is meaningless in bf16 mode.
+    os.environ["ASR_TPU_QUANT_MM"] = "f32"
     meta = ModelMetadata.load(Path(args.model_dir))
     sess = _build_session(Path(args.model_dir))
     import inspect

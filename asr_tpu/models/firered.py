@@ -156,6 +156,8 @@ def _conv_module(x, p, key_mask):
     k = p["dw"]["w"].shape[0]
     pad = (k - 1) // 2
     y = depthwise_conv1d_time(y, p["dw"]["w"], pad, pad)
+    if "b" in p["dw"]:
+        y = y + p["dw"]["b"]
     y = layer_norm(y, p["ln"]["scale"], p["ln"]["bias"])
     y = jax.nn.silu(y)
     y = dense(y, p["pw2"])

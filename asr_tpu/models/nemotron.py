@@ -185,6 +185,8 @@ def conv_module_causal(x: jnp.ndarray, p: dict, key_mask) -> jnp.ndarray:
         y = jnp.where(key_mask[..., None], y, 0)
     k = p["dw"]["w"].shape[0]
     y = depthwise_conv1d_time(y, p["dw"]["w"], k - 1, 0)  # fully causal left pad
+    if "b" in p["dw"]:
+        y = y + p["dw"]["b"]
     y = layer_norm(y, p["ln"]["scale"], p["ln"]["bias"])
     y = jax.nn.silu(y)
     return dense(y, p["pw2"])

@@ -42,6 +42,10 @@ def _resolve_mm(mm: str | None) -> str:
 def _mm_cfg(mm: str):
     if mm == "f32":
         return jnp.float32, jax.lax.Precision.HIGHEST
+    if mm != "bf16":
+        # A typo'd mode (F32, fp32, "f32 ") silently selecting the
+        # approximate path would corrupt parity runs — fail loudly.
+        raise ValueError(f"ASR_TPU_QUANT_MM / mm must be 'bf16' or 'f32', got {mm!r}")
     return jnp.bfloat16, jax.lax.Precision.DEFAULT
 
 

@@ -468,13 +468,21 @@ def quantize_pytree(
     gather-dequant :class:`QuantizedEmbedding` leaves (LLM-decoder
     families — Qwen3 lookups and tied logits route through them)."""
 
+    # Depthwise-conv kernels are stored as 2-D {"w": (K, C)} dicts but are
+    # consumed ELEMENTWISE (depthwise_conv1d_time indexes weight[k]), not
+    # through dense() — quantizing them would hand the model a
+    # QuantizedLinear where it expects a raw array.
+    non_matmul_parents = ("dw", "dw1", "dw2")
+
     def walk(node, path):
+        parent = path.rsplit("/", 1)[-1]
         if isinstance(node, dict):
             out = {}
             for key, value in node.items():
                 p = f"{path}/{key}"
                 if (
                     key in ("w", "w1", "w2")
+                    and parent not in non_matmul_parents
                     and isinstance(value, jnp.ndarray)
                     and value.ndim == 2
                     and value.size >= min_size

@@ -59,6 +59,34 @@ def parse_asr_output(raw: str, user_language: str | None = None) -> tuple[str, s
     return language, text_part.strip()
 
 
+def _batched_llm_call(items, *, max_samples, sample_rate, pcm_scale, run, eot_id):
+    """Shared body of every batched LLM transcribe path: load/truncate,
+    zero-pad into one (B, W) buffer, run ``run(audio, valid, b) ->
+    (tokens, counts, starts)``, slice each row's generated region and
+    filter the EOT. Returns (ids_per_row, valid, elapsed, b)."""
+    arrs = []
+    for a in items:
+        if isinstance(a, (str, Path)):
+            a = audio_io.load_audio(a, sample_rate, pcm_scale=pcm_scale)
+        arrs.append(np.asarray(a, np.float32)[:max_samples])
+    b = len(arrs)
+    buf = np.zeros((b, max_samples), np.float32)
+    valid = np.zeros((b,), np.int32)
+    for i, a in enumerate(arrs):
+        buf[i, : len(a)] = a
+        valid[i] = len(a)
+    t0 = time.perf_counter()
+    tokens, counts, starts = run(jnp.asarray(buf), jnp.asarray(valid), b)
+    tokens = np.asarray(jax.block_until_ready(tokens))
+    counts = np.asarray(counts)
+    elapsed = time.perf_counter() - t0
+    ids_rows = []
+    for i in range(b):
+        v, c = int(starts[i]), int(counts[i])
+        ids_rows.append([int(t) for t in tokens[i, v : v + c] if t != eot_id])
+    return ids_rows, valid, elapsed, b
+
+
 class QwenAsrSession:
     def __init__(
         self,
@@ -95,6 +123,7 @@ class QwenAsrSession:
         # ``ORT_IO.resolve_supported_language``.
         self.metadata = metadata
         self.last_language: str = ""
+        self.last_languages: list[str] = []
 
     def _resolve_language_code(self, language: str) -> str:
         code = language.strip().lower()
@@ -132,27 +161,10 @@ class QwenAsrSession:
         ``language``: force the output language via the artifact's prompt
         catalog (None = model auto-detects; the detected name lands in
         ``self.last_language``)."""
-        if isinstance(audio, (str, Path)):
-            audio = audio_io.load_audio(audio, self.cfg.sample_rate, pcm_scale=1.0)
-        audio = np.asarray(audio, np.float32)[: self.max_samples]
-        n = len(audio)
-        buf = np.zeros((1, self.max_samples), np.float32)
-        buf[0, :n] = audio
-        t0 = time.perf_counter()
-        tokens, counts, valid = qa.forward(
-            self.tower_params, self.llm_params, self.cfg,
-            jnp.asarray(buf), jnp.asarray([n]), self._prompt_ids(context, language),
-            self.decode_cfg, rng,
-        )
-        tokens = np.asarray(jax.block_until_ready(tokens))
-        elapsed = time.perf_counter() - t0
-        v, c = int(valid[0]), int(counts[0])
-        ids = [int(t) for t in tokens[0, v : v + c] if t != self.cfg.eot_id]
-        raw = self.tokenizer.decode(ids) if self.tokenizer else ""
-        self.last_language, text = parse_asr_output(raw, user_language=language)
-        return TranscribeResult(text=text, token_ids=ids,
-                                audio_seconds=n / self.cfg.sample_rate,
-                                elapsed_seconds=elapsed)
+        res = self.transcribe_batch([audio], context=context, language=language,
+                                    rng=rng)[0]
+        self.last_language = self.last_languages[0]
+        return res
 
     def transcribe_batch(
         self, items, context: str = "", language: str | None = None, rng=None
@@ -163,39 +175,30 @@ class QwenAsrSession:
         inside ``transcribe_embeds``); batching amortizes the per-step
         weight streaming that bounds AR decode (~6x single-stream RTF at
         batch 8 on v5e). The reference's ORT loop is strictly batch-1.
+        Per-row detected languages land in ``self.last_languages``.
         """
-        arrs = []
-        for a in items:
-            if isinstance(a, (str, Path)):
-                a = audio_io.load_audio(a, self.cfg.sample_rate, pcm_scale=1.0)
-            arrs.append(np.asarray(a, np.float32)[: self.max_samples])
-        b = len(arrs)
-        buf = np.zeros((b, self.max_samples), np.float32)
-        valid = np.zeros((b,), np.int32)
-        for i, a in enumerate(arrs):
-            buf[i, : len(a)] = a
-            valid[i] = len(a)
-        ids_d = {k: jnp.tile(v, (b, 1))
-                 for k, v in self._prompt_ids(context, language).items()}
-        t0 = time.perf_counter()
-        tokens, counts, starts = qa.forward(
-            self.tower_params, self.llm_params, self.cfg,
-            jnp.asarray(buf), jnp.asarray(valid), ids_d, self.decode_cfg, rng,
-        )
-        tokens = np.asarray(jax.block_until_ready(tokens))
-        counts = np.asarray(counts)
-        elapsed = time.perf_counter() - t0
-        out = []
-        for i in range(b):
-            v, c = int(starts[i]), int(counts[i])
-            ids = [int(t) for t in tokens[i, v : v + c] if t != self.cfg.eot_id]
+        prompt = self._prompt_ids(context, language)
+
+        def run(audio, valid, b):
+            ids_d = {k: jnp.tile(v, (b, 1)) for k, v in prompt.items()}
+            return qa.forward(self.tower_params, self.llm_params, self.cfg,
+                              audio, valid, ids_d, self.decode_cfg, rng)
+
+        ids_rows, valid, elapsed, b = _batched_llm_call(
+            items, max_samples=self.max_samples, sample_rate=self.cfg.sample_rate,
+            pcm_scale=1.0, run=run, eot_id=self.cfg.eot_id)
+        out, langs = [], []
+        for i, ids in enumerate(ids_rows):
             raw = self.tokenizer.decode(ids) if self.tokenizer else ""
-            _, text = parse_asr_output(raw, user_language=language)
+            lang, text = parse_asr_output(raw, user_language=language)
+            langs.append(lang)
             out.append(TranscribeResult(
                 text=text, token_ids=ids,
                 audio_seconds=float(valid[i]) / self.cfg.sample_rate,
                 elapsed_seconds=elapsed,      # true latency of the shared call
+                batch_size=b,
             ))
+        self.last_languages = langs
         return out
 
     # ---- micro-batched HTTP serving surface (parallel/http_server.py) ----
@@ -214,13 +217,15 @@ class QwenAsrSession:
 
     pcm_scale = 1.0  # tower consumes [-1, 1] PCM
 
-    def _forward(self, params, audio, valid):
+    def _forward(self, params, audio, valid, language=None):
         """(B, W) audio -> (generated tokens (B, max_new+1), counts (B,));
         the generated region starts at a STATIC offset (left-padded
-        lockstep decode), so the per-request slice is ``row[:count]``."""
+        lockstep decode), so the per-request slice is ``row[:count]``.
+        ``language`` forces the output language via the artifact's prompt
+        catalog (the server forwards ``serve --language`` here)."""
         tower, llm = params
         ids_d = {k: jnp.tile(v, (audio.shape[0], 1))
-                 for k, v in self._prompt_ids("", None).items()}
+                 for k, v in self._prompt_ids("", language).items()}
         tokens, counts, _ = qa.forward(
             tower, llm, self.cfg, audio, valid, ids_d, self.decode_cfg, None)
         lf = tokens.shape[1] - self.decode_cfg.max_new_tokens - 1
@@ -281,62 +286,30 @@ class FunAsrNanoLlmSession:
         }
 
     def transcribe(self, audio, context: str = "", rng=None) -> TranscribeResult:
-        from asr_tpu.models import fun_asr_nano as fn
-
-        if isinstance(audio, (str, Path)):
-            audio = audio_io.load_audio(audio, self.cfg.sample_rate)  # int16 range
-        audio = np.asarray(audio, np.float32)[: self.max_samples]
-        n = len(audio)
-        buf = np.zeros((1, self.max_samples), np.float32)
-        buf[0, :n] = audio
-        t0 = time.perf_counter()
-        tokens, counts, valid = fn.forward_llm(
-            self.params, self.llm_params, self.cfg,
-            jnp.asarray(buf), jnp.asarray([n]), self._prompt_ids(context),
-            self.decode_cfg, rng,
-        )
-        tokens = np.asarray(jax.block_until_ready(tokens))
-        elapsed = time.perf_counter() - t0
-        v, c = int(valid[0]), int(counts[0])
-        ids = [int(t) for t in tokens[0, v : v + c] if t != self.cfg.eot_id]
-        text = self.tokenizer.decode(ids) if self.tokenizer else ""
-        return TranscribeResult(text=text, token_ids=ids,
-                                audio_seconds=n / self.cfg.sample_rate,
-                                elapsed_seconds=elapsed)
+        return self.transcribe_batch([audio], context=context, rng=rng)[0]
 
     def transcribe_batch(self, items, context: str = "", rng=None) -> list[TranscribeResult]:
         """N audio files/arrays -> ONE batched prefill + lockstep decode
         (same machinery as :meth:`QwenAsrSession.transcribe_batch`)."""
         from asr_tpu.models import fun_asr_nano as fn
 
-        arrs = []
-        for a in items:
-            if isinstance(a, (str, Path)):
-                a = audio_io.load_audio(a, self.cfg.sample_rate)  # int16 range
-            arrs.append(np.asarray(a, np.float32)[: self.max_samples])
-        b = len(arrs)
-        buf = np.zeros((b, self.max_samples), np.float32)
-        valid = np.zeros((b,), np.int32)
-        for i, a in enumerate(arrs):
-            buf[i, : len(a)] = a
-            valid[i] = len(a)
-        ids_d = {k: jnp.tile(v, (b, 1)) for k, v in self._prompt_ids(context).items()}
-        t0 = time.perf_counter()
-        tokens, counts, starts = fn.forward_llm(
-            self.params, self.llm_params, self.cfg,
-            jnp.asarray(buf), jnp.asarray(valid), ids_d, self.decode_cfg, rng,
-        )
-        tokens = np.asarray(jax.block_until_ready(tokens))
-        counts = np.asarray(counts)
-        elapsed = time.perf_counter() - t0
-        out = []
-        for i in range(b):
-            v, c = int(starts[i]), int(counts[i])
-            ids = [int(t) for t in tokens[i, v : v + c] if t != self.cfg.eot_id]
-            out.append(TranscribeResult(
+        prompt = self._prompt_ids(context)
+
+        def run(audio, valid, b):
+            ids_d = {k: jnp.tile(v, (b, 1)) for k, v in prompt.items()}
+            return fn.forward_llm(self.params, self.llm_params, self.cfg,
+                                  audio, valid, ids_d, self.decode_cfg, rng)
+
+        ids_rows, valid, elapsed, b = _batched_llm_call(
+            items, max_samples=self.max_samples, sample_rate=self.cfg.sample_rate,
+            pcm_scale=32768.0, run=run, eot_id=self.cfg.eot_id)
+        return [
+            TranscribeResult(
                 text=self.tokenizer.decode(ids) if self.tokenizer else "",
                 token_ids=ids,
                 audio_seconds=float(valid[i]) / self.cfg.sample_rate,
                 elapsed_seconds=elapsed,      # true latency of the shared call
-            ))
-        return out
+                batch_size=b,
+            )
+            for i, ids in enumerate(ids_rows)
+        ]

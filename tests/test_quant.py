@@ -460,3 +460,29 @@ def test_pallas_bf16_mm_mode_within_quant_error():
         assert np.abs(got16 - want).max() / scale < 5e-2
         got32 = np.asarray(_pallas_quant_dense_2d(x, qleaf, interpret=True, mm="f32"))
         np.testing.assert_allclose(got32, want, rtol=2e-5, atol=2e-5)
+
+
+def test_quantize_pytree_skips_depthwise_conv_kernels():
+    """Depthwise conv kernels ({"dw": {"w": (K, C)}}) are consumed
+    elementwise, not via dense(); quantize_pytree must leave them raw
+    (regression: FireRed q8 crashed with 'attribute name must be string'
+    when the dw kernel became a QuantizedLinear)."""
+    import jax
+    import jax.numpy as jnp
+    from asr_tpu.models import firered as fr
+    from asr_tpu.decode.ar import DecodeConfig
+    from asr_tpu.quant.quantize import QuantizedLinear, quantize_pytree
+
+    cfg = fr.FireRedConfig(d_model=64, enc_heads=4, enc_layers=1, dec_layers=1,
+                           dec_heads=4, dec_ffn=96, vocab_size=100, conv_kernel=9)
+    params = quantize_pytree(fr.init_params(cfg, jax.random.PRNGKey(0)),
+                             bits=8, min_size=16)
+    dw = params["enc_blocks"][0]["conv"]["dw"]["w"]
+    assert isinstance(dw, jnp.ndarray) and not isinstance(dw, QuantizedLinear)
+    # and a real matmul weight DID quantize
+    assert isinstance(params["enc_blocks"][0]["conv"]["pw1"]["w"], QuantizedLinear)
+    audio = jnp.asarray((np.random.default_rng(0).standard_normal((1, 8000)) * 2000)
+                        .astype(np.float32))
+    out = fr.transcribe(params, cfg, audio, jnp.asarray([8000], jnp.int32),
+                        DecodeConfig(max_new_tokens=3, eot_id=-1))
+    assert jax.tree.leaves(out)

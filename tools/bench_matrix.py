@@ -252,6 +252,36 @@ def bench_dolphin():
              0.14, "forced 60 decode steps; ref README.md:60 q8f32 i7-1165G7")
 
 
+def bench_firered_q8():
+    """q8f32 FireRed — the configuration the reference actually publishes
+    (README.md:59); decode matvecs ride the bf16-mode Pallas kernels."""
+    from asr_tpu.models import firered as fr
+    from asr_tpu.decode.ar import DecodeConfig
+    from asr_tpu.quant.quantize import quantize_pytree
+    cfg = fr.FireRedConfig()
+    params = quantize_pytree(fr.init_params(cfg, jax.random.PRNGKey(0)), bits=8)
+    audio, valid = _audio(8, 8.0)
+    dc = DecodeConfig(max_new_tokens=60, eot_id=-1)
+    fn = jax.jit(lambda p, a, v: fr.transcribe(p, cfg, a, v, dc))
+    _measure("firered_aed_l_q8f32", fn, (params, audio, valid), 8, 8.0, 5,
+             0.17, "int8 block-128 weights, forced 60 decode steps; ref README.md:59")
+
+
+def bench_dolphin_q8():
+    """q8f32 Dolphin — matches the reference's published config (README.md:60)."""
+    from asr_tpu.models import dolphin as dp
+    from asr_tpu.decode.ar import DecodeConfig
+    from asr_tpu.quant.quantize import quantize_pytree
+    cfg = dp.DolphinConfig()
+    params = quantize_pytree(dp.init_params(cfg, jax.random.PRNGKey(0)), bits=8)
+    audio, valid = _audio(8, 8.0)
+    prompt = jnp.tile(jnp.asarray([[cfg.sos_id, -1, -2, 5, 6]], jnp.int32), (8, 1))
+    dc = DecodeConfig(max_new_tokens=60, eot_id=-1)
+    fn = jax.jit(lambda p, a, v, pr: dp.transcribe(p, cfg, a, v, pr, dc))
+    _measure("dolphin_small_q8f32", fn, (params, audio, valid, prompt), 8, 8.0, 5,
+             0.14, "int8 block-128 weights, forced 60 decode steps; ref README.md:60")
+
+
 def bench_fun_asr_nano_ctc():
     from asr_tpu.models import fun_asr_nano as fn_
     cfg = fn_.FunAsrNanoConfig()
@@ -512,7 +542,9 @@ BENCHES = {
     "parakeet": bench_parakeet,
     "nemotron": bench_nemotron,
     "firered": bench_firered,
+    "firered_q8": bench_firered_q8,
     "dolphin": bench_dolphin,
+    "dolphin_q8": bench_dolphin_q8,
     "fun_asr_nano": bench_fun_asr_nano_ctc,
     "fun_asr_nano_llm_q4": bench_fun_asr_nano_llm_q4,
     "qwen_asr": bench_qwen_asr,
