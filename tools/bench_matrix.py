@@ -361,6 +361,26 @@ def bench_fun_asr_nano_llm_q4():
              0.11, "packed-int4 LLM, forced 100 decode steps; ref README.md:61 q4f32")
 
 
+def bench_fun_asr_llm_batch8():
+    """Batch-8 Fun-ASR-Nano LLM decode (left-padded lockstep; weight
+    streaming amortized across 8 utterances, reference is batch-1)."""
+    from asr_tpu.models import fun_asr_nano as fn_
+    from asr_tpu.layers import qwen3
+    from asr_tpu.decode.ar import DecodeConfig
+    from asr_tpu.quant.quantize import quantize_pytree
+    cfg = fn_.FunAsrNanoConfig()
+    params = fn_.init_params(cfg, jax.random.PRNGKey(0))
+    llm = quantize_pytree(qwen3.init_params(cfg.llm, jax.random.PRNGKey(1)),
+                          bits=4, pack=True, quantize_embeddings=True)
+    audio, valid = _audio(8, 8.0)
+    rep = lambda row: jnp.tile(jnp.asarray([row], jnp.int32), (8, 1))
+    ids = {"head": rep([1, 2, 3]), "query": rep([4, 5]), "tail": rep([6, 7])}
+    dc = DecodeConfig(max_new_tokens=100, eot_id=-1)
+    fn = jax.jit(lambda p, l, a, v: fn_.forward_llm(p, l, cfg, a, v, ids, dc))
+    _measure("fun_asr_nano_llm_q4f32_batch8", fn, (params, llm, audio, valid), 8, 8.0, 3,
+             0.11, "8 utterances per lockstep decode, packed-int4 + int4 tied head, forced 100 steps")
+
+
 def bench_qwen_asr():
     from asr_tpu.models import qwen_asr as qa
     from asr_tpu.decode.ar import DecodeConfig
@@ -547,6 +567,7 @@ BENCHES = {
     "dolphin_q8": bench_dolphin_q8,
     "fun_asr_nano": bench_fun_asr_nano_ctc,
     "fun_asr_nano_llm_q4": bench_fun_asr_nano_llm_q4,
+    "fun_asr_llm_batch8": bench_fun_asr_llm_batch8,
     "qwen_asr": bench_qwen_asr,
     "paraformer_streaming": bench_paraformer_streaming,
     "paraformer_multistream": bench_paraformer_multistream,
