@@ -217,3 +217,42 @@ def test_session_server_qwen_llm_roundtrip():
         assert outs[i]["text"] == sess._postprocess(_Tok().decode(want[i].token_ids))
     assert server.batcher.requests_served == 3  # warmup + 2
     server.batcher.close()
+
+
+def test_session_server_forwards_language_to_qwen():
+    """serve --language must change the Qwen prompt (regression: _forward
+    had no language parameter, so the server's signature check silently
+    dropped the flag and every request auto-detected)."""
+    from asr_tpu.layers import qwen3
+    from asr_tpu.models import qwen_asr as qa
+    from asr_tpu.runtime.qwen_session import QwenAsrSession, QwenPromptTemplate
+
+    lcfg = qwen3.Qwen3Config(vocab_size=120, hidden=48, num_layers=1, num_heads=4,
+                             num_kv_heads=2, head_dim=16, ffn_dim=64, rope_theta=1e4)
+    cfg = qa.QwenAsrConfig(
+        n_mels=16, tower_dim=32, tower_layers=1, tower_heads=4, tower_ffn=48,
+        downsample_hidden=8, chunks_per_window=2, output_dim=lcfg.hidden, llm=lcfg, eot_id=-1,
+    )
+    tower = qa.init_tower_params(cfg, jax.random.PRNGKey(0))
+    llm = qwen3.init_params(lcfg, jax.random.PRNGKey(1))
+    sess = QwenAsrSession(tower, llm, cfg, tokenizer=_Tok(),
+                          template=QwenPromptTemplate(head_ids=(1, 2), tail_ids=(4,)),
+                          max_new_tokens=3, max_seconds=0.5,
+                          language_prompt_ids={"zh": [7, 8]})
+    seen = {}
+    orig = sess._prompt_ids
+
+    def spy(context, language=None):
+        seen["language"] = language
+        return orig(context, language)
+
+    sess._prompt_ids = spy
+    server = SessionServer(sess, max_batch=1, max_wait_ms=5.0, warmup=True,
+                           language="zh")
+    assert seen["language"] == "zh"
+    # unknown language fails loudly at construction instead of silently
+    sess2 = QwenAsrSession(tower, llm, cfg, tokenizer=_Tok(),
+                           max_new_tokens=3, max_seconds=0.5)
+    with pytest.raises(KeyError):
+        SessionServer(sess2, max_batch=1, warmup=True, language="zh")
+    server.batcher.close()
