@@ -172,6 +172,26 @@ def bench_whisper_q8():
              0.073, "int8 block-128 weights, forced 200 decode steps; ref README.md:55")
 
 
+def bench_whisper_q8_bf16():
+    """q8 weights + bf16 activations: the fastest Whisper serving config —
+    quantized matvecs ride the bf16-mode kernels AND the unquantized
+    encoder/attention math runs one-pass bf16 (f32 norms/softmax inside)."""
+    from asr_tpu.models import whisper as wh
+    from asr_tpu.decode.ar import DecodeConfig
+    from asr_tpu.quant.quantize import cast_pytree, quantize_pytree
+    cfg = wh.WhisperConfig()
+    params = cast_pytree(
+        quantize_pytree(wh.init_params(cfg, jax.random.PRNGKey(0)), bits=8), jnp.bfloat16)
+    audio, _ = _audio(8, 30.0, scale=0.1)
+    mel = wh.mel_for_audio(cfg, audio).astype(jnp.bfloat16)
+    prompt = jnp.tile(jnp.asarray(
+        [[cfg.sot_id, -1, cfg.transcribe_id, cfg.no_timestamps_id]], jnp.int32), (8, 1))
+    dc = DecodeConfig(max_new_tokens=200, eot_id=-1)
+    fn = jax.jit(lambda p, m, pr: wh.transcribe_window(p, cfg, m, pr, dc))
+    _measure("whisper_large_v3_turbo_q8bf16", fn, (params, mel, prompt), 8, 30.0, 3,
+             0.073, "int8 block-128 weights + bf16 activations, forced 200 decode steps")
+
+
 def bench_qwen_asr_q4():
     """q4f32 Qwen3-ASR (reference README.md:62: 0.12 on i7-1165G7)."""
     from asr_tpu.models import qwen_asr as qa
@@ -554,6 +574,7 @@ BENCHES = {
     "sensevoice_q8": bench_sensevoice_q8,
     "whisper": bench_whisper,
     "whisper_q8": bench_whisper_q8,
+    "whisper_q8_bf16": bench_whisper_q8_bf16,
     "qwen_asr_q4": bench_qwen_asr_q4,
     "qwen_asr_q4_qembed": bench_qwen_asr_q4_qembed,
     "qwen_asr_q4_batch8": bench_qwen_asr_q4_batch8,
