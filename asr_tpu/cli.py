@@ -490,7 +490,8 @@ def cmd_serve(args) -> int:
     sess = _build_session(Path(args.model_dir), language=args.language, mesh=mesh)
     if not hasattr(sess, "_forward"):
         raise SystemExit(f"family {type(sess).__name__} has no batchable "
-                         "window forward; serve supports the offline families")
+                         "window forward; serve supports the offline (windowed) "
+                         "and LLM (Qwen3-ASR) families")
     if mesh is not None and getattr(sess, "runner", None) is None:
         raise SystemExit(
             f"--data-parallel is not wired for {type(sess).__name__}; "

@@ -52,8 +52,10 @@ def decode_wav_bytes(data: bytes, target_rate: int) -> np.ndarray:
 
 
 class SessionServer:
-    """Wraps a windowed session's batch forward in a MicroBatcher and an
-    HTTP front end. One window per request (<= session window length)."""
+    """Wraps a session's batch forward — windowed families and the LLM
+    families (Qwen3-ASR exposes the same ``_forward`` surface, batched
+    left-padded lockstep decode) — in a MicroBatcher and an HTTP front
+    end. One window per request (<= session window length)."""
 
     def __init__(self, session, max_batch: int = 8, max_wait_ms: float = 5.0,
                  warmup: bool = True, language: str | None = None):
