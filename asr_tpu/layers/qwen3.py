@@ -198,12 +198,22 @@ def left_prefill_bias(shift: jnp.ndarray, s: int, t_max: int) -> jnp.ndarray:
     ``[shift_b, s)``: causal + pad-key masking.  Left padding lets rows of
     unequal prompt length decode in lockstep from one scalar position —
     RoPE attention depends only on position differences, so the per-row
-    shift is mathematically a no-op."""
+    shift is mathematically a no-op.
+
+    Pad query rows (qpos < shift) additionally attend their OWN position:
+    otherwise every key would be masked and their softmax would only stay
+    finite because NEG_INF is a finite -1e30 — a true -inf (or a masked
+    softmax helper) would give NaN that 0-weight attention cannot absorb
+    (0 * NaN = NaN) and poison real rows via later layers' k/v. The
+    attend-self output is garbage but finite, and pad-slot keys are masked
+    for every real query anyway."""
     qpos = jnp.arange(s, dtype=jnp.int32)[:, None]
     kpos = jnp.arange(t_max, dtype=jnp.int32)[None, :]
     causal = kpos <= qpos  # (S, T_max)
     # (1,S,T) & ((1,1,T) >= (B,1,1) -> (B,1,T)) -> (B,S,T)
     keep = causal[None] & (kpos[None] >= shift[:, None, None])
+    pad_self = (qpos < shift[:, None, None]) & (kpos[None] == qpos[None])
+    keep = keep | pad_self
     return jnp.where(keep, 0.0, NEG_INF)[:, None].astype(jnp.float32)
 
 

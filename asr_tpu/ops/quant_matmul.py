@@ -23,20 +23,61 @@ from jax.experimental.pallas import tpu as pltpu
 
 # Matmul mode inside the kernels once the weight tile is dequantized:
 #   "bf16" (default): cast weight+activation tiles to bf16, one MXU pass,
-#     f32 accumulation.  Rounding is ~2^-8 relative — below the inherent
-#     quantization error of q8 and far below q4/q2 — while f32 HIGHEST on
-#     the TPU MXU is emulated with 6 bf16 passes (~28 vs ~130 TF/s measured
-#     on v5e), so bf16 is strictly better for quantized serving.
+#     f32 accumulation.  Rounding is ~2^-8 relative — for q4/q2 far below
+#     the quantization error; for q8 it is *comparable* to it (the q8
+#     block-quant error is also ~2^-8 of the block range), an accepted
+#     serving trade because f32 HIGHEST on the TPU MXU is emulated with 6
+#     bf16 passes (~28 vs ~130 TF/s measured on v5e).
 #   "f32": dequantize to f32 and run Precision.HIGHEST — bit-exact against
 #     the XLA dequant reference; used by parity/validation paths.
-# Resolved from ASR_TPU_QUANT_MM when not passed explicitly.  NOTE: the
-# env var is read at TRACE time — set it before the first jit of a
-# session; changing it later does not retrace already-compiled functions.
+#
+# Configuration precedence (ADVICE r2: env sniffing alone is fragile for
+# in-process callers that trace before setting the env var):
+#   1. explicit ``mm=`` argument at the call site,
+#   2. ``set_quant_config(mm=...)`` — the session/CLI plumbing calls this
+#      BEFORE building jitted functions,
+#   3. the ASR_TPU_QUANT_MM env var, read at TRACE time,
+#   4. default "bf16".
+# NOTE: none of these retrace already-compiled functions — configure
+# before the first jit of a session.
 _MM_ENV = "ASR_TPU_QUANT_MM"
+# Kernel route for quant_dense on TPU: "auto" (per-shape heuristic),
+# "pallas" (always the Pallas kernels), "xla" (always dequant+XLA dot).
+_KERNEL_ENV = "ASR_TPU_QUANT_KERNEL"
+
+_CONFIG: dict = {"mm": None, "kernel": None}
+
+
+def set_quant_config(mm: str | None = None, kernel: str | None = None) -> None:
+    """Process-wide quantized-matmul configuration (overrides env vars).
+
+    Call before the first jitted forward of a session; changing it later
+    does not retrace already-compiled functions."""
+    if mm is not None:
+        if mm not in ("bf16", "f32"):
+            raise ValueError(f"mm must be 'bf16' or 'f32', got {mm!r}")
+        _CONFIG["mm"] = mm
+    if kernel is not None:
+        if kernel not in ("auto", "pallas", "xla"):
+            raise ValueError(f"kernel must be 'auto'|'pallas'|'xla', got {kernel!r}")
+        _CONFIG["kernel"] = kernel
 
 
 def _resolve_mm(mm: str | None) -> str:
-    return mm if mm is not None else os.environ.get(_MM_ENV, "bf16")
+    if mm is not None:
+        return mm
+    if _CONFIG["mm"] is not None:
+        return _CONFIG["mm"]
+    return os.environ.get(_MM_ENV, "bf16")
+
+
+def _resolve_kernel() -> str:
+    if _CONFIG["kernel"] is not None:
+        return _CONFIG["kernel"]
+    k = os.environ.get(_KERNEL_ENV, "auto")
+    if k not in ("auto", "pallas", "xla"):
+        raise ValueError(f"{_KERNEL_ENV} must be 'auto'|'pallas'|'xla', got {k!r}")
+    return k
 
 
 def _mm_cfg(mm: str):
@@ -128,6 +169,12 @@ def quant_matmul_pallas(
         out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
         scratch_shapes=[pltpu.VMEM((tile_m, tile_n), jnp.float32)],
         interpret=interpret,
+        # parallel M/N lets Mosaic overlap the weight-strip DMAs across
+        # grid steps — measured ~190 GB/s streaming vs ~150 without
+        # (equal to the chip's XLA read rate; see KERNELS_TPU.json).
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * n * k,
             bytes_accessed=m * k * x.dtype.itemsize + k * n + m * n * x.dtype.itemsize,
@@ -232,6 +279,9 @@ def quant_matmul_pallas_p2(
         out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
         scratch_shapes=[pltpu.VMEM((tile_m, tile_n), jnp.float32)],
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
     )(x, x, x, x, packed, scale3, zero3)
 
 
@@ -324,16 +374,36 @@ def _pallas_quant_dense_2d(x2: jnp.ndarray, qleaf: dict, interpret: bool = False
     return out[:m] if m_pad != m else out
 
 
+def _auto_prefers_pallas(m: int, bits: int, packed: bool) -> bool:
+    """Per-shape route for kernel="auto" on TPU, from real-hardware
+    measurements (tools/validate_kernels_tpu.py, in-jit fori_loop timing —
+    see KERNELS_TPU.json).  The chip's measured HBM stream rate is
+    ~190-225 GB/s for BOTH XLA and Pallas (the r2 '330 GB/s XLA' figure
+    was dispatch-overhead-polluted), so the Pallas kernels — which read
+    only the quantized bytes — win everywhere they tile; XLA's dequant
+    materializes a bf16 weight copy (2-5x the traffic)."""
+    del m, bits, packed
+    return True
+
+
 def quant_dense(x: jnp.ndarray, qleaf: dict) -> jnp.ndarray:
-    """Batched dense through a quantized weight; dispatches Pallas/XLA."""
+    """Batched dense through a quantized weight; dispatches Pallas/XLA.
+
+    Route precedence: ``set_quant_config(kernel=...)`` >
+    ``ASR_TPU_QUANT_KERNEL`` env > "auto" per-shape heuristic.  Shapes the
+    Pallas kernels cannot tile always fall back to XLA."""
     orig_shape = x.shape
     k = orig_shape[-1]
     x2 = x.reshape(-1, k)
     n = qleaf["q"].shape[1]
-    if jax.default_backend() == "tpu":
-        out = _pallas_quant_dense_2d(x2, qleaf)
-        if out is not None:
-            return out.reshape(orig_shape[:-1] + (n,))
+    route = _resolve_kernel()
+    if jax.default_backend() == "tpu" and route != "xla":
+        bits = int(qleaf["bits"]) if "bits" in qleaf else 8
+        packed = bool(qleaf["packed"]) if "packed" in qleaf else False
+        if route == "pallas" or _auto_prefers_pallas(x2.shape[0], bits, packed):
+            out = _pallas_quant_dense_2d(x2, qleaf)
+            if out is not None:
+                return out.reshape(orig_shape[:-1] + (n,))
     out = _xla_quant_dense(x2, qleaf)
     return out.reshape(orig_shape[:-1] + (n,))
 
@@ -424,4 +494,7 @@ def quant_matmul_pallas_p4(
         out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
         scratch_shapes=[pltpu.VMEM((tile_m, tile_n), jnp.float32)],
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
     )(x, x, packed, scale3, zero3)

@@ -116,27 +116,34 @@ class SessionServer:
         samples = decode_wav_bytes(data, self.sample_rate)
         if self.pcm_scale != 32768.0:
             samples = samples * np.float32(self.pcm_scale / 32768.0)
-        if len(samples) > self.window:
-            # Longer than one window: route through the session's own
-            # sliding-window path (correct, just not micro-batched) instead
-            # of silently truncating the request.
-            res = self.session.transcribe(samples)
-            return {
-                "text": res.text,
-                "token_ids": res.token_ids,
-                "audio_seconds": res.audio_seconds,
-                "windows": "sliding",
-            }
-        out = self.batcher.submit(samples).result()
-        counts = int(out["counts"])
-        ids = [int(t) for t in np.asarray(out["tokens"])[:counts]]
+        # Long audio window-splits INTO the micro-batcher: windows are just
+        # more batch rows, so an over-length request still rides the shared
+        # fixed-shape dispatch (and LLM sessions, which have no sliding
+        # path of their own, get a correct chunked path instead of the
+        # former session.transcribe fallback that truncated at one window).
+        n = len(samples)
+        w = self.window
+        stride = getattr(self.session, "stride_samples", None) or w
+        num = max(1, -(-max(n - w, 0) // stride) + 1) if n > w else 1
+        futures = [
+            self.batcher.submit(np.ascontiguousarray(samples[i * stride : i * stride + w]))
+            for i in range(num)
+        ]
+        ids: list[int] = []
+        for fut in futures:
+            out = fut.result()
+            counts = int(out["counts"])
+            ids.extend(int(t) for t in np.asarray(out["tokens"])[:counts])
         tok = self.session.tokenizer
         text = self.session._postprocess(tok.decode(ids)) if tok else ""
-        return {
+        resp = {
             "text": text,
             "token_ids": ids,
-            "audio_seconds": len(samples) / self.sample_rate,
+            "audio_seconds": n / self.sample_rate,
         }
+        if num > 1:
+            resp["windows"] = num
+        return resp
 
     def stats(self) -> dict:
         with self._lat_lock:
@@ -206,11 +213,11 @@ def serve_forever(session, host: str = "127.0.0.1", port: int = 8000,
 
 def start_background(session, host: str = "127.0.0.1", port: int = 0,
                      max_batch: int = 8, max_wait_ms: float = 5.0,
-                     warmup: bool = True):
+                     warmup: bool = True, language: str | None = None):
     """Non-blocking start (tests / embedding): returns (httpd, SessionServer,
     thread); actual port in ``httpd.server_address[1]``."""
     srv = SessionServer(session, max_batch=max_batch, max_wait_ms=max_wait_ms,
-                        warmup=warmup)
+                        warmup=warmup, language=language)
     httpd = make_http_server(srv, host, port)
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     thread.start()

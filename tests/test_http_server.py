@@ -139,18 +139,61 @@ def test_windowed_transcribe_batch_matches_individual(tmp_path):
         assert r.batch_size in (1, 3)
 
 
-def test_overlength_request_uses_sliding_window_not_truncation():
-    """A request longer than one batching window must be transcribed via the
-    session's sliding-window path (full duration reported), not silently
-    truncated to the first window."""
+def test_overlength_request_window_splits_into_batcher():
+    """A request longer than one batching window must window-split INTO the
+    micro-batcher (windows are just more batch rows) with the transcript
+    identical to the session's own sliding-window path — not truncate, and
+    not fall back to a serial non-batched path."""
     sess = _sensevoice_session()
-    srv = SessionServer(sess, max_batch=2, max_wait_ms=1.0, warmup=False)
+    srv = SessionServer(sess, max_batch=4, max_wait_ms=1.0, warmup=False)
     try:
         rng = np.random.default_rng(1)
         long = (rng.standard_normal(3 * srv.window) * 1000).astype(np.int16)
+        want = sess.transcribe(long.astype(np.float32))
+        before = srv.batcher.batches_dispatched
         out = srv.transcribe_bytes(_wav_bytes(long))
-        assert out.get("windows") == "sliding"
+        assert out.get("windows") == 3
+        assert out["token_ids"] == want.token_ids
         assert abs(out["audio_seconds"] - len(long) / 16000.0) < 1e-6
+        # all 3 windows coalesced into micro-batch dispatch(es)
+        assert srv.batcher.batches_dispatched >= before + 1
+        assert srv.batcher.requests_served >= 3
+    finally:
+        srv.close()
+
+
+def test_overlength_llm_request_chunks_not_truncates():
+    """LLM sessions have no sliding path of their own; the server's chunked
+    path must still transcribe past the first window (regression: the old
+    session.transcribe fallback silently truncated at max_samples while
+    reporting windows=sliding)."""
+    from asr_tpu.layers import qwen3
+    from asr_tpu.models import qwen_asr as qa
+    from asr_tpu.runtime.qwen_session import QwenAsrSession, QwenPromptTemplate
+
+    lcfg = qwen3.Qwen3Config(vocab_size=120, hidden=48, num_layers=1, num_heads=4,
+                             num_kv_heads=2, head_dim=16, ffn_dim=64, rope_theta=1e4)
+    cfg = qa.QwenAsrConfig(
+        n_mels=16, tower_dim=32, tower_layers=1, tower_heads=4, tower_ffn=48,
+        downsample_hidden=8, chunks_per_window=2, output_dim=lcfg.hidden, llm=lcfg, eot_id=-1,
+    )
+    tower = qa.init_tower_params(cfg, jax.random.PRNGKey(0))
+    llm = qwen3.init_params(lcfg, jax.random.PRNGKey(1))
+    sess = QwenAsrSession(tower, llm, cfg, tokenizer=_Tok(),
+                          template=QwenPromptTemplate(head_ids=(1, 2), tail_ids=(4,)),
+                          max_new_tokens=3, max_seconds=0.5)
+    srv = SessionServer(sess, max_batch=4, max_wait_ms=1.0, warmup=False)
+    try:
+        rng = np.random.default_rng(3)
+        long = (rng.standard_normal(2 * srv.window) * 900).astype(np.int16)
+        out = srv.transcribe_bytes(_wav_bytes(long))
+        assert out.get("windows") == 2
+        # per-chunk ids concatenated == two direct single-window calls
+        want = []
+        for i in range(2):
+            chunk = long[i * srv.window : (i + 1) * srv.window].astype(np.float32) / 32768.0
+            want.extend(sess.transcribe(chunk).token_ids)
+        assert out["token_ids"] == want
     finally:
         srv.close()
 

@@ -1,16 +1,22 @@
 #!/usr/bin/env python
 """Validate the Pallas kernels on REAL TPU hardware and record the evidence.
 
-VERDICT r1 item 6: the packed int4/int2 quant matmuls and the fused fbank
-kernel were only interpret-mode validated.  This harness runs each kernel on
-the real chip, compares against the XLA reference path (max abs err), times
-both, and writes ``KERNELS_TPU.json`` at the repo root:
+Correctness: each kernel vs the XLA dequant reference (max rel err).
+Performance: in-jit ``fori_loop`` timing — the repetition lives INSIDE one
+compiled executable with a carried data dependency, one dispatch, one
+1-element fetch.  Per-dispatch RPC overhead through the axon tunnel is
+~1.5-2 ms, which silently dominated the r2 numbers that timed N queued
+dispatches (method B); those made XLA look ~2x faster than it is.
 
-    {"device": ..., "kernels": {name: {max_abs_err, ok, pallas_ms, xla_ms, ...}}}
+Shapes: prefill (M=512) AND decode (M=8) per bit width — the dispatch
+heuristic in ``asr_tpu.ops.quant_matmul._auto_prefers_pallas`` is set from
+this table.
 
+Writes ``KERNELS_TPU.json`` at the repo root.
 Run: ``python tools/validate_kernels_tpu.py`` (requires the axon TPU tunnel).
 """
 
+import functools
 import json
 import os
 import sys
@@ -22,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# The kernels run their in-kernel dots at HIGHEST; the XLA dequant
+# The kernels run their f32-mode dots at HIGHEST; the XLA dequant
 # reference must match or the comparison measures the REFERENCE's bf16
 # pass error (observed 2e-3) instead of the kernel's.
 jax.config.update("jax_default_matmul_precision", "highest")
@@ -35,21 +41,34 @@ def _fetch(out) -> None:
         np.asarray(jnp.ravel(leaf)[:1])
 
 
-def _time(fn, *args, iters=30):
-    out = fn(*args)
-    _fetch(out)
+def _time_loop(fn, x, iters=50):
+    """ms per call of ``fn(x)`` with the loop inside ONE jit.
+
+    The carry perturbs x each iteration (consumed by the measured op, so
+    nothing hoists) and accumulates one output element (so no iteration is
+    dead)."""
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop(x, n):
+        def body(i, carry):
+            acc, bump = carry
+            out = fn(x + bump)
+            return acc + jnp.ravel(out)[0].astype(jnp.float32), bump + jnp.float32(1e-6)
+
+        acc, _ = jax.lax.fori_loop(0, n, body, (jnp.float32(0), jnp.float32(0)))
+        return acc
+
+    _fetch(loop(x, iters))  # compile
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    _fetch(out)
-    return (time.perf_counter() - t0) / iters * 1e3, out  # ms
+    _fetch(loop(x, iters))
+    return (time.perf_counter() - t0) / iters * 1e3
 
 
-def validate_quant_matmul(bits: int, pack: bool, results: dict) -> None:
+def validate_quant_matmul(bits: int, pack: bool, m: int, results: dict) -> None:
     from asr_tpu.ops import quant_matmul as qm
     from asr_tpu.quant.quantize import quantize_linear
 
-    m, k, n, block = 512, 4096, 1024, 128
+    k, n, block = 4096, 1024, 128
     rng = np.random.default_rng(bits)
     w = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32) * 0.02)
     x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
@@ -61,30 +80,27 @@ def validate_quant_matmul(bits: int, pack: bool, results: dict) -> None:
 
     want = xla_fn(x)
     ref_scale = float(jnp.max(jnp.abs(want))) + 1e-30
-    got32 = pallas_f32(x)
-    err32 = float(jnp.max(jnp.abs(got32 - want)))
-    got16 = pallas_bf16(x)
-    err16 = float(jnp.max(jnp.abs(got16 - want)))
-    p32_ms, _ = _time(pallas_f32, x)
-    p16_ms, _ = _time(pallas_bf16, x)
-    x_ms, _ = _time(xla_fn, x)
-    name = f"quant_matmul_int{bits}" + ("_packed" if pack else "")
+    err32 = float(jnp.max(jnp.abs(pallas_f32(x) - want)))
+    err16 = float(jnp.max(jnp.abs(pallas_bf16(x) - want)))
+    p16_ms = _time_loop(lambda x: qm._pallas_quant_dense_2d(x, qleaf, mm="bf16"), x)
+    x_ms = _time_loop(lambda x: qm._xla_quant_dense(x, qleaf), x)
+    name = f"quant_matmul_int{bits}" + ("_packed" if pack else "") + f"_m{m}"
     results[name] = {
         "shape": [m, k, n],
         "block": block,
         # f32 mode: bit-exact gate vs the XLA dequant reference.
         "max_rel_err_f32_mode": round(err32 / ref_scale, 8),
-        # bf16 mode (serving default): one MXU pass; rounding must stay
-        # well under the quantization error itself.
+        # bf16 mode (serving default): one MXU pass; rounding comparable to
+        # q8's own quantization error, far below q4/q2's.
         "max_rel_err_bf16_mode": round(err16 / ref_scale, 8),
         "ok": bool(err32 / ref_scale < 1e-4 and err16 / ref_scale < 2e-2),
-        "pallas_f32_ms": round(p32_ms, 4),
         "pallas_bf16_ms": round(p16_ms, 4),
         "xla_dequant_ms": round(x_ms, 4),
         "speedup_vs_xla": round(x_ms / p16_ms, 3),
         "effective_tflops_bf16": round(2 * m * k * n / (p16_ms * 1e-3) / 1e12, 3),
+        "quant_bytes_gbps": round((k * n * bits / 8) / (p16_ms * 1e-3) / 1e9, 1),
     }
-    print(name, results[name])
+    print(name, results[name], flush=True)
 
 
 def validate_fused_fbank(results: dict) -> None:
@@ -97,19 +113,19 @@ def validate_fused_fbank(results: dict) -> None:
     audio = jnp.asarray((rng.standard_normal((b, s)) * 2000).astype(np.float32))
     n_frames = fused_frames_for(cfg, s)
 
-    fused_fn = jax.jit(lambda a: fused_log_mel_fbank(a, cfg, n_frames))
+    fused_fn = lambda a: fused_log_mel_fbank(a, cfg, n_frames)
     env = os.environ.pop("ASR_TPU_FUSED_FBANK", None)
     try:
-        unfused_fn = jax.jit(lambda a: log_mel_fbank(a, cfg, n_frames))
-        got = fused_fn(audio)
-        want = unfused_fn(audio)
+        unfused_fn = lambda a: log_mel_fbank(a, cfg, n_frames)
+        got = jax.jit(fused_fn)(audio)
+        want = jax.jit(unfused_fn)(audio)
+        real = cfg.num_frames(s)  # padded tail frames differ by design
+        err = float(jnp.max(jnp.abs(got[:, :real] - want[:, :real])))
+        f_ms = _time_loop(fused_fn, audio, iters=20)
+        u_ms = _time_loop(unfused_fn, audio, iters=20)
     finally:
         if env is not None:
             os.environ["ASR_TPU_FUSED_FBANK"] = env
-    real = cfg.num_frames(s)  # padded tail frames differ by design (zeros vs garbage-span)
-    err = float(jnp.max(jnp.abs(got[:, :real] - want[:, :real])))
-    f_ms, _ = _time(fused_fn, audio)
-    u_ms, _ = _time(unfused_fn, audio)
     results["fused_fbank"] = {
         "shape": [b, s],
         "n_frames": int(real),
@@ -119,7 +135,7 @@ def validate_fused_fbank(results: dict) -> None:
         "xla_unfused_ms": round(u_ms, 4),
         "speedup_vs_xla": round(u_ms / f_ms, 3),
     }
-    print("fused_fbank", results["fused_fbank"])
+    print("fused_fbank", results["fused_fbank"], flush=True)
 
 
 def main() -> None:
@@ -128,9 +144,10 @@ def main() -> None:
         print(json.dumps({"error": f"not a TPU backend: {dev.platform}"}))
         sys.exit(1)
     results = {}
-    validate_quant_matmul(8, False, results)
-    validate_quant_matmul(4, True, results)
-    validate_quant_matmul(2, True, results)
+    for m in (512, 8):
+        validate_quant_matmul(8, False, m, results)
+        validate_quant_matmul(4, True, m, results)
+        validate_quant_matmul(2, True, m, results)
     validate_fused_fbank(results)
     import datetime
 
@@ -141,6 +158,7 @@ def main() -> None:
         "device": str(dev),
         "device_kind": getattr(dev, "device_kind", "?"),
         "jax": jax.__version__,
+        "timing": "in-jit fori_loop (50 iters), single dispatch, 1-elem fetch",
         "all_ok": all(v["ok"] for v in results.values()),
         "kernels": results,
     }
