@@ -514,6 +514,17 @@ def main(argv=None) -> int:
                         metavar="DIR",
                         help="persistent XLA compilation cache directory "
                              "('' disables); makes repeat CLI runs skip compiles")
+    parser.add_argument("--quant-mm", default=None, choices=("bf16", "f32"),
+                        help="in-kernel matmul mode for quantized weights: "
+                             "bf16 (serving default, one MXU pass) or f32 "
+                             "(bit-exact vs the XLA dequant reference); set "
+                             "before any compute, overrides ASR_TPU_QUANT_MM")
+    parser.add_argument("--quant-kernel", default=None,
+                        choices=("auto", "pallas", "xla"),
+                        help="quantized-matmul route on TPU: auto (per-shape "
+                             "heuristic: Pallas for decode shapes, XLA for "
+                             "prefill), or force one; overrides "
+                             "ASR_TPU_QUANT_KERNEL")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("transcribe", help="transcribe audio files with a model artifact")
@@ -620,6 +631,10 @@ def main(argv=None) -> int:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    if args.quant_mm or args.quant_kernel:
+        from asr_tpu.ops.quant_matmul import set_quant_config
+
+        set_quant_config(mm=args.quant_mm, kernel=args.quant_kernel)
     return args.fn(args)
 
 

@@ -113,6 +113,16 @@ def encode(
     """[-1,1] audio (B, S) -> (encoder states (B, T', D), valid counts)."""
     mel = log_mel(audio, cfg.mel)
     valid_frames = cfg.mel.valid_frames(valid_samples)
+    return encode_from_mel(params, cfg, mel, valid_frames)
+
+
+def encode_from_mel(
+    params: dict, cfg: DolphinConfig, mel: jnp.ndarray, valid_frames: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Mel features (B, T, n_mels) -> (enc, valid): CMVN, Conv2d
+    subsampling with sqrt(d) embed scale, E-Branchformer stack.
+    Feature-level entry shared by the audio path and the full-geometry
+    parity tests."""
     mel = (mel - params["cmvn_mean"]) * params["cmvn_istd"]
     keep = length_mask(valid_frames, mel.shape[1])
     mel = jnp.where(keep[..., None], mel, 0.0)

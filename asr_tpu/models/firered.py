@@ -172,6 +172,16 @@ def encode(
     n_frames = fb.num_frames(audio.shape[-1])
     mel = log_mel_fbank(audio, fb, n_frames)
     valid_frames = jnp.maximum((valid_samples - fb.win_length) // fb.hop_length + 1, 0).astype(jnp.int32)
+    return encode_from_mel(params, cfg, mel, valid_frames)
+
+
+def encode_from_mel(
+    params: dict, cfg: FireRedConfig, mel: jnp.ndarray, valid_frames: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Mel features (B, T, n_mels) -> (enc, valid): CMVN, lookahead pad,
+    Conv2d subsampling, conformer stack.  Feature-level entry shared by the
+    audio path and the full-geometry parity tests."""
+    n_frames = mel.shape[1]
     mel = (mel - params["cmvn_means"]) * params["cmvn_istd"]
     keep = length_mask(valid_frames, n_frames)
     mel = jnp.where(keep[..., None], mel, 0.0)

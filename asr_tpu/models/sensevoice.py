@@ -178,6 +178,16 @@ def encode_logits(
     valid_frames = jnp.maximum((valid_samples - fb.win_length) // fb.hop_length + 1, 0).astype(jnp.int32)
     feats = lfr_stack(mel, cfg.lfr_m, cfg.lfr_n, valid_frames)
     valid_lfr = (valid_frames + cfg.lfr_n - 1) // cfg.lfr_n
+    return encode_logits_from_lfr(params, cfg, feats, valid_lfr, language_idx)
+
+
+def encode_logits_from_lfr(
+    params: dict, cfg: SenseVoiceConfig, feats: jnp.ndarray, valid_lfr: jnp.ndarray, language_idx: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """LFR features (B, T, n_mels*lfr_m) -> (ctc_logits, valid_seq): CMVN,
+    sinusoid PE, language/system prompt prepend, SANM encoder, CTC head.
+    Features-level entry point shared by the audio path, feature-domain
+    training and the full-geometry parity tests."""
     feats = apply_cmvn_addmul(feats, params["cmvn_means"], params["cmvn_istd"])
     t_lfr = feats.shape[1]
     prompt_len = cfg.prompt_len

@@ -376,14 +376,21 @@ def _pallas_quant_dense_2d(x2: jnp.ndarray, qleaf: dict, interpret: bool = False
 
 def _auto_prefers_pallas(m: int, bits: int, packed: bool) -> bool:
     """Per-shape route for kernel="auto" on TPU, from real-hardware
-    measurements (tools/validate_kernels_tpu.py, in-jit fori_loop timing —
-    see KERNELS_TPU.json).  The chip's measured HBM stream rate is
-    ~190-225 GB/s for BOTH XLA and Pallas (the r2 '330 GB/s XLA' figure
-    was dispatch-overhead-polluted), so the Pallas kernels — which read
-    only the quantized bytes — win everywhere they tile; XLA's dequant
-    materializes a bf16 weight copy (2-5x the traffic)."""
-    del m, bits, packed
-    return True
+    measurements (tools/validate_kernels_tpu.py, hoist-proof in-jit
+    fori_loop difference timing — see KERNELS_TPU.json, r3):
+
+    - decode/matvec shapes (M <= 64): Pallas wins 1.4-2.9x — it streams
+      only the quantized bytes (measured 150-380 GB/s of quant bytes)
+      while XLA materializes a bf16 weight copy first;
+    - prefill shapes (M ~ 512): XLA wins (Pallas 0.53-0.94x) — the op is
+      MXU-bound there and XLA's single fused dot reaches ~136 TF/s vs the
+      kernel's ~72-114 (grid-step overheads + dequant/MXU serialization).
+
+    The crossover sits between; 64 is conservative toward the measured
+    points (batch-8 lockstep LLM decode stays Pallas, encoder/prefill
+    GEMMs go XLA)."""
+    del bits, packed
+    return m <= 64
 
 
 def quant_dense(x: jnp.ndarray, qleaf: dict) -> jnp.ndarray:

@@ -101,6 +101,646 @@ def test_qwen3_06b_geometry_parity():
     assert got == hf_new, (got, hf_new)
 
 
+def _torch_sanm_block(x, p, num_heads, head_dim, residual):
+    """Independent f64 torch transcription of the reference SANM block
+    (``/root/reference/SenseVoice/Export_SenseVoice.py:227-258``): pre-LN,
+    fused qkv self-attention + FSMN depthwise memory conv on v (symmetric
+    zero pad, v residual), out-proj + mem, optional block residual, ReLU FFN."""
+    import torch
+    import torch.nn.functional as F
+
+    t = lambda a: torch.tensor(np.asarray(a), dtype=torch.float64)
+    hidden = num_heads * head_dim
+    y = F.layer_norm(x, (x.shape[-1],), t(p["norm1"]["scale"]), t(p["norm1"]["bias"]))
+    qkv = y @ t(p["qkv"]["w"]) + t(p["qkv"]["b"])
+    q, k, v = qkv.split(hidden, dim=-1)
+    B, T = x.shape[0], x.shape[1]
+    qh = q.reshape(B, T, num_heads, head_dim).permute(0, 2, 1, 3)
+    kh = k.reshape(B, T, num_heads, head_dim).permute(0, 2, 1, 3)
+    vh = v.reshape(B, T, num_heads, head_dim).permute(0, 2, 1, 3)
+    att = torch.softmax(qh @ kh.transpose(-2, -1) / head_dim**0.5, dim=-1) @ vh
+    ctx = att.permute(0, 2, 1, 3).reshape(B, T, hidden)
+    w = t(p["fsmn_w"])
+    pad = (w.shape[0] - 1) // 2
+    mem = F.conv1d(v.transpose(1, 2), w.T.unsqueeze(1), padding=pad,
+                   groups=hidden).transpose(1, 2) + v
+    branch = ctx @ t(p["out"]["w"]) + t(p["out"]["b"]) + mem
+    a = branch + x if residual else branch
+    y2 = F.layer_norm(a, (hidden,), t(p["norm2"]["scale"]), t(p["norm2"]["bias"]))
+    h = torch.relu(y2 @ t(p["ffn"]["w1"]) + t(p["ffn"]["b1"]))
+    return a + h @ t(p["ffn"]["w2"]) + t(p["ffn"]["b2"])
+
+
+def test_sensevoice_small_geometry_parity():
+    """SenseVoiceSmall geometry (hidden 512, heads 4x128, ffn 2048, 1+49
+    encoder + 20 tp-encoder SANM blocks, feature 560, vocab 25055): CTC
+    logits of the full stack vs an independent f64 torch transcription of
+    the reference export wrapper
+    (``/root/reference/SenseVoice/Export_SenseVoice.py:118-296``):
+    CMVN (x+means)*istd, FunASR sinusoid PE (positions from 1), language +
+    3-token system prompt prepend, SANM stacks with after/tp norms."""
+    import torch
+
+    from asr_tpu.models import sensevoice as sv
+
+    cfg = sv.SenseVoiceConfig()  # real SenseVoiceSmall geometry defaults
+    assert (cfg.hidden, cfg.ffn_dim, cfg.num_encoders, cfg.num_tp_encoders) == \
+        (512, 2048, 49, 20)
+    params = sv.init_params(cfg, jax.random.PRNGKey(0))
+    # non-trivial CMVN so the test exercises it
+    rng = np.random.default_rng(0)
+    params["cmvn_means"] = jnp.asarray(rng.standard_normal(cfg.feature_size).astype(np.float32))
+    params["cmvn_istd"] = jnp.asarray((0.5 + rng.random(cfg.feature_size)).astype(np.float32))
+
+    t_lfr = 100
+    feats = rng.standard_normal((1, t_lfr, cfg.feature_size)).astype(np.float32)
+    lang_row = 2  # en
+
+    logits, valid_seq = sv.encode_logits_from_lfr(
+        params, cfg, jnp.asarray(feats), jnp.asarray([t_lfr], np.int32),
+        jnp.asarray([lang_row], np.int32))
+    ours = np.asarray(logits, np.float32)
+    assert int(valid_seq[0]) == t_lfr + cfg.prompt_len
+
+    # --- independent torch stack (f64) ---
+    pnp = jax.tree.map(np.asarray, params)
+    t = lambda a: torch.tensor(np.asarray(a), dtype=torch.float64)
+    x = (t(feats) + t(pnp["cmvn_means"])) * t(pnp["cmvn_istd"])
+    pe = sv.sinusoid_position_encoding(t_lfr + cfg.prompt_len, cfg.feature_size)
+    x = x + t(pe[cfg.prompt_len:])
+    lang = t(pnp["language_embed"][lang_row]) + t(pe[0])
+    system = t(pnp["system_embed"]) + t(pe[1:cfg.prompt_len])
+    x = torch.cat([lang[None, None], system[None], x], dim=1)
+    for p in pnp["encoders0"]:
+        x = _torch_sanm_block(x, p, cfg.num_heads, cfg.head_dim, residual=False)
+    for p in pnp["encoders"]:
+        x = _torch_sanm_block(x, p, cfg.num_heads, cfg.head_dim, residual=True)
+    import torch.nn.functional as F
+    x = F.layer_norm(x, (cfg.hidden,), t(pnp["after_norm"]["scale"]), t(pnp["after_norm"]["bias"]))
+    for p in pnp["tp_encoders"]:
+        x = _torch_sanm_block(x, p, cfg.num_heads, cfg.head_dim, residual=True)
+    x = F.layer_norm(x, (cfg.hidden,), t(pnp["tp_norm"]["scale"]), t(pnp["tp_norm"]["bias"]))
+    ref = (x @ t(pnp["ctc"]["w"]) + t(pnp["ctc"]["b"])).numpy()
+
+    rel = np.linalg.norm(ours - ref) / np.linalg.norm(ref)
+    assert rel < 2e-4, rel
+    # token-level agreement over the whole sequence
+    np.testing.assert_array_equal(np.argmax(ours, -1), np.argmax(ref, -1))
+
+
+def test_firered_aed_l_geometry_parity():
+    """FireRedASR-AED-L geometry (d 1280, 16+16 layers, 20 heads, conv k33,
+    ffn 4d/5120, vocab 7832): encoder output + a 4-token decoder prefill vs
+    an independent torch transcription of the reference export wrapper
+    (``/root/reference/FireRedASR/Export_FireRedASR_AED.py:184-505``):
+    CMVN (x-mean)*istd, 6 zero lookahead frames, Conv2d(k3,s2,nopad)x2
+    subsampling with channel-major flatten, conformer blocks (0.5x macaron
+    silu FFNs, Transformer-XL rel-pos attention with bias_u/bias_v + skew,
+    GLU 4d->2d depthwise-k33 LayerNorm swish conv module, block LN), and a
+    pre-LN AR decoder (sqrt(d)-scaled tied embedding + absolute sinusoid
+    positions, exact GELU)."""
+    import torch
+    import torch.nn.functional as F
+
+    from asr_tpu.models import firered as fr
+
+    cfg = fr.FireRedConfig()  # real AED-L geometry defaults
+    assert (cfg.d_model, cfg.enc_layers, cfg.dec_layers, cfg.enc_heads) == (1280, 16, 16, 20)
+    params = fr.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    # the checkpoint has ONE pre-attention LayerNorm feeding q/k/v (the
+    # loader maps it into all three slots) — mirror that here
+    for blk in params["enc_blocks"]:
+        a = blk["attn"]
+        sc = jnp.asarray(rng.standard_normal(cfg.d_model).astype(np.float32) * 0.1 + 1.0)
+        bi = jnp.asarray(rng.standard_normal(cfg.d_model).astype(np.float32) * 0.1)
+        a["norm_q"] = a["norm_k"] = a["norm_v"] = {"scale": sc, "bias": bi}
+        a["bias_u"] = jnp.asarray(rng.standard_normal(a["bias_u"].shape).astype(np.float32) * 0.1)
+        a["bias_v"] = jnp.asarray(rng.standard_normal(a["bias_v"].shape).astype(np.float32) * 0.1)
+    params["cmvn_means"] = jnp.asarray(rng.standard_normal(cfg.n_mels).astype(np.float32))
+    params["cmvn_istd"] = jnp.asarray((0.5 + rng.random(cfg.n_mels)).astype(np.float32))
+
+    t_mel = 200
+    mel = rng.standard_normal((1, t_mel, cfg.n_mels)).astype(np.float32)
+
+    enc, valid = fr.encode_from_mel(params, cfg, jnp.asarray(mel),
+                                    jnp.asarray([t_mel], np.int32))
+    enc = np.asarray(enc, np.float32)
+
+    # --- independent torch encoder (f64) ---
+    pnp = jax.tree.map(np.asarray, params)
+    t = lambda a: torch.tensor(np.asarray(a), dtype=torch.float64)
+    x = (t(mel) - t(pnp["cmvn_means"])) * t(pnp["cmvn_istd"])
+    x = F.pad(x, (0, 0, 0, cfg.pad_lookahead))
+    # NCHW, H=time, W=mel; HWIO -> OIHW
+    y = x.unsqueeze(1)
+    sub = pnp["subsample"]
+    w0 = t(sub["conv0"]["w"]).permute(3, 2, 0, 1)
+    y = F.relu(F.conv2d(y, w0, t(sub["conv0"]["b"]), stride=2))
+    w1 = t(sub["conv1"]["w"]).permute(3, 2, 0, 1)
+    y = F.relu(F.conv2d(y, w1, t(sub["conv1"]["b"]), stride=2))
+    B, C, Tp, W = y.shape
+    y = y.permute(0, 2, 1, 3).reshape(B, Tp, C * W)  # channel-major flatten
+    x = y @ t(sub["out"]["w"]) + t(sub["out"]["b"])
+
+    # interleaved sin/cos relative PE over positions Tp-1 .. -(Tp-1)
+    inv_freq = 1.0 / (10000.0 ** (np.arange(0, cfg.d_model, 2, dtype=np.float64) / cfg.d_model))
+    positions = np.arange(Tp - 1, -Tp, -1, dtype=np.float64)
+    fr_ = positions[:, None] * inv_freq[None, :]
+    pe = torch.tensor(np.stack([np.sin(fr_), np.cos(fr_)], -1).reshape(len(positions), cfg.d_model))
+
+    def ln(v, p):
+        return F.layer_norm(v, (v.shape[-1],), t(p["scale"]), t(p["bias"]))
+
+    def ffn(v, p):
+        y = ln(v, p["norm"])
+        return F.silu(y @ t(p["w1"]["w"]) + t(p["w1"]["b"])) @ t(p["w2"]["w"]) + t(p["w2"]["b"])
+
+    # lookahead-produced frames are real conv-subsampling context but NOT
+    # valid encoder positions: mask them as attention keys / conv rows
+    n_valid = int(valid[0])
+    assert n_valid < Tp
+    key_keep = torch.arange(Tp) < n_valid  # (Tp,)
+    att_bias = torch.where(key_keep, 0.0, -1e30).to(torch.float64)
+
+    H, hd = cfg.enc_heads, cfg.head_dim
+    for p in pnp["enc_blocks"]:
+        x = x + 0.5 * ffn(x, p["ffn1"])
+        a = p["attn"]
+        q = ln(x, a["norm_q"]) @ t(a["q"]["w"])
+        k = ln(x, a["norm_k"]) @ t(a["k"]["w"])
+        v = ln(x, a["norm_v"]) @ t(a["v"]["w"])
+        q = q.reshape(B, Tp, H, hd).permute(0, 2, 1, 3)
+        k = k.reshape(B, Tp, H, hd).permute(0, 2, 1, 3)
+        v = v.reshape(B, Tp, H, hd).permute(0, 2, 1, 3)
+        rel_k = (pe @ t(a["pos"]["w"])).reshape(-1, H, hd)
+        qu = q + t(a["bias_u"])[None, :, None, :]
+        qv = q + t(a["bias_v"])[None, :, None, :]
+        ac = torch.einsum("bhsd,bhtd->bhst", qu, k)
+        bd = torch.einsum("bhsd,phd->bhsp", qv, rel_k)
+        # Transformer-XL skew
+        bpad = F.pad(bd, (1, 0))
+        bd = bpad.reshape(B, H, 2 * Tp, Tp)[:, :, 1:].reshape(B, H, Tp, 2 * Tp - 1)[..., :Tp]
+        att = torch.softmax((ac + bd) * hd**-0.5 + att_bias, dim=-1) @ v
+        ctx = att.permute(0, 2, 1, 3).reshape(B, Tp, cfg.d_model)
+        x = x + ctx @ t(a["o"]["w"])
+        c = p["conv"]
+        y = ln(x, c["norm"]) * key_keep[None, :, None]
+        y = y @ t(c["pw1"]["w"])
+        half = y.shape[-1] // 2
+        y = y[..., :half] * torch.sigmoid(y[..., half:])
+        dw = t(c["dw"]["w"])  # (K, 2D)
+        y = F.conv1d(y.transpose(1, 2), dw.T.unsqueeze(1), padding=(dw.shape[0] - 1) // 2,
+                     groups=2 * cfg.d_model).transpose(1, 2)
+        y = F.silu(ln(y, c["ln"]))
+        y = (y @ t(c["pw2"]["w"])) * key_keep[None, :, None]
+        x = x + y
+        x = x + 0.5 * ffn(x, p["ffn2"])
+        x = ln(x, p["norm_out"])
+    ref_enc = x.numpy()
+
+    rel = np.linalg.norm(enc - ref_enc) / np.linalg.norm(ref_enc)
+    assert rel < 2e-4, rel
+
+    # --- 4-token decoder prefill ---
+    ids = np.array([[cfg.sos_id, 11, 222, 3333]], np.int64)
+    state = fr.make_state(params, cfg, jnp.asarray(enc))
+    logits, _ = fr._decoder_pass(params, cfg, state, jnp.asarray(ids, jnp.int32),
+                                 jnp.asarray(0, jnp.int32), None)
+    ours_logits = np.asarray(logits, np.float32)
+
+    dec = pnp["decoder"]
+    d = cfg.d_model
+    emb = t(dec["embed"])[torch.tensor(ids)] * d**0.5
+    pos_np = np.arange(0, ids.shape[1], dtype=np.float64)
+    fr2 = pos_np[:, None] * inv_freq[None, :]
+    pos_pe = torch.tensor(np.stack([np.sin(fr2), np.cos(fr2)], -1).reshape(len(pos_np), d))
+    xd = emb + pos_pe[None]
+    S = ids.shape[1]
+    causal = torch.triu(torch.full((S, S), float("-inf"), dtype=torch.float64), 1)
+    e64 = torch.tensor(ref_enc, dtype=torch.float64)
+    for p in dec["blocks"]:
+        y = ln(xd, p["ln1"])
+        q = (y @ t(p["attn"]["q"]["w"]) + t(p["attn"]["q"]["b"])).reshape(1, S, H, hd).permute(0, 2, 1, 3)
+        k = (y @ t(p["attn"]["k"]["w"]) + t(p["attn"]["k"]["b"])).reshape(1, S, H, hd).permute(0, 2, 1, 3)
+        v = (y @ t(p["attn"]["v"]["w"]) + t(p["attn"]["v"]["b"])).reshape(1, S, H, hd).permute(0, 2, 1, 3)
+        att = torch.softmax(q @ k.transpose(-2, -1) * hd**-0.5 + causal, -1) @ v
+        xd = xd + att.permute(0, 2, 1, 3).reshape(1, S, d) @ t(p["attn"]["o"]["w"])
+        y = ln(xd, p["ln_cross"])
+        qc = (y @ t(p["cross"]["q"]["w"]) + t(p["cross"]["q"]["b"])).reshape(1, S, H, hd).permute(0, 2, 1, 3)
+        kc = (e64 @ t(p["cross"]["k"]["w"]) + t(p["cross"]["k"]["b"])).reshape(1, Tp, H, hd).permute(0, 2, 1, 3)
+        vc = (e64 @ t(p["cross"]["v"]["w"]) + t(p["cross"]["v"]["b"])).reshape(1, Tp, H, hd).permute(0, 2, 1, 3)
+        attc = torch.softmax(qc @ kc.transpose(-2, -1) * hd**-0.5, -1) @ vc
+        xd = xd + attc.permute(0, 2, 1, 3).reshape(1, S, d) @ t(p["cross"]["o"]["w"])
+        y = ln(xd, p["ln2"])
+        h = F.gelu(y @ t(p["mlp"]["fc1"]["w"]) + t(p["mlp"]["fc1"]["b"]))
+        xd = xd + h @ t(p["mlp"]["fc2"]["w"]) + t(p["mlp"]["fc2"]["b"])
+    xd = ln(xd, dec["ln"])
+    ref_logits = (xd @ t(dec["embed"]).T).numpy()
+
+    rel = np.linalg.norm(ours_logits - ref_logits) / np.linalg.norm(ref_logits)
+    assert rel < 2e-4, rel
+    np.testing.assert_array_equal(np.argmax(ours_logits[0, -1]), np.argmax(ref_logits[0, -1]))
+
+
+def test_dolphin_small_geometry_parity():
+    """dolphin-small geometry (d 512, 12 E-Branchformer layers, 8 heads,
+    cgMLP 2048 k31, vocab 27588, 6-layer decoder): CTC logits + a 5-token
+    decoder prefill vs an independent f64 torch transcription of the
+    reference export wrapper
+    (``/root/reference/Dolphin/v1/Export_Dolphin.py:434-727``): CMVN,
+    Conv2d(k3,s2,nopad)x2 subsampling with sqrt(d) espnet embed scale,
+    E-Branchformer blocks (0.5x macaron silu FFNs, rel-pos attention with
+    bias_u/bias_v + skew, cgMLP exact-GELU + CSGU depthwise-k31 gate,
+    k3 depthwise merge-fusion conv + residual), final LN; espnet decoder
+    (sqrt(d) embed + abs sinusoid positions, pre-LN, exact GELU, tied
+    embedding logits)."""
+    import torch
+    import torch.nn.functional as F
+
+    from asr_tpu.models import dolphin as dp
+
+    cfg = dp.DolphinConfig()  # real dolphin-small geometry defaults
+    assert (cfg.d_model, cfg.enc_layers, cfg.cgmlp_dim, cfg.dec_layers) == (512, 12, 2048, 6)
+    params = dp.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    for blk in params["enc_blocks"]:
+        a = blk["attn"]
+        a["bias_u"] = jnp.asarray(rng.standard_normal(a["bias_u"].shape).astype(np.float32) * 0.1)
+        a["bias_v"] = jnp.asarray(rng.standard_normal(a["bias_v"].shape).astype(np.float32) * 0.1)
+    params["cmvn_mean"] = jnp.asarray(rng.standard_normal(cfg.mel.n_mels).astype(np.float32))
+    params["cmvn_istd"] = jnp.asarray((0.5 + rng.random(cfg.mel.n_mels)).astype(np.float32))
+
+    t_mel = 200
+    mel = rng.standard_normal((1, t_mel, cfg.mel.n_mels)).astype(np.float32)
+    enc, valid = dp.encode_from_mel(params, cfg, jnp.asarray(mel),
+                                    jnp.asarray([t_mel], np.int32))
+    enc = np.asarray(enc, np.float32)
+    ctc_ours = np.asarray(
+        jnp.argmax(jnp.einsum("btd,dv->btv", jnp.asarray(enc), params["ctc"]["w"])
+                   + params["ctc"]["b"], -1))
+
+    pnp = jax.tree.map(np.asarray, params)
+    t = lambda a: torch.tensor(np.asarray(a), dtype=torch.float64)
+    d = cfg.d_model
+
+    def ln(v, p):
+        return F.layer_norm(v, (v.shape[-1],), t(p["scale"]), t(p["bias"]))
+
+    x = (t(mel) - t(pnp["cmvn_mean"])) * t(pnp["cmvn_istd"])
+    y = x.unsqueeze(1)
+    sub = pnp["subsample"]
+    y = F.relu(F.conv2d(y, t(sub["conv0"]["w"]).permute(3, 2, 0, 1), t(sub["conv0"]["b"]), stride=2))
+    y = F.relu(F.conv2d(y, t(sub["conv1"]["w"]).permute(3, 2, 0, 1), t(sub["conv1"]["b"]), stride=2))
+    B, C, Tp, W = y.shape
+    y = y.permute(0, 2, 1, 3).reshape(B, Tp, C * W)
+    x = (y @ t(sub["out"]["w"]) + t(sub["out"]["b"])) * d**0.5
+    assert int(valid[0]) == Tp  # no lookahead pad: all positions valid
+
+    inv_freq = 1.0 / (10000.0 ** (np.arange(0, d, 2, dtype=np.float64) / d))
+    positions = np.arange(Tp - 1, -Tp, -1, dtype=np.float64)
+    fr_ = positions[:, None] * inv_freq[None, :]
+    pe = torch.tensor(np.stack([np.sin(fr_), np.cos(fr_)], -1).reshape(len(positions), d))
+
+    H, hd = cfg.enc_heads, cfg.head_dim
+
+    def ffn(v, p):
+        y = ln(v, p["norm"])
+        return F.silu(y @ t(p["w1"]["w"]) + t(p["w1"]["b"])) @ t(p["w2"]["w"]) + t(p["w2"]["b"])
+
+    def dwconv(v, w, b=None):
+        # (B, T, C) depthwise over time, symmetric zero pad
+        y = F.conv1d(v.transpose(1, 2), t(w).T.unsqueeze(1),
+                     padding=(w.shape[0] - 1) // 2, groups=w.shape[1]).transpose(1, 2)
+        return y + t(b) if b is not None else y
+
+    for p in pnp["enc_blocks"]:
+        x = x + 0.5 * ffn(x, p["ffn_macaron"])
+        a = p["attn"]
+        ya = ln(x, p["norm_mha"])
+        q = (ya @ t(a["q"]["w"]) + t(a["q"]["b"])).reshape(B, Tp, H, hd).permute(0, 2, 1, 3)
+        k = (ya @ t(a["k"]["w"]) + t(a["k"]["b"])).reshape(B, Tp, H, hd).permute(0, 2, 1, 3)
+        v = (ya @ t(a["v"]["w"]) + t(a["v"]["b"])).reshape(B, Tp, H, hd).permute(0, 2, 1, 3)
+        rel_k = (pe @ t(a["rel_k"]["w"])).reshape(-1, H, hd)
+        ac = torch.einsum("bhsd,bhtd->bhst", q + t(a["bias_u"])[None, :, None, :], k)
+        bd = torch.einsum("bhsd,phd->bhsp", q + t(a["bias_v"])[None, :, None, :], rel_k)
+        bpad = F.pad(bd, (1, 0))
+        bd = bpad.reshape(B, H, 2 * Tp, Tp)[:, :, 1:].reshape(B, H, Tp, 2 * Tp - 1)[..., :Tp]
+        att = torch.softmax((ac + bd) * hd**-0.5, dim=-1) @ v
+        x1 = att.permute(0, 2, 1, 3).reshape(B, Tp, d) @ t(a["o"]["w"]) + t(a["o"]["b"])
+        ym = ln(x, p["norm_mlp"])
+        g0 = F.gelu(ym @ t(p["cgmlp"]["proj1"]["w"]) + t(p["cgmlp"]["proj1"]["b"]))
+        half = g0.shape[-1] // 2
+        r, g = g0[..., :half], g0[..., half:]
+        g = ln(g, p["cgmlp"]["csgu"]["norm"])
+        g = dwconv(g, p["cgmlp"]["csgu"]["conv"]["w"], p["cgmlp"]["csgu"]["conv"]["b"])
+        x2 = (r * g) @ t(p["cgmlp"]["proj2"]["w"]) + t(p["cgmlp"]["proj2"]["b"])
+        c = torch.cat([x1, x2], dim=-1)
+        c = c + dwconv(c, p["fusion"]["w"], p["fusion"]["b"])
+        x = x + c @ t(p["merge_proj"]["w"]) + t(p["merge_proj"]["b"])
+        x = x + 0.5 * ffn(x, p["ffn"])
+        x = ln(x, p["norm_final"])
+    x = ln(x, pnp["after_norm"])
+    ref_enc = x.numpy()
+
+    rel = np.linalg.norm(enc - ref_enc) / np.linalg.norm(ref_enc)
+    assert rel < 2e-4, rel
+    ctc_ref = (x @ t(pnp["ctc"]["w"]) + t(pnp["ctc"]["b"])).numpy().argmax(-1)
+    np.testing.assert_array_equal(ctc_ours, ctc_ref)
+
+    # --- 5-token decoder prefill (prompt [sos, lang, region, task, nots]) ---
+    ids = np.array([[cfg.sos_id, 7, 47, 27584, 27585]], np.int64)
+    state = dp.make_state(params, cfg, jnp.asarray(enc))
+    logits, _ = dp._decoder_pass(params, cfg, state, jnp.asarray(ids, jnp.int32),
+                                 jnp.asarray(0, jnp.int32), None)
+    ours_logits = np.asarray(logits, np.float32)
+
+    dec = pnp["decoder"]
+    S = ids.shape[1]
+    Hd, hdd = cfg.dec_heads, d // cfg.dec_heads
+    emb = t(dec["embed"])[torch.tensor(ids)] * d**0.5
+    pos_np = np.arange(0, S, dtype=np.float64)
+    fr2 = pos_np[:, None] * inv_freq[None, :]
+    xd = emb + torch.tensor(np.stack([np.sin(fr2), np.cos(fr2)], -1).reshape(S, d))[None]
+    causal = torch.triu(torch.full((S, S), float("-inf"), dtype=torch.float64), 1)
+    e64 = torch.tensor(ref_enc, dtype=torch.float64)
+    for p in dec["blocks"]:
+        y = ln(xd, p["ln1"])
+        q = (y @ t(p["attn"]["q"]["w"]) + t(p["attn"]["q"]["b"])).reshape(1, S, Hd, hdd).permute(0, 2, 1, 3)
+        k = (y @ t(p["attn"]["k"]["w"]) + t(p["attn"]["k"]["b"])).reshape(1, S, Hd, hdd).permute(0, 2, 1, 3)
+        v = (y @ t(p["attn"]["v"]["w"]) + t(p["attn"]["v"]["b"])).reshape(1, S, Hd, hdd).permute(0, 2, 1, 3)
+        att = torch.softmax(q @ k.transpose(-2, -1) * hdd**-0.5 + causal, -1) @ v
+        xd = xd + att.permute(0, 2, 1, 3).reshape(1, S, d) @ t(p["attn"]["o"]["w"]) + t(p["attn"]["o"]["b"])
+        y = ln(xd, p["ln_cross"])
+        qc = (y @ t(p["cross"]["q"]["w"]) + t(p["cross"]["q"]["b"])).reshape(1, S, Hd, hdd).permute(0, 2, 1, 3)
+        kc = (e64 @ t(p["cross"]["k"]["w"]) + t(p["cross"]["k"]["b"])).reshape(1, Tp, Hd, hdd).permute(0, 2, 1, 3)
+        vc = (e64 @ t(p["cross"]["v"]["w"]) + t(p["cross"]["v"]["b"])).reshape(1, Tp, Hd, hdd).permute(0, 2, 1, 3)
+        attc = torch.softmax(qc @ kc.transpose(-2, -1) * hdd**-0.5, -1) @ vc
+        xd = xd + attc.permute(0, 2, 1, 3).reshape(1, S, d) @ t(p["cross"]["o"]["w"]) + t(p["cross"]["o"]["b"])
+        y = ln(xd, p["ln2"])
+        h = F.gelu(y @ t(p["mlp"]["fc1"]["w"]) + t(p["mlp"]["fc1"]["b"]))
+        xd = xd + h @ t(p["mlp"]["fc2"]["w"]) + t(p["mlp"]["fc2"]["b"])
+    xd = ln(xd, dec["ln"])
+    ref_logits = (xd @ t(dec["embed"]).T).numpy()
+
+    rel = np.linalg.norm(ours_logits - ref_logits) / np.linalg.norm(ref_logits)
+    assert rel < 2e-4, rel
+    np.testing.assert_array_equal(np.argmax(ours_logits[0, -1]), np.argmax(ref_logits[0, -1]))
+
+
+def test_paraformer_large_geometry_parity():
+    """paraformer-large-zh geometry (hidden 512, 1+49 SANM encoders, CIF
+    predictor, 16+1 SANM decoder blocks, vocab 8404): encoder, alphas, CIF
+    fire and NAR decoder logits vs an independent f64 torch/numpy
+    transcription of the reference export wrapper
+    (``/root/reference/Paraformer/Non-Streaming/Export_Paraformer.py:
+    367-563``): sinusoid PE (positions from 1), SANM stack, CifPredictorV2
+    (conv k3 -> relu -> sigmoid linear), f64 integrate-and-fire with
+    boundary-weight split + 0.45 tail, FFN-first decoder blocks
+    (w2(LN(relu(w1))) -> FSMN+res -> cross-attention) + FFN-only block."""
+    import torch
+    import torch.nn.functional as F
+
+    from asr_tpu.decode.cif import cif_fire
+    from asr_tpu.models import paraformer as pf
+    from asr_tpu.models.sensevoice import sinusoid_position_encoding
+
+    cfg = pf.ParaformerConfig()  # real paraformer-large-zh geometry
+    assert (cfg.hidden, cfg.num_encoders, cfg.num_decoders, cfg.vocab_size) == (512, 49, 16, 8404)
+    params = pf.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    # bias the predictor so alphas land in a firing range
+    params["predictor"]["out"]["b"] = jnp.asarray([0.5], jnp.float32)
+
+    t_lfr, max_tokens = 100, 128
+    feats = (rng.standard_normal((1, t_lfr, cfg.feature_size)) * 0.5).astype(np.float32)
+    pe = sinusoid_position_encoding(t_lfr, cfg.feature_size)
+    x_in = jnp.asarray(feats) + jnp.asarray(pe)[None]
+    valid = jnp.asarray([t_lfr], np.int32)
+
+    enc = pf.encode(params, cfg, x_in, valid)
+    alphas = pf.predict_alphas(params, cfg, enc, valid)
+    embeds, counts = cif_fire(alphas, enc, valid, max_tokens, cfg.tail_threshold)
+    logits = pf.decode_tokens(params, cfg, embeds.astype(enc.dtype), counts, enc, valid)
+    enc_np, alphas_np = np.asarray(enc, np.float32), np.asarray(alphas, np.float64)
+    embeds_np, n_fired = np.asarray(embeds, np.float32), int(counts[0])
+    ours_logits = np.asarray(logits, np.float32)
+
+    # --- torch encoder (f64) ---
+    pnp = jax.tree.map(np.asarray, params)
+    t = lambda a: torch.tensor(np.asarray(a), dtype=torch.float64)
+    x = t(feats) + t(pe)[None]
+    for p in pnp["encoders0"]:
+        x = _torch_sanm_block(x, p, cfg.num_heads, cfg.head_dim, residual=False)
+    for p in pnp["encoders"]:
+        x = _torch_sanm_block(x, p, cfg.num_heads, cfg.head_dim, residual=True)
+    x = F.layer_norm(x, (cfg.hidden,), t(pnp["after_norm"]["scale"]), t(pnp["after_norm"]["bias"]))
+    ref_enc = x.numpy()
+    rel = np.linalg.norm(enc_np - ref_enc) / np.linalg.norm(ref_enc)
+    assert rel < 2e-4, rel
+
+    # --- predictor (f64) ---
+    pr = pnp["predictor"]
+    w = t(pr["conv"]["w"]).permute(2, 1, 0)  # HIO (k,in,out) -> (out,in,k)
+    y = F.conv1d(x.transpose(1, 2), w, t(pr["conv"]["b"]), padding=1).transpose(1, 2)
+    y = torch.relu(y)
+    ref_alphas = torch.sigmoid(y @ t(pr["out"]["w"]) + t(pr["out"]["b"]))[..., 0].numpy()
+    np.testing.assert_allclose(alphas_np, ref_alphas, rtol=0, atol=1e-5)
+
+    # --- f64 integrate-and-fire with boundary split (reference
+    # Export_Paraformer.py:506-519 semantics) ---
+    a_ext = np.concatenate([ref_alphas[0], [cfg.tail_threshold]])
+    h_ext = np.concatenate([ref_enc[0], np.zeros((1, cfg.hidden))]).astype(np.float64)
+    integ, acc = 0.0, np.zeros(cfg.hidden)
+    fired = []
+    for a, hv in zip(a_ext, h_ext):
+        if integ + a >= 1.0:
+            part = 1.0 - integ
+            fired.append(acc + part * hv)
+            r = a - part
+            # sigmoid alphas <= 1: at most one boundary per frame
+            acc = r * hv
+            integ = r
+        else:
+            integ += a
+            acc = acc + a * hv
+    assert n_fired == len(fired), (n_fired, len(fired))
+    ref_embeds = np.stack(fired)
+    np.testing.assert_allclose(embeds_np[0, :n_fired], ref_embeds, rtol=0, atol=2e-3)
+
+    # --- torch NAR decoder (f64) over the fired embeddings ---
+    def ffn_dec(v, p):
+        hh = torch.relu(v @ t(p["w1"]["w"]) + t(p["w1"]["b"]))
+        hh = F.layer_norm(hh, (hh.shape[-1],), t(p["norm"]["scale"]), t(p["norm"]["bias"]))
+        return hh @ t(p["w2"]["w"]) + t(p["w2"]["b"])
+
+    H, hd = cfg.num_heads, cfg.head_dim
+    xd = torch.tensor(embeds_np[:, :n_fired], dtype=torch.float64)
+    N = n_fired
+    mem = x  # (1, T, D)
+    pad = (cfg.fsmn_kernel - 1) // 2
+    for p in pnp["decoders"]:
+        y = ffn_dec(F.layer_norm(xd, (cfg.hidden,), t(p["norm1"]["scale"]), t(p["norm1"]["bias"])), p["ffn"])
+        sa = F.layer_norm(y, (cfg.hidden,), t(p["norm2"]["scale"]), t(p["norm2"]["bias"]))
+        wf = t(p["fsmn_w"])
+        fsmn = F.conv1d(sa.transpose(1, 2), wf.T.unsqueeze(1), padding=pad,
+                        groups=cfg.hidden).transpose(1, 2) + sa
+        xd = xd + fsmn
+        c_in = F.layer_norm(xd, (cfg.hidden,), t(p["norm3"]["scale"]), t(p["norm3"]["bias"]))
+        q = (c_in @ t(p["cross"]["q"]["w"]) + t(p["cross"]["q"]["b"])).reshape(1, N, H, hd).permute(0, 2, 1, 3)
+        kv = mem @ t(p["cross"]["kv"]["w"]) + t(p["cross"]["kv"]["b"])
+        k, v = kv.split(cfg.hidden, dim=-1)
+        k = k.reshape(1, t_lfr, H, hd).permute(0, 2, 1, 3)
+        v = v.reshape(1, t_lfr, H, hd).permute(0, 2, 1, 3)
+        att = torch.softmax(q @ k.transpose(-2, -1) * hd**-0.5, -1) @ v
+        ctx = att.permute(0, 2, 1, 3).reshape(1, N, cfg.hidden)
+        xd = xd + ctx @ t(p["cross"]["out"]["w"]) + t(p["cross"]["out"]["b"])
+    for p in pnp["decoder_ffn"]:
+        xd = ffn_dec(F.layer_norm(xd, (cfg.hidden,), t(p["norm1"]["scale"]), t(p["norm1"]["bias"])), p["ffn"])
+    xd = F.layer_norm(xd, (cfg.hidden,), t(pnp["decoder_after_norm"]["scale"]), t(pnp["decoder_after_norm"]["bias"]))
+    ref_logits = (xd @ t(pnp["output"]["w"]) + t(pnp["output"]["b"])).numpy()
+
+    got = ours_logits[0, :n_fired]
+    rel = np.linalg.norm(got - ref_logits[0]) / np.linalg.norm(ref_logits[0])
+    assert rel < 5e-4, rel
+    np.testing.assert_array_equal(np.argmax(got, -1), np.argmax(ref_logits[0], -1))
+
+
+def test_nemotron_06b_geometry_parity():
+    """nemotron-3.5-asr-0.6b offline geometry (d 1024, 24 FastConformer
+    layers, 8 heads, ffn 4096 no-bias, causal conv k9, chunked attention
+    chunk 14 / left 70, prompt projection, LSTM 2x640 + joint): encoder
+    projection + one joint step vs an independent f64 torch transcription
+    of the reference export wrapper
+    (``/root/reference/Nemotron/Export_Nemotron_ASR.py:456-694``):
+    asymmetric-causal pre-encode conv chain (H pads (2+cache,1), W (2,1),
+    depthwise+pointwise pairs, drop_extra), block-chunk attention mask,
+    causal (left-only pad) conv modules, relu(enc w0 + prompt bias) -> w2
+    -> joint_enc, and relu(enc + pred) joint."""
+    import torch
+    import torch.nn.functional as F
+
+    from asr_tpu.models import nemotron as nm
+
+    cfg = nm.NemotronConfig()  # real 0.6B geometry defaults
+    assert (cfg.d_model, cfg.num_layers, cfg.num_heads, cfg.ffn_dim) == (1024, 24, 8, 4096)
+    params = nm.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    for blk in params["blocks"]:
+        a = blk["attn"]
+        a["bias_u"] = jnp.asarray(rng.standard_normal(a["bias_u"].shape).astype(np.float32) * 0.1)
+        a["bias_v"] = jnp.asarray(rng.standard_normal(a["bias_v"].shape).astype(np.float32) * 0.1)
+
+    t_mel = 200
+    mel = (rng.standard_normal((1, t_mel, cfg.mel.n_mels)) * 0.5).astype(np.float32)
+    prompt_id = jnp.asarray([7], np.int32)
+    enc, valid = nm.encode_features(params, cfg, jnp.asarray(mel),
+                                    jnp.asarray([t_mel], np.int32), prompt_id)
+    enc_np = np.asarray(enc, np.float32)
+    n_valid = int(valid[0])
+
+    pnp = jax.tree.map(np.asarray, params)
+    t = lambda a: torch.tensor(np.asarray(a), dtype=torch.float64)
+    d = cfg.d_model
+
+    def ln(v, p):
+        return F.layer_norm(v, (v.shape[-1],), t(p["scale"]), t(p["bias"]))
+
+    # --- causal pre-encode conv chain ---
+    pe_p = pnp["pre_encode"]
+    x = t(mel).unsqueeze(1)  # (B, 1, T, M)
+    pad0 = 2 + cfg.pre_encode_cache
+
+    def aconv(v, wname, groups=1, pad_top=2, act=True):
+        w = t(pe_p[wname]["w"]).permute(3, 2, 0, 1)
+        v = F.pad(v, (2, 1, pad_top, 1))
+        v = F.conv2d(v, w, t(pe_p[wname]["b"]), stride=2, groups=groups)
+        return F.relu(v) if act else v
+
+    ch = cfg.sub_channels
+    x = aconv(x, "conv0", 1, pad0, act=True)
+    x = aconv(x, "dw1", ch, 2, act=False)
+    x = F.relu(F.conv2d(x, t(pe_p["pw1"]["w"]).permute(3, 2, 0, 1), t(pe_p["pw1"]["b"])))
+    x = aconv(x, "dw2", ch, 2, act=False)
+    x = F.relu(F.conv2d(x, t(pe_p["pw2"]["w"]).permute(3, 2, 0, 1), t(pe_p["pw2"]["b"])))
+    B, C, Tc, W = x.shape
+    x = x.permute(0, 2, 1, 3).reshape(B, Tc, C * W)
+    x = x @ t(pe_p["out"]["w"]) + t(pe_p["out"]["b"])
+    x = x[:, cfg.drop_extra:]
+    Tp = x.shape[1]
+    assert n_valid == Tp, (n_valid, Tp)
+
+    # --- chunked block attention mask + rel PE ---
+    idx = np.arange(Tp)
+    chunk_start = (idx // cfg.chunk) * cfg.chunk
+    keep = (idx[None, :] >= (chunk_start - cfg.left_context)[:, None]) & \
+           (idx[None, :] <= (chunk_start + cfg.right_context)[:, None])
+    att_bias = torch.where(torch.tensor(keep), 0.0, -1e30).to(torch.float64)
+    inv_freq = 1.0 / (10000.0 ** (np.arange(0, d, 2, dtype=np.float64) / d))
+    positions = np.arange(Tp - 1, -Tp, -1, dtype=np.float64)
+    fr_ = positions[:, None] * inv_freq[None, :]
+    pe = torch.tensor(np.stack([np.sin(fr_), np.cos(fr_)], -1).reshape(len(positions), d))
+
+    H, hd = cfg.num_heads, d // cfg.num_heads
+    for p in pnp["blocks"]:
+        x = x + 0.5 * (F.silu(ln(x, p["norm_ff1"]) @ t(p["ff1"]["w1"]["w"])) @ t(p["ff1"]["w2"]["w"]))
+        a = p["attn"]
+        ya = ln(x, p["norm_att"])
+        q = (ya @ t(a["q"]["w"])).reshape(B, Tp, H, hd).permute(0, 2, 1, 3)
+        k = (ya @ t(a["k"]["w"])).reshape(B, Tp, H, hd).permute(0, 2, 1, 3)
+        v = (ya @ t(a["v"]["w"])).reshape(B, Tp, H, hd).permute(0, 2, 1, 3)
+        rel_k = (pe @ t(a["rel_k"]["w"])).reshape(-1, H, hd)
+        ac = torch.einsum("bhsd,bhtd->bhst", q + t(a["bias_u"])[None, :, None, :], k)
+        bd = torch.einsum("bhsd,phd->bhsp", q + t(a["bias_v"])[None, :, None, :], rel_k)
+        bpad = F.pad(bd, (1, 0))
+        bd = bpad.reshape(B, H, 2 * Tp, Tp)[:, :, 1:].reshape(B, H, Tp, 2 * Tp - 1)[..., :Tp]
+        att = torch.softmax((ac + bd) * hd**-0.5 + att_bias, dim=-1) @ v
+        x = x + att.permute(0, 2, 1, 3).reshape(B, Tp, d) @ t(a["o"]["w"])
+        c = p["conv"]
+        y = ln(x, p["norm_conv"]) @ t(c["pw1"]["w"])
+        half = y.shape[-1] // 2
+        y = y[..., :half] * torch.sigmoid(y[..., half:])
+        dw = t(c["dw"]["w"])  # (K, D): causal left-only pad
+        y = F.conv1d(F.pad(y.transpose(1, 2), (dw.shape[0] - 1, 0)), dw.T.unsqueeze(1),
+                     groups=d).transpose(1, 2)
+        y = F.silu(ln(y, c["ln"]))
+        x = x + y @ t(c["pw2"]["w"])
+        x = x + 0.5 * (F.silu(ln(x, p["norm_ff2"]) @ t(p["ff2"]["w1"]["w"])) @ t(p["ff2"]["w2"]["w"]))
+        x = ln(x, p["norm_out"])
+
+    pr = pnp["prompt"]
+    h0 = F.relu(x @ t(pr["w0_enc"]) + t(pr["bias_table"][7])[None, None])
+    h0 = h0 @ t(pr["w2"]["w"]) + t(pr["w2"]["b"])
+    ref_enc = (h0 @ t(pr["joint_enc"]["w"]) + t(pr["joint_enc"]["b"])).numpy()
+
+    rel = np.linalg.norm(enc_np - ref_enc) / np.linalg.norm(ref_enc)
+    assert rel < 2e-4, rel
+
+    # --- one LSTM + joint step ---
+    h = jnp.zeros((cfg.lstm_layers, 1, cfg.pred_hidden), jnp.float32)
+    c = jnp.zeros((cfg.lstm_layers, 1, cfg.pred_hidden), jnp.float32)
+    tok = jnp.asarray([5], jnp.int32)
+    # same frame on both sides (the encoders' own 1e-4 noise is already
+    # asserted above; this isolates the LSTM + joint math)
+    frame = ref_enc[:, 0].astype(np.float32)
+    logits, _, _ = nm.joint_step(params, tok, h, c, jnp.asarray(frame))
+    dec = pnp["decoder"]
+    xt = t(dec["embed"][5])[None]
+    for lp in dec["lstm"]:
+        # each stacked layer carries its OWN zero-initialized (h, c)
+        hh = torch.zeros(1, cfg.pred_hidden, dtype=torch.float64)
+        cc = torch.zeros(1, cfg.pred_hidden, dtype=torch.float64)
+        gates = xt @ t(lp["w_ih"]) + t(lp["b_ih"]) + hh @ t(lp["w_hh"]) + t(lp["b_hh"])
+        i, f, g, o = gates.split(cfg.pred_hidden, dim=-1)
+        cc2 = torch.sigmoid(f) * cc + torch.sigmoid(i) * torch.tanh(g)
+        xt = torch.sigmoid(o) * torch.tanh(cc2)
+    pred = xt @ t(dec["pred"]["w"]) + t(dec["pred"]["b"])
+    z = F.relu(torch.tensor(frame, dtype=torch.float64) + pred)
+    ref_logits = (z @ t(dec["joint_net"]["w"]) + t(dec["joint_net"]["b"])).numpy()
+    np.testing.assert_allclose(np.asarray(logits, np.float32), ref_logits,
+                               rtol=0, atol=2e-4)
+
+
 def test_parakeet_06b_geometry_forward():
     """parakeet-tdt-0.6b-v3 geometry (24 x 1024 FastConformer + TDT):
     full-size jitted forward is finite and shape-correct (no HF torch

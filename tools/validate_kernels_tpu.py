@@ -41,27 +41,47 @@ def _fetch(out) -> None:
         np.asarray(jnp.ravel(leaf)[:1])
 
 
-def _time_loop(fn, x, iters=50):
-    """ms per call of ``fn(x)`` with the loop inside ONE jit.
+def _time_loop(fn, args, iters=500):
+    """ms per call of ``fn(*args, bump)`` with the loop inside ONE jit.
 
-    The carry perturbs x each iteration (consumed by the measured op, so
-    nothing hoists) and accumulates one output element (so no iteration is
-    dead)."""
+    Hoist-proofing: the scalar ``bump`` carry must perturb the WEIGHTS (not
+    just the activations) inside ``fn`` — otherwise XLA's loop-invariant
+    code motion hoists the dequantize out of the loop and the measurement
+    no longer matches what a real per-dispatch execution pays (this
+    artifact produced a fictitious '894 TF/s XLA' figure during r3 tuning).
+    The result feeds the accumulator so no iteration is dead.
+
+    Full-output consumption: the accumulator sums EVERY output element —
+    consuming only out[0] lets XLA slice the dot down to one row x column
+    (dead-code elimination through the matmul) while the opaque pallas_call
+    still pays full cost, which skews the comparison by >10x.
+
+    Overhead cancellation: the axon tunnel costs ~29 ms per dispatch+fetch
+    round trip, so the reported time is the difference quotient
+    (t(2N) - t(N)) / N, median of 5."""
 
     @functools.partial(jax.jit, static_argnames=("n",))
-    def loop(x, n):
+    def loop(args, n):
         def body(i, carry):
             acc, bump = carry
-            out = fn(x + bump)
-            return acc + jnp.ravel(out)[0].astype(jnp.float32), bump + jnp.float32(1e-6)
+            out = fn(*args, bump)
+            return acc + jnp.sum(out.astype(jnp.float32)), bump + jnp.float32(1e-9)
 
         acc, _ = jax.lax.fori_loop(0, n, body, (jnp.float32(0), jnp.float32(0)))
         return acc
 
-    _fetch(loop(x, iters))  # compile
-    t0 = time.perf_counter()
-    _fetch(loop(x, iters))
-    return (time.perf_counter() - t0) / iters * 1e3
+    _fetch(loop(args, iters))  # compile both
+    _fetch(loop(args, 2 * iters))
+    diffs = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _fetch(loop(args, iters))
+        t1 = time.perf_counter()
+        _fetch(loop(args, 2 * iters))
+        t2 = time.perf_counter()
+        diffs.append(((t2 - t1) - (t1 - t0)) / iters)
+    diffs.sort()
+    return diffs[len(diffs) // 2] * 1e3
 
 
 def validate_quant_matmul(bits: int, pack: bool, m: int, results: dict) -> None:
@@ -82,8 +102,27 @@ def validate_quant_matmul(bits: int, pack: bool, m: int, results: dict) -> None:
     ref_scale = float(jnp.max(jnp.abs(want))) + 1e-30
     err32 = float(jnp.max(jnp.abs(pallas_f32(x) - want)))
     err16 = float(jnp.max(jnp.abs(pallas_bf16(x) - want)))
-    p16_ms = _time_loop(lambda x: qm._pallas_quant_dense_2d(x, qleaf, mm="bf16"), x)
-    x_ms = _time_loop(lambda x: qm._xla_quant_dense(x, qleaf), x)
+    # Timed variants rebuild the qleaf with a bump-perturbed scale so the
+    # dequant re-runs every iteration on BOTH routes (see _time_loop).
+    from asr_tpu.quant.quantize import QuantizedLinear
+
+    def leaf(q, scale, zero, bump):
+        return QuantizedLinear(q, scale * (1 + bump), zero,
+                               qleaf.bits, qleaf.block, qleaf.packed)
+
+    # Serving comparison: both routes at serving precision (bf16 MXU
+    # passes) — the module-level HIGHEST override is for the correctness
+    # reference only and would slow the XLA dot ~5x.
+    iters = 2000 if m <= 64 else 600
+    with jax.default_matmul_precision("default"):
+        p16_ms = _time_loop(
+            lambda x, q, s, z, bump: qm._pallas_quant_dense_2d(
+                x, leaf(q, s, z, bump), mm="bf16"),
+            (x, qleaf["q"], qleaf["scale"], qleaf["zero"]), iters=iters)
+        x_ms = _time_loop(
+            lambda x, q, s, z, bump: qm._xla_quant_dense(
+                x, leaf(q, s, z, bump)).astype(jnp.float32),
+            (x, qleaf["q"], qleaf["scale"], qleaf["zero"]), iters=iters)
     name = f"quant_matmul_int{bits}" + ("_packed" if pack else "") + f"_m{m}"
     results[name] = {
         "shape": [m, k, n],
@@ -121,8 +160,8 @@ def validate_fused_fbank(results: dict) -> None:
         want = jax.jit(unfused_fn)(audio)
         real = cfg.num_frames(s)  # padded tail frames differ by design
         err = float(jnp.max(jnp.abs(got[:, :real] - want[:, :real])))
-        f_ms = _time_loop(fused_fn, audio, iters=20)
-        u_ms = _time_loop(unfused_fn, audio, iters=20)
+        f_ms = _time_loop(lambda a, bump: fused_fn(a + bump), (audio,), iters=100)
+        u_ms = _time_loop(lambda a, bump: unfused_fn(a + bump), (audio,), iters=100)
     finally:
         if env is not None:
             os.environ["ASR_TPU_FUSED_FBANK"] = env
