@@ -16,12 +16,16 @@ from pathlib import Path
 
 
 def _build_session(folder: Path, language: str | None = None, mesh=None,
-                   dtype: str | None = None):
+                   dtype: str | None = None, tensor_parallel: int = 1):
     """Artifact folder -> ready session, for every family (the reference's
     per-family inference scripts collapsed into one dispatch).
 
     ``mesh``: optional jax.sharding.Mesh — offline (windowed) sessions run
     batch-data-parallel over its ``data`` axis (parallel/serve.py).
+    ``tensor_parallel``: when > 1, the mesh's ``model`` axis additionally
+    shards the family's wide matmuls (Megatron layout, see
+    ``parallel.mesh.*_param_specs``) — wired for sensevoice / whisper /
+    qwen_asr / fun_asr_nano_llm.
     ``dtype``: serving cast, e.g. "bfloat16" — halves weight HBM; norms and
     softmax stay f32 inside the models (the bf16 replacement for the
     reference's F16 guard machinery, SURVEY.md §7.7)."""
@@ -37,12 +41,24 @@ def _build_session(folder: Path, language: str | None = None, mesh=None,
     tokenizer = _build_tokenizer(folder, meta)
     cfg_dict = meta.extra.get("config", {})
 
+    tp = int(tensor_parallel or 1)
+    if tp > 1 and family not in ("sensevoice", "whisper", "qwen_asr",
+                                 "fun_asr_nano_llm"):
+        raise SystemExit(
+            f"--tensor-parallel has no sharding specs for family {family!r} "
+            "(wired: sensevoice, whisper, qwen_asr, fun_asr_nano_llm)")
+
     if family == "sensevoice":
         from asr_tpu.models.sensevoice import SenseVoiceConfig
         from asr_tpu.runtime.session import SenseVoiceSession
 
+        specs = None
+        if tp > 1:
+            from asr_tpu.parallel.mesh import sensevoice_param_specs
+            specs = sensevoice_param_specs
         cfg = config_from_dict(SenseVoiceConfig, cfg_dict)
-        return SenseVoiceSession(params, cfg, tokenizer=tokenizer, metadata=meta, mesh=mesh)
+        return SenseVoiceSession(params, cfg, tokenizer=tokenizer, metadata=meta,
+                                 mesh=mesh, param_specs=specs)
 
     if family == "whisper":
         from asr_tpu.models.whisper import WhisperConfig
@@ -55,8 +71,13 @@ def _build_session(folder: Path, language: str | None = None, mesh=None,
         )
         lang_map = {p.code: p.prompt_token_id for p in meta.supported_languages
                     if p.prompt_token_id is not None}
+        specs = None
+        if tp > 1:
+            from asr_tpu.parallel.mesh import whisper_param_specs
+            specs = whisper_param_specs
         return WhisperSession(params, cfg, tokenizer=tokenizer,
-                              session_cfg=scfg, language_id_map=lang_map, mesh=mesh)
+                              session_cfg=scfg, language_id_map=lang_map, mesh=mesh,
+                              param_specs=specs)
 
     if family == "paraformer":
         from asr_tpu.models.paraformer import ParaformerConfig
@@ -134,13 +155,11 @@ def _build_session(folder: Path, language: str | None = None, mesh=None,
         from asr_tpu.runtime.transducer_session import DolphinSession
 
         cfg = config_from_dict(DolphinConfig, cfg_dict)
-        lang_id, region_id = -1, -2
-        if language:
-            prof = meta.resolve_language(language)
-            if prof.prompt_token_id is not None:
-                lang_id = prof.prompt_token_id
-        return DolphinSession(params, cfg, tokenizer=tokenizer, mesh=mesh,
-                              language_id=lang_id, region_id=region_id)
+        return DolphinSession(
+            params, cfg, tokenizer=tokenizer, mesh=mesh,
+            language_catalog=meta.extra.get("dolphin_language_catalog") or {},
+            language=language,
+        )
 
     if family == "fun_asr_nano":
         from asr_tpu.models.fun_asr_nano import FunAsrNanoConfig
@@ -160,7 +179,7 @@ def _build_session(folder: Path, language: str | None = None, mesh=None,
             tail_ids=tuple(meta.extra.get("prompt_tail_ids", [])),
         )
         return FunAsrNanoLlmSession(params["encoder"], params["llm"], cfg,
-                                    tokenizer=tokenizer, template=tpl)
+                                    tokenizer=tokenizer, template=tpl, mesh=mesh)
 
     if family in ("x_asr", "zipformer"):
         from asr_tpu.models.zipformer import ZipformerConfig
@@ -182,7 +201,7 @@ def _build_session(folder: Path, language: str | None = None, mesh=None,
         return QwenAsrSession(
             params["tower"], params["llm"], cfg, tokenizer=tokenizer, template=tpl,
             language_prompt_ids=meta.extra.get("language_prompt_ids") or {},
-            metadata=meta,
+            metadata=meta, mesh=mesh,
         )
 
     if family == "qwen_aligner":
@@ -223,18 +242,26 @@ def _build_tokenizer(folder: Path, meta):
     return None
 
 
-def cmd_transcribe(args) -> int:
-    mesh = None
-    if getattr(args, "data_parallel", 0):
-        from asr_tpu.parallel.mesh import make_mesh
+def _mesh_from_args(args):
+    """(data_parallel, tensor_parallel) flags -> Mesh or None."""
+    dp = getattr(args, "data_parallel", 0) or 0
+    tp = getattr(args, "tensor_parallel", 1) or 1
+    if not dp and tp <= 1:
+        return None, 1
+    from asr_tpu.parallel.mesh import make_mesh
 
-        mesh = make_mesh(args.data_parallel, model_parallel=1)
+    n = dp * tp if dp else None  # dp unset: all devices / tp
+    return make_mesh(n, model_parallel=tp), tp
+
+
+def cmd_transcribe(args) -> int:
+    mesh, tp = _mesh_from_args(args)
     sess = _build_session(Path(args.model_dir), language=args.language, mesh=mesh,
-                          dtype=getattr(args, "dtype", None))
+                          dtype=getattr(args, "dtype", None), tensor_parallel=tp)
     if mesh is not None and getattr(sess, "runner", None) is None:
         raise SystemExit(
-            f"--data-parallel is not wired for {type(sess).__name__} "
-            "(offline windowed families only); rerun without it"
+            f"--data-parallel/--tensor-parallel is not wired for "
+            f"{type(sess).__name__}; rerun without it"
         )
     import contextlib
     import inspect
@@ -482,26 +509,101 @@ def cmd_bench(args) -> int:
 def cmd_serve(args) -> int:
     """HTTP serving: micro-batched transcription endpoint (the production
     counterpart of the reference's per-file script loop)."""
-    mesh = None
-    if getattr(args, "data_parallel", 0):
-        from asr_tpu.parallel.mesh import make_mesh
-
-        mesh = make_mesh(args.data_parallel, model_parallel=1)
-    sess = _build_session(Path(args.model_dir), language=args.language, mesh=mesh)
+    mesh, tp = _mesh_from_args(args)
+    sess = _build_session(Path(args.model_dir), language=args.language, mesh=mesh,
+                          tensor_parallel=tp)
     if not hasattr(sess, "_forward"):
         raise SystemExit(f"family {type(sess).__name__} has no batchable "
                          "window forward; serve supports the offline (windowed) "
                          "and LLM (Qwen3-ASR) families")
     if mesh is not None and getattr(sess, "runner", None) is None:
         raise SystemExit(
-            f"--data-parallel is not wired for {type(sess).__name__}; "
-            "rerun without it"
+            f"--data-parallel/--tensor-parallel is not wired for "
+            f"{type(sess).__name__}; rerun without it"
         )
     from asr_tpu.parallel.http_server import serve_forever
 
     serve_forever(sess, host=args.host, port=args.port,
                   max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
                   language=args.language)
+    return 0
+
+
+def cmd_serve_stream(args) -> int:
+    """Real-time streaming endpoint: N concurrent chunked-HTTP connections
+    -> one vmapped device step per tick (parallel/stream_server.py)."""
+    from pathlib import Path as _P
+
+    import numpy as np
+
+    from asr_tpu.runtime.artifact import load_model
+    from asr_tpu.runtime.metadata import config_from_dict
+    from asr_tpu.parallel.stream_server import serve_streams
+    from asr_tpu.streaming import multistream as ms
+
+    params, meta = load_model(_P(args.model_dir))
+    family = meta.family
+    cfg_dict = meta.extra.get("config", {})
+    n = args.streams
+    extract = None
+    advance = None
+    pcm_scale = 32768.0
+
+    if family == "paraformer_streaming":
+        from asr_tpu.models.paraformer import ParaformerConfig
+        from asr_tpu.streaming.paraformer_online import ParaformerStreamConfig
+
+        scfg = (config_from_dict(ParaformerStreamConfig, cfg_dict)
+                if "base" in cfg_dict else
+                ParaformerStreamConfig(base=config_from_dict(ParaformerConfig, cfg_dict)))
+        runner = ms.paraformer_multistream(params, scfg, n)
+        chunk = scfg.chunk_samples
+    elif family == "nemotron_streaming":
+        from asr_tpu.models.nemotron import NemotronConfig
+        from asr_tpu.streaming.nemotron_stream import NemotronStreamConfig
+
+        scfg = (config_from_dict(NemotronStreamConfig, cfg_dict)
+                if "base" in cfg_dict else
+                NemotronStreamConfig(base=config_from_dict(NemotronConfig, cfg_dict)))
+        runner = ms.nemotron_multistream(params, scfg, n)
+        chunk = scfg.window_samples
+        pcm_scale = 1.0  # NeMo mel consumes [-1, 1] PCM
+    elif family in ("x_asr", "zipformer"):
+        from asr_tpu.models.zipformer import ZipformerConfig
+
+        cfg = config_from_dict(ZipformerConfig, cfg_dict)
+        runner = ms.zipformer_multistream(params, cfg, n)
+        chunk, advance = cfg.window_samples, cfg.advance_samples
+    elif family == "dolphin_streaming":
+        from asr_tpu.models.dolphin import DolphinConfig
+        from asr_tpu.streaming.dolphin_stream import DolphinStreamConfig
+
+        scfg = (config_from_dict(DolphinStreamConfig, cfg_dict)
+                if "base" in cfg_dict else
+                DolphinStreamConfig(base=config_from_dict(DolphinConfig, cfg_dict)))
+        runner = ms.dolphin_multistream(params, scfg, n)
+        chunk, advance = scfg.window_samples, scfg.advance_samples
+        blank = 0
+
+        def extract(outs, i, st):  # per-slot cross-chunk CTC collapse
+            prev = st.get("last", blank)
+            new = []
+            for t in np.asarray(outs["ctc_ids"][i]):
+                t = int(t)
+                if t != blank and t != prev:
+                    new.append(t)
+                prev = t
+            st["last"] = prev
+            return new
+    else:
+        raise SystemExit(
+            f"serve-stream supports the streaming families "
+            f"(paraformer_streaming, nemotron_streaming, x_asr, "
+            f"dolphin_streaming); artifact is {family!r}")
+
+    serve_streams(runner, chunk, host=args.host, port=args.port,
+                  extract=extract, pcm_scale=pcm_scale,
+                  advance_samples=advance)
     return 0
 
 
@@ -530,6 +632,11 @@ def main(argv=None) -> int:
     p = sub.add_parser("transcribe", help="transcribe audio files with a model artifact")
     p.add_argument("--model-dir", required=True)
     p.add_argument("--language", default=None)
+    p.add_argument("--tensor-parallel", type=int, default=1, metavar="T",
+                   help="shard the model's wide matmuls over T devices "
+                        "(Megatron TP; sensevoice/whisper/qwen_asr/"
+                        "fun_asr_nano_llm); composes with --data-parallel "
+                        "as a (data, model) mesh")
     p.add_argument("--data-parallel", type=int, default=0, metavar="N",
                    help="shard window batches over an N-device data-parallel "
                         "mesh (0 = single device)")
@@ -600,7 +707,20 @@ def main(argv=None) -> int:
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--max-wait-ms", type=float, default=5.0)
     p.add_argument("--data-parallel", type=int, default=0, metavar="N")
+    p.add_argument("--tensor-parallel", type=int, default=1, metavar="T",
+                   help="Megatron TP over T devices (see transcribe)")
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("serve-stream",
+                       help="real-time streaming endpoint: N concurrent "
+                            "chunked-HTTP PCM connections, one vmapped "
+                            "device step per tick")
+    p.add_argument("--model-dir", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8001)
+    p.add_argument("--streams", type=int, default=8,
+                   help="concurrent stream slots (vmapped batch size)")
+    p.set_defaults(fn=cmd_serve_stream)
 
     p = sub.add_parser("build", help="build an artifact folder from a source checkpoint")
     p.add_argument("--family", required=True,

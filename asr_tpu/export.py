@@ -161,6 +161,66 @@ def build_paraformer_artifact(
     return out_dir
 
 
+# English / native-name aliases for Dolphin's 2-level language tokens
+# (factual ISO-639-style name table; only codes actually present in the
+# artifact's vocab are stamped). "ct" is Dolphin's Cantonese/Yue code.
+DOLPHIN_LANGUAGE_NAMES = {
+    "zh": ("Chinese", "Mandarin", "中文", "普通话"),
+    "ct": ("Cantonese", "Yue", "粤语", "粵語"),
+    "ja": ("Japanese", "日本語"),
+    "ko": ("Korean", "한국어"),
+    "th": ("Thai",), "vi": ("Vietnamese",), "id": ("Indonesian",),
+    "ms": ("Malay",), "ta": ("Tamil",), "te": ("Telugu",),
+    "ur": ("Urdu",), "hi": ("Hindi",), "bn": ("Bengali",),
+    "ar": ("Arabic",), "fa": ("Persian", "Farsi"), "ru": ("Russian",),
+    "kk": ("Kazakh",), "ky": ("Kyrgyz",), "uz": ("Uzbek",),
+    "tg": ("Tajik",), "mn": ("Mongolian",), "bo": ("Tibetan",),
+    "ug": ("Uighur", "Uyghur"), "my": ("Burmese", "Myanmar"),
+    "km": ("Khmer",), "lo": ("Lao",), "ne": ("Nepali",),
+    "si": ("Sinhala",), "pa": ("Punjabi",), "gu": ("Gujarati",),
+    "or": ("Odia", "Oriya"), "kn": ("Kannada",), "ml": ("Malayalam",),
+    "mr": ("Marathi",), "as": ("Assamese",), "tl": ("Tagalog", "Filipino"),
+    "jv": ("Javanese",), "su": ("Sundanese",), "ps": ("Pashto",),
+    "az": ("Azerbaijani",), "en": ("English",),
+}
+
+
+def dolphin_language_catalog(tokens: list[str]) -> dict | None:
+    """Scan a Dolphin vocab for the 2-level language/region token catalog.
+
+    Reference semantics (``Dolphin/v1/Export_Dolphin.py:999-1046``):
+    language tokens are ``<xx>`` (lowercase body) in the id range
+    ``(<asr> + 1, <notimestamp>)``; region tokens are ``<XX>`` (uppercase
+    body) in the same range, starting where the first uppercase body
+    appears. Returns ``{"languages": {code: id}, "regions": {code: id},
+    "asr_id": int, "notimestamp_id": int, "aliases": {name: code}}`` or
+    None when the vocab has no such structure."""
+    tok_to_id = {t: i for i, t in enumerate(tokens)}
+    asr_id = tok_to_id.get("<asr>")
+    nots_id = tok_to_id.get("<notimestamp>")
+    if asr_id is None or nots_id is None or nots_id <= asr_id + 1:
+        return None
+    languages: dict[str, int] = {}
+    regions: dict[str, int] = {}
+    for i in range(asr_id + 1, nots_id):
+        t = tokens[i]
+        if len(t) < 3 or t[0] != "<" or t[-1] != ">":
+            continue
+        body = t[1:-1]
+        if body.upper() == body and body.lower() != body:
+            regions[body] = i
+        elif body.lower() == body:
+            languages[body] = i
+    if not languages:
+        return None
+    aliases = {}
+    for code in languages:
+        for name in DOLPHIN_LANGUAGE_NAMES.get(code, ()):
+            aliases[name] = code
+    return {"languages": languages, "regions": regions,
+            "asr_id": asr_id, "notimestamp_id": nots_id, "aliases": aliases}
+
+
 def build_dolphin_artifact(
     checkpoint_path: str | Path, out_dir: str | Path, cfg=None,
     vocab_path: str | Path | None = None, streaming: bool = False,
@@ -187,8 +247,11 @@ def build_dolphin_artifact(
     params = params_from_state_dict(sd, cfg)
 
     tok_file = None
+    catalog = None
     if vocab_path is not None:
         tok_file = _copy_asset(Path(vocab_path).parent, Path(vocab_path).name, out_dir)
+        tokens = Path(vocab_path).read_text(encoding="utf-8").splitlines()
+        catalog = dolphin_language_catalog(tokens)
     if streaming:
         from asr_tpu.streaming.dolphin_stream import DolphinStreamConfig
 
@@ -196,13 +259,22 @@ def build_dolphin_artifact(
         cfg_dict = _config_dict(stream_cfg)
     else:
         cfg_dict = dataclasses.asdict(cfg)
+    special = {"sos": cfg.sos_id, "eos": cfg.eos_id}
+    extra = {"config": cfg_dict}
+    if catalog is not None:
+        special["asr"] = catalog["asr_id"]
+        special["notimestamp"] = catalog["notimestamp_id"]
+        # named 2-level language forcing: session/CLI resolve --language
+        # "ja" / "Chinese-Sichuan" through this (reference stamps the same
+        # catalog in metadata_props, Export_Dolphin.py:999-1046)
+        extra["dolphin_language_catalog"] = catalog
     meta = ModelMetadata(
         family="dolphin_streaming" if streaming else "dolphin",
         sample_rate=cfg.sample_rate,
         audio_pcm_scale=32768.0,
-        special_token_ids={"sos": cfg.sos_id, "eos": cfg.eos_id},
+        special_token_ids=special,
         tokenizer={"kind": "vocab_txt", "file": tok_file or ""},
-        extra={"config": cfg_dict},
+        extra=extra,
     )
     save_model(out_dir, params, meta)
     return out_dir

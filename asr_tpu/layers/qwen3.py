@@ -141,11 +141,21 @@ def decoder_pass(
     groups = cfg.num_heads // cfg.num_kv_heads
     b = x.shape[0]
     new_layers = []
+    qd = cfg.num_heads * cfg.head_dim
+    kd = cfg.num_kv_heads * cfg.head_dim
     for p, lstate in zip(params["layers"], state["layers"]):
         y = rms_norm(x, p["input_norm"]["scale"], cfg.rms_eps)
-        q = dense(y, p["attn"]["q"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
-        k = dense(y, p["attn"]["k"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
-        v = dense(y, p["attn"]["v"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        if "qkv" in p["attn"]:
+            # fused projection (fuse_params): one matmul, split columns —
+            # equals three separate dots up to float summation order
+            qkv = dense(y, p["attn"]["qkv"])
+            q = qkv[..., :qd].reshape(b, s, cfg.num_heads, cfg.head_dim)
+            k = qkv[..., qd:qd + kd].reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+            v = qkv[..., qd + kd:].reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        else:
+            q = dense(y, p["attn"]["q"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
+            k = dense(y, p["attn"]["k"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+            v = dense(y, p["attn"]["v"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
         if cfg.qk_norm:
             q = rms_norm(q, p["attn"]["q_norm"]["scale"], cfg.rms_eps)
             k = rms_norm(k, p["attn"]["k_norm"]["scale"], cfg.rms_eps)
@@ -156,10 +166,75 @@ def decoder_pass(
         attn = _attention(q, k_cache, v_cache, bias, groups)
         x = x + dense(attn, p["attn"]["o"])
         y = rms_norm(x, p["post_norm"]["scale"], cfg.rms_eps)
-        h = jax.nn.silu(dense(y, p["mlp"]["gate"])) * dense(y, p["mlp"]["up"])
+        if "gateup" in p["mlp"]:
+            gu = dense(y, p["mlp"]["gateup"])
+            h = jax.nn.silu(gu[..., : cfg.ffn_dim]) * gu[..., cfg.ffn_dim:]
+        else:
+            h = jax.nn.silu(dense(y, p["mlp"]["gate"])) * dense(y, p["mlp"]["up"])
         x = x + dense(h, p["mlp"]["down"])
         new_layers.append({"k": k_cache, "v": v_cache})
     return x, {"layers": tuple(new_layers)}
+
+
+def fuse_params(params: dict, cfg: Qwen3Config) -> dict:
+    """Concat per-layer q/k/v -> qkv and gate/up -> gateup along the output
+    dimension: 7 -> 4 matmuls per layer.  Batch-1 AR decode dispatches
+    ~200 small matvecs per token whose per-kernel overhead rivals the
+    weight streaming itself; fewer, wider matmuls cut that fixed cost.
+
+    Column concatenation preserves every weight (and every dequantized
+    block-quant value) bit-for-bit; the fused dot equals the split dots in
+    exact arithmetic and differs only by XLA's summation order in floats
+    (~1e-7 rel, the same class of difference as any fusion change).
+    Leaves that cannot fuse (mixed bits/block/packing, dynamic-activation
+    int8) stay split."""
+    from asr_tpu.quant.quantize import QuantizedLinear
+
+    def cat(leaves):
+        ws = [l["w"] for l in leaves]
+        if any("b" in l for l in leaves):
+            if not all("b" in l for l in leaves):
+                return None
+            b = jnp.concatenate([l["b"] for l in leaves], axis=0)
+        else:
+            b = None
+        if all(isinstance(w, jnp.ndarray) for w in ws):
+            out = {"w": jnp.concatenate(ws, axis=1)}
+        else:
+            if not all(isinstance(w, QuantizedLinear) for w in ws):
+                return None
+            w0 = ws[0]
+            key = (w0.bits, w0.block, w0.packed, w0.dynamic)
+            if w0.dynamic or any((w.bits, w.block, w.packed, w.dynamic) != key for w in ws):
+                return None
+            out = {"w": QuantizedLinear(
+                jnp.concatenate([w.q for w in ws], axis=1),
+                jnp.concatenate([w.scale for w in ws], axis=1),
+                jnp.concatenate([w.zero for w in ws], axis=1),
+                w0.bits, w0.block, packed=w0.packed)}
+        if b is not None:
+            out["b"] = b
+        return out
+
+    layers = []
+    for p in params["layers"]:
+        p = dict(p)
+        attn = dict(p["attn"])
+        if all(k in attn for k in ("q", "k", "v")):
+            fused = cat([attn["q"], attn["k"], attn["v"]])
+            if fused is not None:
+                attn["qkv"] = fused
+                del attn["q"], attn["k"], attn["v"]
+        mlp = dict(p["mlp"])
+        if "gate" in mlp and "up" in mlp:
+            fused = cat([mlp["gate"], mlp["up"]])
+            if fused is not None:
+                mlp["gateup"] = fused
+                del mlp["gate"], mlp["up"]
+        p["attn"] = attn
+        p["mlp"] = mlp
+        layers.append(p)
+    return {**params, "layers": layers}
 
 
 def logits_from_hidden(params: dict, cfg: Qwen3Config, hidden: jnp.ndarray) -> jnp.ndarray:

@@ -103,15 +103,21 @@ def _kernel(x_ref, q_ref, scale_ref, zero_ref, o_ref, acc_ref, *, block: int, n_
 
     scale/zero arrive as the FULL (K // block, TN) column strip (tiny —
     they violate the (8, 128) min-tile rule if sliced per K-tile); the
-    kernel slices its K-tile rows in VMEM."""
+    kernel slices its K-tile rows in VMEM.
+
+    bf16 mode avoids materializing the dequantized weight: per K-block,
+    the RAW int values feed the MXU and the affine is applied to the small
+    (TM, TN) partial — ``x @ ((q - z) * s) = (x @ q) * s - rowsum(x) (z s)``
+    (scale/zero are constant within a block x column). That cuts the VPU
+    cost from ~6 ops/weight (explicit dequant, which dominated the kernel
+    at ~300 GB/s effective) to one int->bf16 convert."""
     kt = pl.program_id(2)
 
     @pl.when(kt == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[:].astype(jnp.int32).astype(jnp.float32)  # (TK, TN) int8 -> f32
-    tk, tn = q.shape
+    tk, tn = q_ref.shape
     nb = tk // block
     if n_k_tiles == 1:
         scale = scale_ref[:]                    # static full strip
@@ -120,14 +126,26 @@ def _kernel(x_ref, q_ref, scale_ref, zero_ref, o_ref, acc_ref, *, block: int, n_
         # nb is kept >= 8 by the dispatcher so this start is 8-aligned.
         scale = scale_ref[pl.ds(pl.multiple_of(kt * nb, nb), nb), :]
         zero = zero_ref[pl.ds(pl.multiple_of(kt * nb, nb), nb), :]
-    qb = q.reshape(nb, block, tn)
-    w = (qb - zero[:, None, :]) * scale[:, None, :]
-    wdtype, prec = _mm_cfg(mm)
-    w = w.reshape(tk, tn).astype(wdtype)
-    acc_ref[:] += jnp.dot(
-        x_ref[:].astype(wdtype), w, preferred_element_type=jnp.float32,
-        precision=prec,
-    )
+    if mm == "bf16":
+        x16 = x_ref[:].astype(jnp.bfloat16)
+        w16 = q_ref[:].astype(jnp.bfloat16)     # int values exact in bf16
+        zs = zero * scale                       # (nb, TN) f32
+        for b in range(nb):
+            sl = slice(b * block, (b + 1) * block)
+            p = jnp.dot(x16[:, sl], w16[sl, :],
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT)
+            xs = jnp.sum(x16[:, sl].astype(jnp.float32), axis=1)  # (TM,)
+            acc_ref[:] += p * scale[b][None, :] - xs[:, None] * zs[b][None, :]
+    else:
+        _mm_cfg(mm)  # validate mode
+        q = q_ref[:].astype(jnp.int32).astype(jnp.float32)  # (TK, TN)
+        qb = q.reshape(nb, block, tn)
+        w = (qb - zero[:, None, :]) * scale[:, None, :]
+        acc_ref[:] += jnp.dot(
+            x_ref[:], w.reshape(tk, tn), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
     @pl.when(kt == n_k_tiles - 1)
     def _():
@@ -212,24 +230,35 @@ def _kernel_p2(x0_ref, x1_ref, x2_ref, x3_ref, q_ref, scale_ref, zero_ref,
     tk4, tn = u.shape
     nb = tk4 // block
 
-    def deq(vals, plane):
+    def plane_sz(plane):
         if n_k4_tiles == 1:
-            s = scale_ref[plane]            # full plane, static (any nb)
-            z = zero_ref[plane]
-        else:
-            # nb == 8 by dispatch (tile_k4 = 8*block): aligned extent/offset.
-            s = scale_ref[plane, pl.ds(pl.multiple_of(kt * nb, nb), nb), :]
-            z = zero_ref[plane, pl.ds(pl.multiple_of(kt * nb, nb), nb), :]
-        vb = vals.reshape(nb, block, tn)
-        return ((vb - z[:, None, :]) * s[:, None, :]).reshape(tk4, tn)
+            return scale_ref[plane], zero_ref[plane]
+        # nb == 8 by dispatch (tile_k4 = 8*block): aligned extent/offset.
+        return (scale_ref[plane, pl.ds(pl.multiple_of(kt * nb, nb), nb), :],
+                zero_ref[plane, pl.ds(pl.multiple_of(kt * nb, nb), nb), :])
 
-    wdtype, prec = _mm_cfg(mm)
-    for j, x_ref in enumerate((x0_ref, x1_ref, x2_ref, x3_ref)):
-        vals = ((u >> (2 * j)) & 0x3).astype(jnp.float32)
-        w = deq(vals, j).astype(wdtype)
-        acc_ref[:] += jnp.dot(x_ref[:].astype(wdtype), w,
-                              preferred_element_type=jnp.float32,
-                              precision=prec)
+    if mm == "bf16":
+        for j, x_r in enumerate((x0_ref, x1_ref, x2_ref, x3_ref)):
+            s, z = plane_sz(j)
+            zs = z * s
+            v16 = ((u >> (2 * j)) & 0x3).astype(jnp.bfloat16)
+            x16 = x_r[:].astype(jnp.bfloat16)
+            for b in range(nb):
+                sl = slice(b * block, (b + 1) * block)
+                p = jnp.dot(x16[:, sl], v16[sl, :],
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.DEFAULT)
+                xs = jnp.sum(x16[:, sl].astype(jnp.float32), axis=1)
+                acc_ref[:] += p * s[b][None, :] - xs[:, None] * zs[b][None, :]
+    else:
+        _mm_cfg(mm)
+        for j, x_r in enumerate((x0_ref, x1_ref, x2_ref, x3_ref)):
+            vals = ((u >> (2 * j)) & 0x3).astype(jnp.float32)
+            s, z = plane_sz(j)
+            vb = vals.reshape(nb, block, tn)
+            w = ((vb - z[:, None, :]) * s[:, None, :]).reshape(tk4, tn)
+            acc_ref[:] += jnp.dot(x_r[:], w, preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.HIGHEST)
 
     @pl.when(kt == n_k4_tiles - 1)
     def _():
@@ -428,31 +457,42 @@ def _kernel_p4(x_lo_ref, x_hi_ref, q_ref, scale_ref, zero_ref, o_ref, acc_ref, *
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     u = q_ref[:].astype(jnp.int32) & 0xFF   # int8 -> unsigned byte view
-    lo = (u & 0xF).astype(jnp.float32)
-    hi = ((u >> 4) & 0xF).astype(jnp.float32)
-    tk2, tn = lo.shape
+    tk2, tn = u.shape
     nb = tk2 // block
 
-    def deq(vals, plane):
+    def plane_sz(plane):
         if n_k2_tiles == 1:
-            s = scale_ref[plane]            # full plane, static (any nb)
-            z = zero_ref[plane]
-        else:
-            # nb == 8 by dispatch (tile_k2 = 8*block): aligned extent/offset.
-            s = scale_ref[plane, pl.ds(pl.multiple_of(kt * nb, nb), nb), :]
-            z = zero_ref[plane, pl.ds(pl.multiple_of(kt * nb, nb), nb), :]
-        vb = vals.reshape(nb, block, tn)
-        return ((vb - z[:, None, :]) * s[:, None, :]).reshape(tk2, tn)
+            return scale_ref[plane], zero_ref[plane]
+        # nb == 8 by dispatch (tile_k2 = 8*block): aligned extent/offset.
+        return (scale_ref[plane, pl.ds(pl.multiple_of(kt * nb, nb), nb), :],
+                zero_ref[plane, pl.ds(pl.multiple_of(kt * nb, nb), nb), :])
 
-    wdtype, prec = _mm_cfg(mm)
-    w_lo = deq(lo, 0).astype(wdtype)
-    w_hi = deq(hi, 1).astype(wdtype)
-    acc_ref[:] += jnp.dot(x_lo_ref[:].astype(wdtype), w_lo,
-                          preferred_element_type=jnp.float32,
-                          precision=prec)
-    acc_ref[:] += jnp.dot(x_hi_ref[:].astype(wdtype), w_hi,
-                          preferred_element_type=jnp.float32,
-                          precision=prec)
+    if mm == "bf16":
+        # Raw nibble ints feed the MXU per K-block; scale/zero apply as a
+        # rank-1 affine on the (TM, TN) partial (see _kernel) — VPU cost
+        # drops from ~6 ops/weight to unpack + one convert.
+        for plane, (vals, x_r) in enumerate((((u & 0xF), x_lo_ref),
+                                             (((u >> 4) & 0xF), x_hi_ref))):
+            s, z = plane_sz(plane)
+            zs = z * s
+            v16 = vals.astype(jnp.bfloat16)
+            x16 = x_r[:].astype(jnp.bfloat16)
+            for b in range(nb):
+                sl = slice(b * block, (b + 1) * block)
+                p = jnp.dot(x16[:, sl], v16[sl, :],
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.DEFAULT)
+                xs = jnp.sum(x16[:, sl].astype(jnp.float32), axis=1)
+                acc_ref[:] += p * s[b][None, :] - xs[:, None] * zs[b][None, :]
+    else:
+        _mm_cfg(mm)
+        for plane, (vals, x_r) in enumerate((((u & 0xF), x_lo_ref),
+                                             (((u >> 4) & 0xF), x_hi_ref))):
+            s, z = plane_sz(plane)
+            vb = vals.astype(jnp.float32).reshape(nb, block, tn)
+            w = ((vb - z[:, None, :]) * s[:, None, :]).reshape(tk2, tn)
+            acc_ref[:] += jnp.dot(x_r[:], w, preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.HIGHEST)
 
     @pl.when(kt == n_k2_tiles - 1)
     def _():

@@ -29,6 +29,39 @@ from asr_tpu.parallel.server import MicroBatcher
 from asr_tpu.runtime import audio as audio_io
 
 
+def decode_audio_bytes(data: bytes, target_rate: int) -> np.ndarray:
+    """Sniff the body format (WAV / FLAC / MP3) and decode to mono float32
+    in the int16 numeric range at ``target_rate``."""
+    if data[:4] == b"RIFF":
+        return decode_wav_bytes(data, target_rate)
+    if data[:4] == b"fLaC":
+        import tempfile
+
+        from asr_tpu.runtime.flac import read_flac
+
+        with tempfile.NamedTemporaryFile(suffix=".flac") as f:
+            f.write(data)
+            f.flush()
+            samples, rate = read_flac(f.name)
+    elif data[:3] == b"ID3" or (len(data) > 2 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0):
+        import tempfile
+
+        from asr_tpu.runtime.mp3 import read_mp3
+
+        with tempfile.NamedTemporaryFile(suffix=".mp3") as f:
+            f.write(data)
+            f.flush()
+            samples, rate = read_mp3(f.name)
+    else:
+        raise ValueError(
+            "unrecognized audio body (expected WAV 'RIFF', FLAC 'fLaC', or MP3)")
+    if samples.ndim > 1:
+        samples = samples.mean(axis=1)
+    if rate != target_rate:
+        samples = audio_io.resample(samples, rate, target_rate)
+    return np.ascontiguousarray(samples, np.float32)
+
+
 def decode_wav_bytes(data: bytes, target_rate: int) -> np.ndarray:
     """In-memory WAV -> mono float32 in the int16 numeric range."""
     with wave.open(io.BytesIO(data), "rb") as w:
@@ -113,7 +146,7 @@ class SessionServer:
             self.batcher.submit(np.zeros(self.window, np.float32)).result()
 
     def transcribe_bytes(self, data: bytes) -> dict:
-        samples = decode_wav_bytes(data, self.sample_rate)
+        samples = decode_audio_bytes(data, self.sample_rate)
         if self.pcm_scale != 32768.0:
             samples = samples * np.float32(self.pcm_scale / 32768.0)
         # Long audio window-splits INTO the micro-batcher: windows are just

@@ -114,7 +114,10 @@ def qwen3_param_specs(params: Any) -> Any:
     head_dim, not heads)."""
 
     def rule(key: str):
-        for proj in ("attn/q", "attn/k", "attn/v", "mlp/gate", "mlp/up", "lm_head"):
+        # qkv/gateup are the fuse_params() fused leaves — column-sharding
+        # the concatenated output dim is still exact under GSPMD.
+        for proj in ("attn/q", "attn/k", "attn/v", "attn/qkv",
+                     "mlp/gate", "mlp/up", "mlp/gateup", "lm_head"):
             if key.endswith(proj + "/w"):
                 return P(None, "model")
             if key.endswith(proj + "/b"):

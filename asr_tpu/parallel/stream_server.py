@@ -1,0 +1,377 @@
+"""Network surface for batched real-time streaming: N concurrent HTTP
+connections -> one vmapped device step per tick.
+
+The reference's streaming runtimes are single-process script loops, one
+stream per process (``Paraformer/Streaming/Inference_Paraformer_Streaming_
+ONNX.py:405-449``). The TPU-native serving shape is the opposite: every
+concurrent connection maps to one slot of a :class:`MultiStreamRunner`
+(``streaming/multistream.py``), and a single ticker thread advances ALL
+active streams with ONE jitted dispatch per chunk tick — per-stream
+latency stays ~flat while throughput scales with the slot count.
+
+Wire protocol (stdlib-only full duplex over one HTTP/1.1 connection):
+
+- ``POST /stream`` with ``Transfer-Encoding: chunked``; the body is raw
+  16 kHz mono **int16 little-endian PCM**, sent in any chunk sizes.
+- The response starts immediately (also chunked); every tick on which the
+  stream emits tokens produces one JSON line ``{"tick": T, "ids": [...]}``
+  and the final chunk is ``{"done": true, "ticks": N}``.
+- Slots are allocated on connect and reset+freed on disconnect; when all
+  slots are busy the server answers 503.
+- ``GET /healthz``: slot occupancy + per-tick device latency.
+
+Idle handling: a tick runs as soon as ANY active stream has a full chunk
+buffered (after ``tick_wait_ms`` of coalescing); connections without fresh
+audio ride the fixed-shape batch as masked slots — their caches are left
+untouched (``MultiStreamRunner.step(active=...)``) and their outputs
+dropped, which keeps tick semantics identical to running each stream
+alone.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import socket
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+class _Slot:
+    def __init__(self, carry_samples: int = 0):
+        self.buffer = np.zeros(0, np.float32)
+        # overlapped-window families (X-ASR / Dolphin streaming): the tail
+        # of the previous window re-enters the next one
+        self.carry = np.zeros(carry_samples, np.float32)
+        self.ext_state: dict = {}
+        self.out_q: queue.Queue = queue.Queue()
+        self.lock = threading.Lock()
+        self.draining = False
+        self.ticks = 0
+
+
+class StreamingServer:
+    """Owns the MultiStreamRunner, slot allocation and the ticker thread.
+
+    ``extract(outs, i) -> list[int]`` maps the runner's per-tick output
+    pytree to stream ``i``'s newly emitted token ids (family-specific; the
+    default reads ``outs["ids"][i][:outs["count"][i]]``).
+    """
+
+    def __init__(self, runner, chunk_samples: int, extract=None,
+                 tick_wait_ms: float = 20.0, sample_rate: int = 16000,
+                 pcm_scale: float = 32768.0, advance_samples: int | None = None):
+        self.runner = runner
+        self.chunk = int(chunk_samples)
+        # new audio consumed per tick; < chunk for overlapped-window
+        # families (the window re-includes chunk - advance old samples)
+        self.advance = int(advance_samples or chunk_samples)
+        assert 0 < self.advance <= self.chunk
+        self.sample_rate = sample_rate
+        # model input convention: 32768 = int16 numeric range (Kaldi
+        # families), 1.0 = [-1, 1] PCM
+        self.pcm_gain = np.float32(pcm_scale / 32768.0)
+        self.tick_wait = tick_wait_ms / 1000.0
+        self.extract = extract or (
+            lambda outs, i, st: [int(t) for t in np.asarray(outs["ids"][i])[
+                : int(np.asarray(outs["count"][i]))]])
+        self.slots: list[_Slot | None] = [None] * runner.n_streams
+        self._slot_lock = threading.Lock()
+        self._wake = threading.Event()
+        self._closed = False
+        self._lat_total = 0.0
+        self._lat_max = 0.0
+        self._tick_count = 0
+        self._ticker = threading.Thread(target=self._tick_loop, daemon=True)
+        self._ticker.start()
+
+    # ── slot management ───────────────────────────────────────────────────
+    def acquire(self) -> int | None:
+        with self._slot_lock:
+            for i, s in enumerate(self.slots):
+                if s is None:
+                    self.runner.reset(i)
+                    self.slots[i] = _Slot(self.chunk - self.advance)
+                    return i
+        return None
+
+    def release(self, i: int) -> None:
+        with self._slot_lock:
+            self.slots[i] = None
+
+    def feed(self, i: int, samples: np.ndarray) -> None:
+        slot = self.slots[i]
+        with slot.lock:
+            slot.buffer = np.concatenate([slot.buffer, samples])
+        if len(slot.buffer) >= self.advance:
+            self._wake.set()
+
+    def finish_input(self, i: int) -> None:
+        """No more audio for slot i: zero-pad the trailing partial chunk so
+        the final tokens flush, then mark draining."""
+        slot = self.slots[i]
+        with slot.lock:
+            rem = len(slot.buffer) % self.advance
+            if rem or len(slot.buffer) == 0:
+                slot.buffer = np.concatenate(
+                    [slot.buffer, np.zeros(self.advance - rem if rem else self.advance,
+                                           np.float32)])
+            slot.draining = True
+        self._wake.set()
+
+    # ── ticker ────────────────────────────────────────────────────────────
+    def _tick_loop(self) -> None:
+        n = self.runner.n_streams
+        while not self._closed:
+            if not self._wake.wait(timeout=0.2):
+                continue
+            time.sleep(self.tick_wait)  # coalesce concurrent arrivals
+            self._wake.clear()
+            while not self._closed:
+                chunks = np.zeros((n, self.chunk), np.float32)
+                active = np.zeros((n,), bool)
+                done_slots = []
+                with self._slot_lock:
+                    live = [(i, s) for i, s in enumerate(self.slots) if s is not None]
+                for i, slot in live:
+                    with slot.lock:
+                        if len(slot.buffer) >= self.advance:
+                            new = slot.buffer[: self.advance]
+                            slot.buffer = slot.buffer[self.advance:]
+                            window = np.concatenate([slot.carry, new])
+                            slot.carry = window[self.advance:]
+                            chunks[i] = window
+                            active[i] = True
+                            if slot.draining and len(slot.buffer) < self.advance:
+                                done_slots.append(slot)
+                        elif slot.draining:
+                            done_slots.append(slot)
+                if not active.any():
+                    for slot in done_slots:
+                        slot.out_q.put(None)
+                    break
+                t0 = time.perf_counter()
+                outs = self.runner.step(chunks, active)
+                outs = {k: np.asarray(v) for k, v in outs.items()}
+                dt = time.perf_counter() - t0
+                self._lat_total += dt
+                self._lat_max = max(self._lat_max, dt)
+                self._tick_count += 1
+                for i, slot in live:
+                    if not active[i]:
+                        continue
+                    slot.ticks += 1
+                    ids = self.extract(outs, i, slot.ext_state)
+                    if ids:
+                        slot.out_q.put({"tick": slot.ticks, "ids": ids})
+                for slot in done_slots:
+                    slot.out_q.put(None)
+
+    def stats(self) -> dict:
+        with self._slot_lock:
+            used = sum(s is not None for s in self.slots)
+        avg = self._lat_total / self._tick_count if self._tick_count else 0.0
+        return {
+            "ok": True,
+            "slots_total": self.runner.n_streams,
+            "slots_active": used,
+            "chunk_samples": self.chunk,
+            "sample_rate": self.sample_rate,
+            "ticks": self._tick_count,
+            "tick_latency_avg_s": round(avg, 5),
+            "tick_latency_max_s": round(self._lat_max, 5),
+        }
+
+    def close(self) -> None:
+        self._closed = True
+        self._wake.set()
+        self._ticker.join(timeout=5)
+
+
+def make_stream_http_server(server: StreamingServer, host="127.0.0.1", port=0):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):
+            pass
+
+        def do_GET(self):
+            if self.path != "/healthz":
+                self.send_error(404)
+                return
+            body = json.dumps(server.stats()).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _read_chunk(self) -> bytes | None:
+            """One chunked-transfer frame from the request body; None = end."""
+            line = self.rfile.readline(64)
+            if not line:
+                return None
+            size = int(line.strip().split(b";")[0], 16)
+            if size == 0:
+                self.rfile.readline()  # trailing CRLF
+                return None
+            data = self.rfile.read(size)
+            self.rfile.readline()
+            return data
+
+        def do_POST(self):
+            if self.path != "/stream":
+                self.send_error(404)
+                return
+            if self.headers.get("Transfer-Encoding", "").lower() != "chunked":
+                self.send_error(400, "body must be Transfer-Encoding: chunked int16 PCM")
+                return
+            slot = server.acquire()
+            if slot is None:
+                self.send_error(503, "all stream slots busy")
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "application/jsonlines")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            wlock = threading.Lock()
+
+            def emit(obj: dict) -> None:
+                payload = (json.dumps(obj) + "\n").encode()
+                with wlock:
+                    self.wfile.write(f"{len(payload):x}\r\n".encode() + payload + b"\r\n")
+                    self.wfile.flush()
+
+            sl = server.slots[slot]
+
+            def writer():
+                while True:
+                    item = sl.out_q.get()
+                    if item is None:
+                        return
+                    try:
+                        emit(item)
+                    except OSError:
+                        return
+
+            wt = threading.Thread(target=writer, daemon=True)
+            wt.start()
+            ticks = 0
+            try:
+                carry = b""
+                while True:
+                    data = self._read_chunk()
+                    if data is None:
+                        break
+                    data = carry + data
+                    usable = len(data) - (len(data) % 2)
+                    carry = data[usable:]
+                    if usable:
+                        pcm = np.frombuffer(data[:usable], "<i2").astype(np.float32)
+                        server.feed(slot, pcm * server.pcm_gain)
+                server.finish_input(slot)
+                wt.join(timeout=60)
+                ticks = sl.ticks
+                emit({"done": True, "ticks": ticks})
+                with wlock:
+                    self.wfile.write(b"0\r\n\r\n")
+                    self.wfile.flush()
+            except (OSError, ValueError):
+                pass  # client went away mid-stream; slot still resets below
+            finally:
+                server.release(slot)
+                self.close_connection = True
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def stream_pcm_over_http(host: str, port: int, pcm_int16: np.ndarray,
+                         send_chunk: int = 3200, timeout: float = 120.0) -> list[dict]:
+    """Test/client helper: raw-socket full-duplex chunked POST of int16 PCM;
+    returns the parsed JSON-line events (incremental + final)."""
+    sock = socket.create_connection((host, port), timeout=timeout)
+    try:
+        sock.sendall(
+            b"POST /stream HTTP/1.1\r\nHost: x\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\n")
+        data = np.asarray(pcm_int16, "<i2").tobytes()
+        events: list[dict] = []
+        recv_buf = b""
+
+        def pump_recv(block=False):
+            nonlocal recv_buf
+            sock.setblocking(block)
+            try:
+                while True:
+                    piece = sock.recv(65536)
+                    if not piece:
+                        return False
+                    recv_buf += piece
+                    if not block:
+                        continue
+                    return True
+            except (BlockingIOError, TimeoutError):
+                return True
+            finally:
+                sock.settimeout(timeout)
+
+        for off in range(0, len(data), send_chunk):
+            piece = data[off: off + send_chunk]
+            sock.sendall(f"{len(piece):x}\r\n".encode() + piece + b"\r\n")
+            pump_recv(block=False)  # drain incremental results as they come
+        sock.sendall(b"0\r\n\r\n")
+        # read until the terminating 0-length response chunk
+        while b"\r\n0\r\n\r\n" not in recv_buf:
+            if not pump_recv(block=True):
+                break
+        # parse: skip headers, de-chunk, split JSON lines
+        body = recv_buf.split(b"\r\n\r\n", 1)[1]
+        text = b""
+        while body:
+            line, _, rest = body.partition(b"\r\n")
+            try:
+                size = int(line.strip().split(b";")[0], 16)
+            except ValueError:
+                break
+            if size == 0:
+                break
+            text += rest[:size]
+            body = rest[size + 2:]
+        for ln in text.decode().splitlines():
+            if ln.strip():
+                events.append(json.loads(ln))
+        return events
+    finally:
+        sock.close()
+
+
+def serve_streams(runner, chunk_samples: int, host="127.0.0.1", port=8001,
+                  extract=None, pcm_scale: float = 32768.0,
+                  advance_samples: int | None = None):
+    """Blocking entry point (CLI ``serve-stream``)."""
+    srv = StreamingServer(runner, chunk_samples, extract=extract,
+                          pcm_scale=pcm_scale, advance_samples=advance_samples)
+    httpd = make_stream_http_server(srv, host, port)
+    print(f"streaming on http://{host}:{httpd.server_address[1]} "
+          f"({runner.n_streams} slots, chunk {chunk_samples})")
+    try:
+        httpd.serve_forever()
+    finally:
+        srv.close()
+
+
+def start_stream_background(runner, chunk_samples: int, host="127.0.0.1",
+                            port=0, extract=None, tick_wait_ms: float = 20.0,
+                            pcm_scale: float = 32768.0,
+                            advance_samples: int | None = None):
+    """Non-blocking start for tests/embedding; returns (httpd, server, thread)."""
+    srv = StreamingServer(runner, chunk_samples, extract=extract,
+                          tick_wait_ms=tick_wait_ms, pcm_scale=pcm_scale,
+                          advance_samples=advance_samples)
+    httpd = make_stream_http_server(srv, host, port)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    return httpd, srv, t

@@ -101,6 +101,10 @@ def load_audio(
         from asr_tpu.runtime.mp3 import read_mp3
 
         samples, rate = read_mp3(path)
+    elif suffix == ".flac":
+        from asr_tpu.runtime.flac import read_flac
+
+        samples, rate = read_flac(path)
     else:
         raise ValueError(f"unsupported audio format: {suffix}")
     mono = downmix(samples)

@@ -103,7 +103,26 @@ class QwenAsrSession:
         max_seconds: float = 30.0,
         language_prompt_ids: dict[str, list[int]] | None = None,
         metadata=None,
+        mesh=None,
+        fuse: bool = True,
     ):
+        if fuse:
+            # qkv / gate+up fusion: 7 -> 4 matmuls per layer, bit-exact
+            # (block quantization is per output column)
+            from asr_tpu.layers.qwen3 import fuse_params
+
+            llm_params = fuse_params(llm_params, cfg.llm)
+        self.runner = None
+        if mesh is not None:
+            # Batch-DP over ``data`` + Megatron TP of the LLM decoder over
+            # ``model`` (qwen3_param_specs); the audio tower replicates —
+            # it is ~2% of the weights and its windows batch well.
+            from asr_tpu.parallel.mesh import qwen3_param_specs
+            from asr_tpu.parallel.serve import DataParallelRunner
+
+            self.runner = DataParallelRunner(mesh, param_specs=qwen3_param_specs)
+            tower_params = DataParallelRunner(mesh).shard_params(tower_params)
+            llm_params = self.runner.shard_params(llm_params)
         self.tower_params = tower_params
         self.llm_params = llm_params
         self.cfg = cfg
@@ -180,6 +199,16 @@ class QwenAsrSession:
         prompt = self._prompt_ids(context, language)
 
         def run(audio, valid, b):
+            if self.runner is not None:
+                # DP (batch over data axis) x TP (llm params sharded over
+                # model axis); prompt rows tile to the runner's padded batch.
+                return self.runner(
+                    lambda p, a, v: qa.forward(
+                        p[0], p[1], self.cfg, a, v,
+                        {k: jnp.tile(val, (a.shape[0], 1)) for k, val in prompt.items()},
+                        self.decode_cfg, rng),
+                    (self.tower_params, self.llm_params), audio, valid,
+                )
             ids_d = {k: jnp.tile(v, (b, 1)) for k, v in prompt.items()}
             return qa.forward(self.tower_params, self.llm_params, self.cfg,
                               audio, valid, ids_d, self.decode_cfg, rng)
@@ -262,7 +291,23 @@ class FunAsrNanoLlmSession:
         top_k: int = 0,
         top_p: float = 1.0,
         max_seconds: float = 30.0,
+        mesh=None,
+        fuse: bool = True,
     ):
+        if fuse:
+            from asr_tpu.layers.qwen3 import fuse_params
+
+            llm_params = fuse_params(llm_params, cfg.llm)
+        self.runner = None
+        if mesh is not None:
+            # Same DPxTP layout as QwenAsrSession: the Qwen3 LLM shards by
+            # qwen3_param_specs, the SANM encoder replicates.
+            from asr_tpu.parallel.mesh import qwen3_param_specs
+            from asr_tpu.parallel.serve import DataParallelRunner
+
+            self.runner = DataParallelRunner(mesh, param_specs=qwen3_param_specs)
+            params = DataParallelRunner(mesh).shard_params(params)
+            llm_params = self.runner.shard_params(llm_params)
         self.params = params
         self.llm_params = llm_params
         self.cfg = cfg
@@ -296,6 +341,14 @@ class FunAsrNanoLlmSession:
         prompt = self._prompt_ids(context)
 
         def run(audio, valid, b):
+            if self.runner is not None:
+                return self.runner(
+                    lambda p, a, v: fn.forward_llm(
+                        p[0], p[1], self.cfg, a, v,
+                        {k: jnp.tile(val, (a.shape[0], 1)) for k, val in prompt.items()},
+                        self.decode_cfg, rng),
+                    (self.params, self.llm_params), audio, valid,
+                )
             ids_d = {k: jnp.tile(v, (b, 1)) for k, v in prompt.items()}
             return fn.forward_llm(self.params, self.llm_params, self.cfg,
                                   audio, valid, ids_d, self.decode_cfg, rng)

@@ -67,6 +67,7 @@ class SenseVoiceSession:
         window_seconds: float = 8.0,
         mesh=None,
         window_stride_seconds: float | None = None,
+        param_specs=None,
     ):
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -84,7 +85,7 @@ class SenseVoiceSession:
         if mesh is not None:
             from asr_tpu.parallel.serve import DataParallelRunner
 
-            self.runner = DataParallelRunner(mesh)
+            self.runner = DataParallelRunner(mesh, param_specs=param_specs)
             params = self.runner.shard_params(params)
         self.params = params
 

@@ -33,7 +33,8 @@ class _WindowedSession:
     window_seconds = 30.0
     sample_rate = 16000
 
-    def __init__(self, params, cfg, tokenizer=None, window_seconds=None, mesh=None):
+    def __init__(self, params, cfg, tokenizer=None, window_seconds=None, mesh=None,
+                 param_specs=None):
         self.cfg = cfg
         self.tokenizer = tokenizer
         if window_seconds is not None:
@@ -43,7 +44,7 @@ class _WindowedSession:
         if mesh is not None:
             from asr_tpu.parallel.serve import DataParallelRunner
 
-            self.runner = DataParallelRunner(mesh)
+            self.runner = DataParallelRunner(mesh, param_specs=param_specs)
             params = self.runner.shard_params(params)
         self.params = params
 
@@ -197,17 +198,56 @@ class DolphinSession(_WindowedSession):
     window_seconds = 30.0
 
     def __init__(self, params, cfg, tokenizer=None, decode_cfg=None,
-                 language_id: int = -1, region_id: int = -2, **kw):
+                 language_id: int = -1, region_id: int = -2,
+                 language_catalog: dict | None = None,
+                 language: str | None = None, **kw):
         super().__init__(params, cfg, tokenizer, **kw)
         from asr_tpu.decode.ar import DecodeConfig
 
         self.decode_cfg = decode_cfg or DecodeConfig(
             max_new_tokens=224, eot_id=cfg.eos_id, strategy="greedy"
         )
+        # ``language_catalog``: the artifact's 2-level token catalog
+        # (export.dolphin_language_catalog). ``language`` accepts "ja",
+        # "Japanese", "zh-SICHUAN" or "Chinese-Sichuan"-style names and
+        # resolves to forced prompt token ids; -1/-2 keep auto-probing.
+        self.language_catalog = language_catalog or {}
+        if language:
+            language_id, region_id = self.resolve_language(language)
         self.language_id = language_id
         self.region_id = region_id
         self.last_language: int | None = None
         self.last_region: int | None = None
+
+    def resolve_language(self, name: str) -> tuple[int, int]:
+        """Name -> (language_token_id, region_token_id_or_-2).
+
+        Accepts a model code ("ja", "zh-SICHUAN"), an alias ("Japanese"),
+        or an Alias-Region compound ("Chinese-Sichuan"). Raises KeyError
+        listing the catalog when unresolvable — forcing by name must never
+        silently fall back to auto-detection."""
+        cat = self.language_catalog
+        langs = cat.get("languages") or {}
+        regions = cat.get("regions") or {}
+        aliases = {k.lower(): v for k, v in (cat.get("aliases") or {}).items()}
+        want = name.strip()
+        if want.lower() in ("auto", "auto-auto"):
+            return -1, -2
+        lang_part, _, region_part = want.partition("-")
+        code = aliases.get(lang_part.lower(), lang_part.lower())
+        if code not in langs:
+            raise KeyError(
+                f"language {name!r} not in this artifact's catalog "
+                f"(languages: {sorted(langs) or 'none — rebuild with --vocab'}; "
+                f"aliases: {sorted(cat.get('aliases') or {})})")
+        if not region_part or region_part.lower() == "auto":
+            return langs[code], -2
+        region = region_part.upper()
+        if region not in regions:
+            raise KeyError(
+                f"region {region_part!r} not in this artifact's catalog "
+                f"(regions: {sorted(regions)})")
+        return langs[code], regions[region]
 
     def _forward(self, params, audio, valid):
         from asr_tpu.models import dolphin as dp

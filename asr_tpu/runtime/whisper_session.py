@@ -68,6 +68,7 @@ class WhisperSession:
         language_id_map: dict[str, int] | None = None,
         mesh=None,
         window_seconds: float = WINDOW_SECONDS,
+        param_specs=None,
     ):
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -78,7 +79,7 @@ class WhisperSession:
         if mesh is not None:
             from asr_tpu.parallel.serve import DataParallelRunner
 
-            self.runner = DataParallelRunner(mesh)
+            self.runner = DataParallelRunner(mesh, param_specs=param_specs)
             params = self.runner.shard_params(params)
         self.params = params
 

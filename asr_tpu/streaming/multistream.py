@@ -46,12 +46,33 @@ class MultiStreamRunner:
         )
         self._step = jax.jit(jax.vmap(step_fn, in_axes=(None, 0, 0)))
 
-    def step(self, chunks: np.ndarray):
+        vstep = jax.vmap(step_fn, in_axes=(None, 0, 0))
+
+        @jax.jit
+        def masked(params, states, chunks, active):
+            new_states, outs = vstep(params, states, chunks)
+            sel = lambda n, o: jnp.where(
+                active.reshape((-1,) + (1,) * (n.ndim - 1)), n, o)
+            return jax.tree.map(sel, new_states, states), outs
+
+        self._step_masked = masked
+
+    def step(self, chunks: np.ndarray, active: np.ndarray | None = None):
         """chunks (n_streams, chunk_samples) -> outputs pytree, each leaf
-        with a leading ``n_streams`` axis. One jitted dispatch."""
+        with a leading ``n_streams`` axis. One jitted dispatch.
+
+        ``active``: optional (n_streams,) bool — slots marked False run in
+        the batch (fixed shape) but their STATE is left untouched, so a
+        connection without fresh audio this tick does not advance its
+        caches; its outputs for the tick are garbage and must be dropped
+        by the caller."""
         chunks = jnp.asarray(chunks)
         assert chunks.shape[0] == self.n_streams, (chunks.shape, self.n_streams)
-        self.states, outs = self._step(self.params, self.states, chunks)
+        if active is None:
+            self.states, outs = self._step(self.params, self.states, chunks)
+            return outs
+        self.states, outs = self._step_masked(
+            self.params, self.states, chunks, jnp.asarray(active, bool))
         return outs
 
     def reset(self, stream: int) -> None:

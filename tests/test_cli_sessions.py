@@ -300,3 +300,70 @@ def test_cli_multifile_transcribe_with_language_windowed_family(tmp_path):
     rc = main(["--platform", "cpu", "transcribe", "--model-dir", str(folder),
                "--language", "zh", *paths])
     assert rc == 0
+
+
+def test_dolphin_language_catalog_and_named_forcing(tmp_path):
+    """VERDICT r2 item 5: --language on a Dolphin artifact resolves NAMES
+    (code, alias, Alias-Region compound) to forced prompt token ids via
+    the catalog scanned from the vocab at build time; unmapped names raise
+    with the catalog listed."""
+    import dataclasses as dc
+
+    import pytest
+
+    from asr_tpu.cli import _build_session
+    from asr_tpu.export import dolphin_language_catalog
+    from asr_tpu.models import dolphin as dp
+
+    # synthetic vocab with the reference's token structure:
+    # ... <asr> <zh> <ja> <CN> <SICHUAN> <notimestamp> ...
+    tokens = [f"tok{i}" for i in range(40)]
+    tokens += ["<asr>", "<zh>", "<ja>", "<ct>", "<CN>", "<TW>", "<SICHUAN>",
+               "<notimestamp>"]
+    tokens += [f"tok{i}" for i in range(40, 60)]
+    cat = dolphin_language_catalog(tokens)
+    assert cat["languages"] == {"zh": 41, "ja": 42, "ct": 43}
+    assert cat["regions"] == {"CN": 44, "TW": 45, "SICHUAN": 46}
+    assert cat["asr_id"] == 40 and cat["notimestamp_id"] == 47
+    assert cat["aliases"]["Japanese"] == "ja"
+    assert cat["aliases"]["Cantonese"] == "ct"
+
+    cfg = dp.DolphinConfig(
+        vocab_size=80, d_model=32, enc_layers=1, enc_heads=4, enc_ffn=48,
+        cgmlp_dim=48, csgu_kernel=7, fusion_kernel=3, dec_layers=1,
+        dec_heads=4, dec_ffn=48, sos_id=78, eos_id=79,
+        max_target_positions=32,
+    )
+    params = dp.init_params(cfg, jax.random.PRNGKey(3))
+    folder = _save(tmp_path, "dolphin", params, cfg,
+                   dolphin_language_catalog=cat)
+
+    # code only -> forced language, probed region
+    sess = _build_session(folder, language="ja")
+    assert (sess.language_id, sess.region_id) == (42, -2)
+    # alias-region compound -> both forced
+    sess = _build_session(folder, language="Chinese-Sichuan")
+    assert (sess.language_id, sess.region_id) == (41, 46)
+    # model-value spelling
+    sess = _build_session(folder, language="zh-TW")
+    assert (sess.language_id, sess.region_id) == (41, 45)
+    # auto keeps probing
+    sess = _build_session(folder, language="auto")
+    assert (sess.language_id, sess.region_id) == (-1, -2)
+    # and the forced session actually transcribes with the forced prompt
+    sess = _build_session(folder, language="ja")
+    sess.decode_cfg = dc.replace(sess.decode_cfg, max_new_tokens=4)
+    rng = np.random.default_rng(5)
+    res = sess.transcribe((rng.standard_normal(8000) * 2000).astype(np.float32))
+    assert isinstance(res.token_ids, list)
+
+    with pytest.raises(KeyError, match="catalog"):
+        _build_session(folder, language="Klingon")
+    with pytest.raises(KeyError, match="region"):
+        _build_session(folder, language="zh-MARS")
+    # artifact built without a vocab: forcing fails loudly, not silently
+    folder2 = _save(tmp_path, "dolphin2", params, cfg)
+    (folder2 / "metadata.json").write_text(
+        (folder2 / "metadata.json").read_text().replace('"dolphin2"', '"dolphin"'))
+    with pytest.raises(KeyError, match="rebuild with --vocab"):
+        _build_session(folder2, language="ja")

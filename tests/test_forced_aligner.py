@@ -172,3 +172,23 @@ def test_aligner_session_with_quantized_embeddings():
     rng = np.random.default_rng(0)
     out = sess.align((rng.standard_normal(12000) * 0.1).astype(np.float32), "hello world")
     assert [o["text"] for o in out] == ["hello", "world"]
+
+
+def test_word_units_korean_eojeol_and_language_dispatch():
+    """Korean alignment units are space-delimited eojeol (the reference's
+    untrained-LTokenizer equivalent); language dispatch routes ja -> the
+    script segmenter and ko/unknown -> the default splitter."""
+    from asr_tpu.runtime.aligner_session import (
+        word_units, word_units_for_language,
+    )
+
+    text = "안녕하세요 저는 학생입니다"
+    assert word_units_for_language(text, "korean") == \
+        ["안녕하세요", "저는", "학생입니다"]
+    assert word_units_for_language(text, "ko") == word_units(text)
+    # punctuation dropped, units kept whole (not per-syllable)
+    assert word_units_for_language("좋아요, 감사합니다!", "ko") == \
+        ["좋아요", "감사합니다"]
+    # ja goes to the script segmenter: kanji+trailing-hiragana units
+    got = word_units_for_language("私は走った", "ja")
+    assert got == ["私は", "走った"], got

@@ -186,3 +186,49 @@ def test_language_prompt_and_output_parsing():
 
     with _pytest.raises(KeyError):
         sess._prompt_ids("", language="fr")
+
+
+def test_fuse_params_matches_unfused():
+    """qkv / gate+up fusion (7 -> 4 matmuls per layer) preserves decoder
+    outputs for raw AND block-quantized weights (column concat is exact;
+    only float summation order differs), and QwenAsrSession applies it by
+    default."""
+    import numpy as np
+
+    from asr_tpu.layers import qwen3
+    from asr_tpu.quant.quantize import quantize_pytree
+
+    cfg = qwen3.Qwen3Config(vocab_size=96, hidden=32, num_layers=2, num_heads=4,
+                            num_kv_heads=2, head_dim=8, ffn_dim=48,
+                            attention_bias=True)
+    params = qwen3.init_params(cfg, jax.random.PRNGKey(0))
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 96, (2, 5)))
+
+    def run(p, c=cfg):
+        embeds = p["embed"][ids]
+        state = qwen3.make_kv_state(c, 2, 10)
+        bias = qwen3.causal_prefill_bias(jnp.asarray([5, 5]), 5, 10)
+        h, _ = qwen3.decoder_pass(p, c, embeds, state, jnp.asarray(0, jnp.int32), bias)
+        return np.asarray(qwen3.logits_from_hidden(p, c, h))
+
+    fused = qwen3.fuse_params(params, cfg)
+    assert "qkv" in fused["layers"][0]["attn"] and "q" not in fused["layers"][0]["attn"]
+    assert "gateup" in fused["layers"][0]["mlp"]
+    np.testing.assert_allclose(run(fused), run(params), rtol=2e-5, atol=2e-6)
+
+    qcfg = qwen3.Qwen3Config(vocab_size=96, hidden=128, num_layers=1, num_heads=4,
+                             num_kv_heads=2, head_dim=32, ffn_dim=256)
+    qp = quantize_pytree(qwen3.init_params(qcfg, jax.random.PRNGKey(1)),
+                         bits=4, block=64, pack=True)
+    fq = qwen3.fuse_params(qp, qcfg)
+    assert "qkv" in fq["layers"][0]["attn"]
+    ids_q = jnp.asarray(np.random.default_rng(1).integers(0, 96, (2, 5)))
+
+    def run_q(p):
+        embeds = p["embed"][ids_q]
+        state = qwen3.make_kv_state(qcfg, 2, 10)
+        bias = qwen3.causal_prefill_bias(jnp.asarray([5, 5]), 5, 10)
+        h, _ = qwen3.decoder_pass(p, qcfg, embeds, state, jnp.asarray(0, jnp.int32), bias)
+        return np.asarray(qwen3.logits_from_hidden(p, qcfg, h))
+
+    np.testing.assert_allclose(run_q(fq), run_q(qp), rtol=2e-5, atol=2e-6)

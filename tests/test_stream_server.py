@@ -1,0 +1,124 @@
+"""Streaming-over-the-network surface: concurrent chunked-HTTP connections
+mapped to vmapped stream slots must emit token-identical output to
+sequential single-stream sessions; masked ticks must not advance idle
+streams; /healthz reports per-tick latency."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import jax
+
+from asr_tpu.models import paraformer as pf
+from asr_tpu.runtime.streaming_session import ParaformerStreamingSession
+from asr_tpu.streaming import multistream as ms
+from asr_tpu.streaming import paraformer_online as po
+from asr_tpu.parallel.stream_server import (
+    start_stream_background, stream_pcm_over_http,
+)
+
+TINY_BASE = pf.ParaformerConfig(
+    vocab_size=50, hidden=32, num_heads=4, head_dim=8, ffn_dim=48,
+    num_encoders0=1, num_encoders=1, num_decoders=1, num_decoder_ffn=1,
+    fsmn_kernel=5, predictor_kernel=3,
+)
+TINY = po.ParaformerStreamConfig(base=TINY_BASE, chunk_samples=8000)
+
+
+def _pcm(seed, chunks=3):
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal(chunks * TINY.chunk_samples) * 2000).astype(np.int16)
+
+
+def _sequential_ids(params, pcm: np.ndarray) -> list[list[int]]:
+    sess = ParaformerStreamingSession(params, TINY)
+    out = []
+    c = TINY.chunk_samples
+    for i in range(len(pcm) // c):
+        out.append(sess.push_chunk(pcm[i * c:(i + 1) * c].astype(np.float32)))
+    return [ids for ids in out if ids]
+
+
+def test_concurrent_streams_token_identical_to_sequential():
+    params = pf.init_params(TINY_BASE, jax.random.PRNGKey(0))
+    runner = ms.paraformer_multistream(params, TINY, 4)
+    httpd, srv, _ = start_stream_background(runner, TINY.chunk_samples,
+                                            tick_wait_ms=40.0)
+    port = httpd.server_address[1]
+    try:
+        pcms = [_pcm(seed) for seed in range(3)]
+        want = [_sequential_ids(params, p) for p in pcms]
+
+        results = [None] * 3
+
+        def client(i):
+            results[i] = stream_pcm_over_http("127.0.0.1", port, pcms[i],
+                                              send_chunk=4096)
+
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        for i in range(3):
+            evs = results[i]
+            assert evs and evs[-1].get("done"), evs
+            got = [e["ids"] for e in evs if "ids" in e]
+            assert got == want[i], (i, got, want[i])
+            # incremental: emitted across MULTIPLE ticks, not one flush
+            ticks = [e["tick"] for e in evs if "ids" in e]
+            assert ticks == sorted(ticks)
+
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz",
+                                    timeout=10) as r:
+            health = json.loads(r.read())
+        assert health["ok"] and health["ticks"] >= 3
+        assert health["tick_latency_avg_s"] > 0
+        assert health["slots_active"] == 0  # all released on disconnect
+    finally:
+        httpd.shutdown()
+        srv.close()
+
+
+def test_slot_reuse_and_exhaustion():
+    params = pf.init_params(TINY_BASE, jax.random.PRNGKey(0))
+    runner = ms.paraformer_multistream(params, TINY, 1)  # single slot
+    httpd, srv, _ = start_stream_background(runner, TINY.chunk_samples,
+                                            tick_wait_ms=10.0)
+    port = httpd.server_address[1]
+    try:
+        pcm = _pcm(7, chunks=2)
+        want = _sequential_ids(params, pcm)
+        # two sequential connections on the SAME slot: per-connect reset
+        # means the second stream restarts cleanly
+        for _ in range(2):
+            evs = stream_pcm_over_http("127.0.0.1", port, pcm, send_chunk=8192)
+            got = [e["ids"] for e in evs if "ids" in e]
+            assert got == want
+    finally:
+        httpd.shutdown()
+        srv.close()
+
+
+def test_masked_tick_leaves_idle_stream_state_untouched():
+    """runner.step(active=...) must not advance masked slots' caches."""
+    params = pf.init_params(TINY_BASE, jax.random.PRNGKey(0))
+    runner = ms.paraformer_multistream(params, TINY, 2)
+    a0 = _pcm(1, chunks=2).astype(np.float32)
+    a1 = _pcm(2, chunks=2).astype(np.float32)
+    c = TINY.chunk_samples
+
+    # stream 0 advances twice; stream 1 only on the first and third tick
+    out1 = runner.step(np.stack([a0[:c], a1[:c]]))
+    runner.step(np.stack([a0[c:2 * c], np.zeros(c, np.float32)]),
+                active=np.array([True, False]))
+    out3 = runner.step(np.stack([a0[:c], a1[c:2 * c]]),
+                       active=np.array([False, True]))
+
+    sess = ParaformerStreamingSession(params, TINY)
+    w1 = sess.push_chunk(a1[:c])
+    w2 = sess.push_chunk(a1[c:2 * c])
+    got1 = [int(t) for t in np.asarray(out1["ids"])[1, : int(out1["count"][1])]]
+    got2 = [int(t) for t in np.asarray(out3["ids"])[1, : int(out3["count"][1])]]
+    assert got1 == w1 and got2 == w2

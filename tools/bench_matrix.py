@@ -200,8 +200,9 @@ def bench_qwen_asr_q4():
     from asr_tpu.quant.quantize import quantize_pytree
     cfg = qa.QwenAsrConfig()
     tower = qa.init_tower_params(cfg, jax.random.PRNGKey(0))
-    llm = quantize_pytree(qwen3.init_params(cfg.llm, jax.random.PRNGKey(1)),
-                          bits=4, pack=True)
+    llm = qwen3.fuse_params(
+        quantize_pytree(qwen3.init_params(cfg.llm, jax.random.PRNGKey(1)),
+                        bits=4, pack=True), cfg.llm)
     audio, valid = _audio(1, 8.0, scale=0.1)
     ids = {
         "head": jnp.asarray([[1, 2, 3]], jnp.int32),
@@ -321,8 +322,9 @@ def bench_qwen_asr_q4_qembed():
     from asr_tpu.quant.quantize import quantize_pytree
     cfg = qa.QwenAsrConfig()
     tower = qa.init_tower_params(cfg, jax.random.PRNGKey(0))
-    llm = quantize_pytree(qwen3.init_params(cfg.llm, jax.random.PRNGKey(1)),
-                          bits=4, pack=True, quantize_embeddings=True)
+    llm = qwen3.fuse_params(
+        quantize_pytree(qwen3.init_params(cfg.llm, jax.random.PRNGKey(1)),
+                        bits=4, pack=True, quantize_embeddings=True), cfg.llm)
     audio, valid = _audio(1, 8.0, scale=0.1)
     ids = {
         "head": jnp.asarray([[1, 2, 3]], jnp.int32),
@@ -347,8 +349,9 @@ def bench_qwen_asr_q4_batch8():
     from asr_tpu.quant.quantize import quantize_pytree
     cfg = qa.QwenAsrConfig()
     tower = qa.init_tower_params(cfg, jax.random.PRNGKey(0))
-    llm = quantize_pytree(qwen3.init_params(cfg.llm, jax.random.PRNGKey(1)),
-                          bits=4, pack=True, quantize_embeddings=True)
+    llm = qwen3.fuse_params(
+        quantize_pytree(qwen3.init_params(cfg.llm, jax.random.PRNGKey(1)),
+                        bits=4, pack=True, quantize_embeddings=True), cfg.llm)
     audio, valid = _audio(8, 8.0, scale=0.1)
     rep = lambda row: jnp.tile(jnp.asarray([row], jnp.int32), (8, 1))
     ids = {"head": rep([1, 2, 3]), "query": rep([4, 5]),
@@ -390,8 +393,9 @@ def bench_fun_asr_llm_batch8():
     from asr_tpu.quant.quantize import quantize_pytree
     cfg = fn_.FunAsrNanoConfig()
     params = fn_.init_params(cfg, jax.random.PRNGKey(0))
-    llm = quantize_pytree(qwen3.init_params(cfg.llm, jax.random.PRNGKey(1)),
-                          bits=4, pack=True, quantize_embeddings=True)
+    llm = qwen3.fuse_params(
+        quantize_pytree(qwen3.init_params(cfg.llm, jax.random.PRNGKey(1)),
+                        bits=4, pack=True, quantize_embeddings=True), cfg.llm)
     audio, valid = _audio(8, 8.0)
     rep = lambda row: jnp.tile(jnp.asarray([row], jnp.int32), (8, 1))
     ids = {"head": rep([1, 2, 3]), "query": rep([4, 5]), "tail": rep([6, 7])}
