@@ -141,7 +141,10 @@ def _build_session(folder: Path, language: str | None = None, mesh=None,
             scfg = config_from_dict(DolphinStreamConfig, cfg_dict)
         else:
             scfg = DolphinStreamConfig(base=config_from_dict(DolphinConfig, cfg_dict))
-        return DolphinStreamingSession(params, scfg, tokenizer=tokenizer)
+        return DolphinStreamingSession(
+            params, scfg, tokenizer=tokenizer,
+            language_catalog=meta.extra.get("dolphin_language_catalog") or {},
+            language=language)
 
     if family == "firered":
         from asr_tpu.models.firered import FireRedConfig

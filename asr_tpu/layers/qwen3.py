@@ -187,7 +187,10 @@ def fuse_params(params: dict, cfg: Qwen3Config) -> dict:
     exact arithmetic and differs only by XLA's summation order in floats
     (~1e-7 rel, the same class of difference as any fusion change).
     Leaves that cannot fuse (mixed bits/block/packing, dynamic-activation
-    int8) stay split."""
+    int8) stay split.  A None / layer-less params tree passes through
+    (prompt-only session tests construct sessions without weights)."""
+    if not isinstance(params, dict) or "layers" not in params:
+        return params
     from asr_tpu.quant.quantize import QuantizedLinear
 
     def cat(leaves):

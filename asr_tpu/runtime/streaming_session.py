@@ -212,7 +212,9 @@ class DolphinStreamingSession:
     rescoring pass over the accumulated cross-K/V with lang/region probes."""
 
     def __init__(self, params, cfg, tokenizer=None, decode_cfg=None,
-                 language_id: int = -1, region_id: int = -2, blank_id: int = 0):
+                 language_id: int = -1, region_id: int = -2, blank_id: int = 0,
+                 language_catalog: dict | None = None,
+                 language: str | None = None):
         from asr_tpu.decode.ar import DecodeConfig
         from asr_tpu.streaming import dolphin_stream as ds
 
@@ -223,6 +225,13 @@ class DolphinStreamingSession:
         self.decode_cfg = decode_cfg or DecodeConfig(
             max_new_tokens=min(64, cfg.base.max_target_positions - 4),
             eot_id=cfg.base.eos_id, strategy="greedy")
+        if language:
+            # same named 2-level resolution as the offline DolphinSession
+            from asr_tpu.runtime.transducer_session import DolphinSession
+
+            resolver = DolphinSession.__new__(DolphinSession)
+            resolver.language_catalog = language_catalog or {}
+            language_id, region_id = resolver.resolve_language(language)
         self.language_id = language_id
         self.region_id = region_id
         self.blank_id = blank_id

@@ -95,3 +95,25 @@ def test_rescore_decode_runs():
     dc = DecodeConfig(max_new_tokens=6, eot_id=BASE.eos_id, strategy="greedy")
     tokens, counts = ds.rescore_decode(params, CFG, state, prompt, dc)
     assert tokens.shape[0] == 1 and int(counts[0]) >= 1
+
+
+def test_streaming_session_named_language_forcing():
+    """DolphinStreamingSession resolves --language names through the same
+    catalog as the offline session (forced prompt ids for the final AR
+    rescoring pass); unmapped names raise."""
+    import pytest
+
+    from asr_tpu.runtime.streaming_session import DolphinStreamingSession
+
+    cat = {"languages": {"zh": 41, "ja": 42}, "regions": {"CN": 44},
+           "asr_id": 40, "notimestamp_id": 47, "aliases": {"Japanese": "ja"}}
+    params = dp.init_params(BASE, jax.random.PRNGKey(0))
+    sess = DolphinStreamingSession(params, CFG, language_catalog=cat,
+                                   language="Japanese")
+    assert (sess.language_id, sess.region_id) == (42, -2)
+    sess = DolphinStreamingSession(params, CFG, language_catalog=cat,
+                                   language="zh-CN")
+    assert (sess.language_id, sess.region_id) == (41, 44)
+    with pytest.raises(KeyError):
+        DolphinStreamingSession(params, CFG, language_catalog=cat,
+                                language="Klingon")

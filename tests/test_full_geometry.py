@@ -741,6 +741,130 @@ def test_nemotron_06b_geometry_parity():
                                rtol=0, atol=2e-4)
 
 
+def test_zipformer2_layer_geometry_parity_and_full_step():
+    """X-ASR Zipformer2: (a) one encoder layer of the LARGEST stack (dim
+    768) at real checkpoint geometry vs an independent f64 torch
+    transcription of the reference layer
+    (``/root/reference/X-ASR/Export_X_ASR.py:176-726``): shared attention
+    weights (separate query/pos heads, rel->abs position gather, -1000
+    key-pad masking), tanh nonlin-attention with cached x, two
+    value-attentions, two chunk-causal fused conv maps, three SwooshL FFNs,
+    mid/out per-channel bypasses and BiasNorm; (b) the FULL real-geometry
+    streaming encoder_step + greedy chunk runs finite and shape-correct."""
+    import torch
+
+    from asr_tpu.models import zipformer as zf
+
+    cfg = zf.ZipformerConfig()  # real X-ASR geometry defaults
+    s = int(np.argmax(cfg.encoder_dim))
+    g = cfg.stack_geom(s)
+    assert g["dim"] == 768
+    params = zf.init_params(cfg, jax.random.PRNGKey(0))
+    p = jax.tree.map(np.asarray, params["stacks"][s]["layers"][0])
+    rng = np.random.default_rng(0)
+    src = rng.standard_normal((g["seq"], g["dim"])).astype(np.float32) * 0.5
+    lstate = {
+        "key": rng.standard_normal((g["left"], g["heads"] * g["qhd"])).astype(np.float32) * 0.1,
+        "nonlin": rng.standard_normal((g["left"], g["hidden"])).astype(np.float32) * 0.1,
+        "val1": rng.standard_normal((g["left"], g["heads"] * g["vhd"])).astype(np.float32) * 0.1,
+        "val2": rng.standard_normal((g["left"], g["heads"] * g["vhd"])).astype(np.float32) * 0.1,
+        "conv1": rng.standard_normal((g["kernel"] // 2, g["dim"])).astype(np.float32) * 0.1,
+        "conv2": rng.standard_normal((g["kernel"] // 2, g["dim"])).astype(np.float32) * 0.1,
+    }
+    kpm = np.zeros((g["k_len"],), bool)
+    kpm[: g["left"] // 2] = True  # some warm-up masking
+
+    ours, new_state = zf._layer(
+        jax.tree.map(jnp.asarray, p), g, jnp.asarray(src),
+        jax.tree.map(jnp.asarray, lstate), jnp.asarray(kpm))
+    ours = np.asarray(ours, np.float32)
+
+    # --- independent torch transcription (f64) ---
+    t = lambda a: torch.tensor(np.asarray(a), dtype=torch.float64)
+
+    def lin(v, pp):
+        y = v @ t(pp["w"])
+        return y + t(pp["b"]) if "b" in pp else y
+
+    def swoosh_l(x):
+        return torch.nn.functional.softplus(x - 4.0) - 0.08 * x - 0.035
+
+    def swoosh_r(x):
+        return torch.nn.functional.softplus(x - 1.0) - 0.08 * x - 0.313261687
+
+    def ff(pp, v):
+        return lin(swoosh_l(lin(v, pp["in"])), pp["out"])
+
+    h, qhd, phd, vhd = g["heads"], g["qhd"], g["phd"], g["vhd"]
+    seq, left, k_len = g["seq"], g["left"], g["k_len"]
+    x0 = t(src)
+
+    # shared attention weights
+    proj = lin(x0, p["attn_in_proj"])
+    qdim = h * qhd
+    q, k, pos_q = proj[:, :qdim], proj[:, qdim:2 * qdim], proj[:, 2 * qdim:]
+    k_full = torch.cat([t(lstate["key"]), k], dim=0)
+    qh = q.reshape(seq, h, qhd).permute(1, 0, 2)
+    kh = k_full.reshape(k_len, h, qhd).permute(1, 2, 0)
+    ph = pos_q.reshape(seq, h, phd).permute(1, 0, 2)
+    scores = torch.einsum("hsd,hdk->hsk", qh, kh)
+    pos_full = torch.einsum("hsd,hdp->hsp", ph, t(p["pos_table"]))
+    gidx = (seq - 1 - np.arange(seq)[:, None]) + np.arange(k_len)[None, :]
+    gi = torch.tensor(gidx).unsqueeze(0).expand(h, seq, k_len)
+    scores = scores + torch.gather(pos_full, 2, gi)
+    scores = torch.where(torch.tensor(kpm)[None, None, :], torch.tensor(-1000.0, dtype=torch.float64), scores)
+    weights = torch.softmax(scores, dim=-1)
+
+    def self_attn(pp, v_in, cached):
+        v = lin(v_in, pp["in"])
+        v_full = torch.cat([t(cached), v], dim=0)
+        vh = v_full.reshape(k_len, h, vhd).permute(1, 0, 2)
+        y = torch.einsum("hsk,hkd->hsd", weights, vh)
+        return lin(y.permute(1, 0, 2).reshape(seq, h * vhd), pp["out"])
+
+    def conv_mod(pp, v_in, cached):
+        pr = lin(v_in, pp["in"])
+        xx, ss = pr.split(g["dim"], dim=-1)
+        xx = xx * torch.sigmoid(ss)
+        x_full = torch.cat([t(cached), xx], dim=0)
+        y = torch.einsum("ctk,kc->tc", t(pp["fused_w"]), x_full) + t(pp["fused_b"]).T
+        return lin(swoosh_r(y), pp["out"])
+
+    src_t = x0 + ff(p["ff1"], x0)
+    pr = lin(src_t, p["nonlin"]["in"])
+    s_, xx, yy = pr.split(g["hidden"], dim=-1)
+    xx = xx * torch.tanh(s_)
+    x_full = torch.cat([t(lstate["nonlin"]), xx], dim=0)
+    na = lin(torch.einsum("sk,kd->sd", weights[0], x_full) * yy, p["nonlin"]["out"])
+    src_t = src_t + na
+    src_t = src_t + self_attn(p["sa1"], src_t, lstate["val1"])
+    src_t = src_t + conv_mod(p["conv1"], src_t, lstate["conv1"])
+    src_t = src_t + ff(p["ff2"], src_t)
+    src_t = x0 + (src_t - x0) * t(p["bypass_mid"])
+    src_t = src_t + self_attn(p["sa2"], src_t, lstate["val2"])
+    src_t = src_t + conv_mod(p["conv2"], src_t, lstate["conv2"])
+    src_t = src_t + ff(p["ff3"], src_t)
+    d = src_t.shape[-1]
+    norm = torch.sqrt(torch.sum((src_t - t(p["norm_bias"])) ** 2, dim=-1, keepdim=True))
+    normed = src_t * (torch.exp(t(p["norm_log_scale"])) * d**0.5 / torch.clamp(norm, min=1e-9))
+    ref = (x0 + (normed - x0) * t(p["bypass"])).numpy()
+
+    rel = np.linalg.norm(ours - ref) / np.linalg.norm(ref)
+    assert rel < 2e-4, rel
+    # cache update semantics: key cache keeps the LAST `left` rows
+    np.testing.assert_allclose(
+        np.asarray(new_state["key"]),
+        torch.cat([t(lstate["key"]), k], dim=0)[-left:].numpy().astype(np.float32),
+        rtol=1e-4, atol=1e-5)
+
+    # --- (b) full-geometry streaming step + greedy, finite + shapes ---
+    state = zf.init_state(cfg)
+    window = jnp.asarray((rng.standard_normal(cfg.window_samples) * 2000).astype(np.float32))
+    state, ids, count = zf.transcribe_chunk(params, cfg, state, window)
+    assert np.all(np.isfinite(np.asarray(count)))
+    assert 0 <= int(count) <= ids.shape[0]
+
+
 def test_parakeet_06b_geometry_forward():
     """parakeet-tdt-0.6b-v3 geometry (24 x 1024 FastConformer + TDT):
     full-size jitted forward is finite and shape-correct (no HF torch

@@ -64,7 +64,17 @@ def _fetch(out) -> None:
         np.asarray(jnp.ravel(leaf)[:1])
 
 
-def _measure(name, fn, args, batch, audio_seconds, iters, ref_cpu_rtf, note=""):
+# Builder-measured per-chip ceilings (memory/axon-tunnel-timing, r3
+# difference-method): f32 HIGHEST matmuls ~28 TF/s, bf16 ~130 TF/s.
+_CEILING_F32, _CEILING_BF16 = 28.0, 130.0
+
+
+def _measure(name, fn, args, batch, audio_seconds, iters, ref_cpu_rtf, note="",
+             ceiling_tflops=None):
+    if ceiling_tflops is None:
+        # quantized / bf16 rows run their matmuls on the bf16 MXU path
+        ceiling_tflops = (_CEILING_BF16 if any(t in name for t in
+                          ("bf16", "q8", "q4", "q2")) else _CEILING_F32)
     t_c0 = time.perf_counter()
     out = fn(*args)
     _fetch(out)
@@ -75,6 +85,16 @@ def _measure(name, fn, args, batch, audio_seconds, iters, ref_cpu_rtf, note=""):
     _fetch(out)
     elapsed = time.perf_counter() - t0
     rtf = elapsed / (iters * batch * audio_seconds)
+    # MFU accounting (VERDICT r2 item 10): XLA's own cost model for the
+    # compiled executable -> achieved TFLOP/s and % of the measured ceiling.
+    flops = None
+    try:
+        ca = fn.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
     rec = {
         "family": name,
         "rtf": round(rtf, 6),
@@ -86,6 +106,11 @@ def _measure(name, fn, args, batch, audio_seconds, iters, ref_cpu_rtf, note=""):
         "speedup_vs_ref": round(ref_cpu_rtf / rtf, 1) if ref_cpu_rtf else None,
         "note": note,
     }
+    if flops:
+        achieved = flops * iters / elapsed / 1e12
+        rec["achieved_tflops_per_s"] = round(achieved, 2)
+        rec["pct_of_measured_ceiling"] = round(100 * achieved / ceiling_tflops, 1)
+        rec["ceiling_tflops"] = ceiling_tflops
     RESULTS.append(rec)
     print(json.dumps(rec), flush=True)
     _write_audit()
