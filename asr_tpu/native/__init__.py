@@ -67,6 +67,13 @@ def get_lib():
         ctypes.c_long, f32p, ctypes.POINTER(ctypes.c_long), ctypes.c_int,
     ]
     lib.load_wav_batch.restype = ctypes.c_int
+    lib.flac_decode.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.flac_decode.restype = ctypes.c_long
     _lib = lib
     return _lib
 
@@ -116,6 +123,39 @@ def rms(x: np.ndarray) -> float:
     assert lib is not None
     x = np.ascontiguousarray(x, np.float32)
     return float(lib.rms(_fptr(x), len(x)))
+
+
+def flac_decode(data: bytes):
+    """Native FLAC stream decode -> (samples int32 (N,) or (N, C), rate,
+    depth). Raises ValueError on malformed streams (same subset as the
+    pure-Python ``runtime.flac`` decoder, which remains the fallback)."""
+    lib = get_lib()
+    assert lib is not None
+    buf = np.frombuffer(data, np.uint8)
+    # capacity guess: a FLAC frame cannot code a sample in < 1 bit, so
+    # 8 * n_bytes samples TOTAL is a safe upper bound; retry bigger if the
+    # stream is pathological (constant frames compress below 1 bit/sample).
+    cap = max(1 << 16, 8 * len(buf))
+    for _ in range(3):
+        out = np.empty(cap, np.int32)
+        ch = ctypes.c_int(0)
+        rate = ctypes.c_int(0)
+        depth = ctypes.c_int(0)
+        n = lib.flac_decode(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            cap, ctypes.byref(ch), ctypes.byref(rate), ctypes.byref(depth))
+        if n == -4:
+            cap *= 8
+            continue
+        if n < 0:
+            raise ValueError(f"native FLAC decode failed (code {n})")
+        c = ch.value
+        samples = out[: n * c]
+        if c > 1:
+            samples = samples.reshape(-1, c)
+        return samples, rate.value, depth.value
+    raise ValueError("native FLAC decode: capacity retry exhausted")
 
 
 def load_wav_batch(paths, target_rate: int, window_samples: int,

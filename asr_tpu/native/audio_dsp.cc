@@ -261,3 +261,252 @@ int load_wav_batch(const char** paths, int n, int target_rate, long window,
 }
 
 }  // extern "C"
+
+// ── FLAC decode ─────────────────────────────────────────────────────────────
+// Native counterpart of asr_tpu/runtime/flac.py (same subset: STREAMINFO,
+// CONSTANT/VERBATIM/FIXED/LPC subframes, 4/5-bit Rice partitions, wasted
+// bits, left/right/mid stereo decorrelation; CRCs unverified). The pure-
+// Python decoder is bit-exact but ~1 s of CPU per minute of audio; the hot
+// loops here are the bit reader and Rice/LPC reconstruction.
+
+namespace flac {
+
+struct Bits {
+  const uint8_t* data;
+  long nbits;
+  long pos = 0;
+  bool fail = false;
+
+  uint64_t read(int n) {
+    if (pos + n > nbits) { fail = true; return 0; }
+    uint64_t out = 0;
+    for (int i = 0; i < n; ++i) {
+      out = (out << 1) | ((data[pos >> 3] >> (7 - (pos & 7))) & 1);
+      ++pos;
+    }
+    return out;
+  }
+  int64_t read_signed(int n) {
+    uint64_t v = read(n);
+    if (n > 0 && (v >> (n - 1))) return static_cast<int64_t>(v) - (1LL << n);
+    return static_cast<int64_t>(v);
+  }
+  long unary() {
+    long count = 0;
+    while (pos < nbits) {
+      const int bit = (data[pos >> 3] >> (7 - (pos & 7))) & 1;
+      ++pos;
+      if (bit) return count;
+      ++count;
+    }
+    fail = true;
+    return 0;
+  }
+  void align() { pos = (pos + 7) & ~7L; }
+};
+
+uint64_t utf8_number(Bits& b) {
+  uint64_t b0 = b.read(8);
+  if (b0 < 0x80) return b0;
+  int n = 0;
+  while ((b0 << n) & 0x80) ++n;
+  uint64_t val = b0 & (0x7FULL >> n);
+  for (int i = 0; i < n - 1; ++i) val = (val << 6) | (b.read(8) & 0x3F);
+  return val;
+}
+
+const int kBlockSize[] = {0, 192, 576, 1152, 2304, 4608, -1, -2,
+                          256, 512, 1024, 2048, 4096, 8192, 16384, 32768};
+const int kFixedOrders[5][4] = {{}, {1}, {2, -1}, {3, -3, 1}, {4, -6, 4, -1}};
+
+bool residuals(Bits& b, long block_size, int order, std::vector<int64_t>& out) {
+  const int method = static_cast<int>(b.read(2));
+  if (method > 1) return false;
+  const int plen = method == 0 ? 4 : 5;
+  const uint64_t escape = method == 0 ? 0xF : 0x1F;
+  const int part_order = static_cast<int>(b.read(4));
+  const long nparts = 1L << part_order;
+  out.clear();
+  for (long p = 0; p < nparts; ++p) {
+    long nsamples = (block_size >> part_order) - (p == 0 ? order : 0);
+    const uint64_t rice = b.read(plen);
+    if (rice == escape) {
+      const int nbits = static_cast<int>(b.read(5));
+      for (long i = 0; i < nsamples; ++i)
+        out.push_back(nbits ? b.read_signed(nbits) : 0);
+    } else {
+      const int k = static_cast<int>(rice);
+      for (long i = 0; i < nsamples; ++i) {
+        const uint64_t q = static_cast<uint64_t>(b.unary());
+        const uint64_t r = k ? b.read(k) : 0;
+        const uint64_t v = (q << k) | r;
+        out.push_back(static_cast<int64_t>(v >> 1) ^ -static_cast<int64_t>(v & 1));
+      }
+    }
+    if (b.fail) return false;
+  }
+  return true;
+}
+
+bool subframe(Bits& b, long block_size, int depth, std::vector<int64_t>& s) {
+  if (b.read(1)) return false;
+  const int stype = static_cast<int>(b.read(6));
+  int wasted = 0;
+  if (b.read(1)) { wasted = 1 + static_cast<int>(b.unary()); depth -= wasted; }
+  s.clear();
+  s.reserve(block_size);
+  std::vector<int64_t> res;
+  if (stype == 0) {
+    const int64_t v = b.read_signed(depth);
+    s.assign(block_size, v);
+  } else if (stype == 1) {
+    for (long i = 0; i < block_size; ++i) s.push_back(b.read_signed(depth));
+  } else if (stype >= 8 && stype <= 12) {
+    const int order = stype - 8;
+    for (int i = 0; i < order; ++i) s.push_back(b.read_signed(depth));
+    if (!residuals(b, block_size, order, res)) return false;
+    for (size_t i = 0; i < res.size(); ++i) {
+      int64_t pred = 0;
+      const size_t base = s.size();
+      for (int j = 0; j < order; ++j) pred += kFixedOrders[order][j] * s[base - 1 - j];
+      s.push_back(res[i] + pred);
+    }
+  } else if (stype >= 32) {
+    const int order = stype - 31;
+    for (int i = 0; i < order; ++i) s.push_back(b.read_signed(depth));
+    const int prec = static_cast<int>(b.read(4)) + 1;
+    if (prec == 16) return false;
+    const int shift = static_cast<int>(b.read_signed(5));
+    std::vector<int64_t> coeffs(order);
+    for (int i = 0; i < order; ++i) coeffs[i] = b.read_signed(prec);
+    if (!residuals(b, block_size, order, res)) return false;
+    for (size_t i = 0; i < res.size(); ++i) {
+      int64_t acc = 0;
+      const size_t base = s.size();
+      for (int j = 0; j < order; ++j) acc += coeffs[j] * s[base - 1 - j];
+      s.push_back(res[i] + (acc >> shift));
+    }
+  } else {
+    return false;
+  }
+  if (b.fail) return false;
+  if (wasted) for (auto& v : s) v <<= wasted;
+  return true;
+}
+
+}  // namespace flac
+
+extern "C" {
+
+// Decode a whole FLAC stream. out: interleaved int32, capacity `max_ints`
+// TOTAL elements (all channels). Returns samples PER CHANNEL (>= 0) or a
+// negative error: -1 bad magic, -2 no STREAMINFO, -3 frame decode error,
+// -4 capacity exceeded.
+long flac_decode(const uint8_t* data, long n_bytes, int32_t* out,
+                 long max_ints, int* out_channels, int* out_rate,
+                 int* out_depth) {
+  if (n_bytes < 8 || std::memcmp(data, "fLaC", 4) != 0) return -1;
+  long pos = 4;
+  int rate = 0, channels = 0, depth = 0;
+  long total = -1;
+  bool have_info = false;
+  while (pos + 4 <= n_bytes) {
+    const int last = data[pos] >> 7;
+    const int btype = data[pos] & 0x7F;
+    const long size = (static_cast<long>(data[pos + 1]) << 16) |
+                      (static_cast<long>(data[pos + 2]) << 8) | data[pos + 3];
+    if (btype == 0 && pos + 4 + size <= n_bytes) {
+      flac::Bits b{data + pos + 4, size * 8};
+      b.read(16); b.read(16); b.read(24); b.read(24);
+      rate = static_cast<int>(b.read(20));
+      channels = static_cast<int>(b.read(3)) + 1;
+      depth = static_cast<int>(b.read(5)) + 1;
+      total = static_cast<long>(b.read(36));
+      if (total == 0) total = -1;  // 0 = unknown length in STREAMINFO
+      have_info = true;
+    }
+    pos += 4 + size;
+    if (last) break;
+  }
+  if (!have_info) return -2;
+  *out_channels = channels;
+  *out_rate = rate;
+  *out_depth = depth;
+
+  long written = 0;  // samples per channel
+  std::vector<std::vector<int64_t>> subs(channels);
+  while (pos < n_bytes - 2) {
+    flac::Bits b{data, n_bytes * 8};
+    b.pos = pos * 8;
+    if (b.read(14) != 0x3FFE) return -3;
+    b.read(1); b.read(1);
+    const int bs_code = static_cast<int>(b.read(4));
+    const int sr_code = static_cast<int>(b.read(4));
+    const int chan_code = static_cast<int>(b.read(4));
+    const int depth_code = static_cast<int>(b.read(3));
+    b.read(1);
+    flac::utf8_number(b);
+    long block_size;
+    if (bs_code == 6) block_size = static_cast<long>(b.read(8)) + 1;
+    else if (bs_code == 7) block_size = static_cast<long>(b.read(16)) + 1;
+    else block_size = flac::kBlockSize[bs_code];
+    if (block_size <= 0) return -3;
+    if (sr_code == 12) b.read(8);
+    else if (sr_code == 13 || sr_code == 14) b.read(16);
+    b.read(8);  // header CRC-8
+    int depth_f = depth;
+    if (depth_code) {
+      const int map[] = {0, 8, 12, 0, 16, 20, 24, 32};
+      depth_f = map[depth_code];
+      if (!depth_f) return -3;
+    }
+
+    if (chan_code < 8) {
+      if (chan_code + 1 != channels) return -3;
+      for (int c = 0; c < channels; ++c)
+        if (!flac::subframe(b, block_size, depth_f, subs[c])) return -3;
+    } else if (chan_code == 8) {  // left/side
+      if (channels != 2) return -3;
+      if (!flac::subframe(b, block_size, depth_f, subs[0])) return -3;
+      if (!flac::subframe(b, block_size, depth_f + 1, subs[1])) return -3;
+      for (long i = 0; i < block_size; ++i) subs[1][i] = subs[0][i] - subs[1][i];
+    } else if (chan_code == 9) {  // right/side
+      if (channels != 2) return -3;
+      std::vector<int64_t> side, right;
+      if (!flac::subframe(b, block_size, depth_f + 1, side)) return -3;
+      if (!flac::subframe(b, block_size, depth_f, right)) return -3;
+      subs[0].resize(block_size);
+      subs[1] = right;
+      for (long i = 0; i < block_size; ++i) subs[0][i] = right[i] + side[i];
+    } else if (chan_code == 10) {  // mid/side
+      if (channels != 2) return -3;
+      std::vector<int64_t> mid, side;
+      if (!flac::subframe(b, block_size, depth_f, mid)) return -3;
+      if (!flac::subframe(b, block_size, depth_f + 1, side)) return -3;
+      subs[0].resize(block_size);
+      subs[1].resize(block_size);
+      for (long i = 0; i < block_size; ++i) {
+        const int64_t m = (mid[i] << 1) | (side[i] & 1);
+        subs[0][i] = (m + side[i]) >> 1;
+        subs[1][i] = (m - side[i]) >> 1;
+      }
+    } else {
+      return -3;
+    }
+    b.align();
+    b.read(16);  // frame CRC-16
+    if (b.fail) return -3;
+    const long keep = (total >= 0 && written + block_size > total)
+                          ? total - written : block_size;
+    if ((written + keep) * channels > max_ints) return -4;
+    for (long i = 0; i < keep; ++i)
+      for (int c = 0; c < channels; ++c)
+        out[(written + i) * channels + c] = static_cast<int32_t>(subs[c][i]);
+    written += keep;
+    pos = b.pos >> 3;
+    if (total >= 0 && written >= total) break;
+  }
+  return written;
+}
+
+}  // extern "C"

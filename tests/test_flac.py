@@ -202,3 +202,42 @@ def test_bad_magic_raises(tmp_path):
     p.write_bytes(b"NOPE" + b"\x00" * 64)
     with pytest.raises(ValueError, match="fLaC"):
         read_flac(p)
+
+
+def test_native_flac_decoder_matches_python(tmp_path):
+    """The C++ decoder (native.flac_decode) must be bit-identical to the
+    pure-Python reference on every subframe kind and stereo mode."""
+    from asr_tpu import native
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(4)
+    a = rng.integers(-3000, 3000, 64).astype(np.int64)
+    b = np.cumsum(rng.integers(-40, 40, 64)).astype(np.int64)
+    c = np.full(64, 123, np.int64)
+    blob = _encode([
+        [("verbatim", a, 16)],
+        [("fixed2", b, 16)],
+        [("constant", c, 16)],
+    ])
+    samples, rate, depth = native.flac_decode(blob)
+    assert (rate, depth) == (16000, 16)
+    np.testing.assert_array_equal(samples, np.concatenate([a, b, c]))
+
+    left = rng.integers(-2000, 2000, 48).astype(np.int64)
+    right = rng.integers(-2000, 2000, 48).astype(np.int64)
+    blob2 = _encode([[("verbatim", left, 16), ("verbatim", left - right, 17)]],
+                    channels=2, chan_code=8)
+    s2, _, _ = native.flac_decode(blob2)
+    np.testing.assert_array_equal(s2[:, 0], left)
+    np.testing.assert_array_equal(s2[:, 1], right)
+
+    with pytest.raises(ValueError):
+        native.flac_decode(b"NOPE" + b"\x00" * 64)
+
+    # read_flac (native-first path) agrees with the direct call
+    p = tmp_path / "n.flac"
+    p.write_bytes(blob)
+    got, rr = read_flac(p)
+    assert rr == 16000
+    np.testing.assert_array_equal(got, np.concatenate([a, b, c]).astype(np.float32))
