@@ -551,6 +551,8 @@ def cmd_serve_stream(args) -> int:
     extract = None
     advance = None
     pcm_scale = 32768.0
+    tail_pad = 0
+    drain_min = 1
 
     if family == "paraformer_streaming":
         from asr_tpu.models.paraformer import ParaformerConfig
@@ -577,6 +579,11 @@ def cmd_serve_stream(args) -> int:
         cfg = config_from_dict(ZipformerConfig, cfg_dict)
         runner = ms.zipformer_multistream(params, cfg, n)
         chunk, advance = cfg.window_samples, cfg.advance_samples
+        # session behavior: 0.3 s zero tail; stop once a full window no
+        # longer fits (the file-mode snip-edges FRONT pad needs lookahead a
+        # live stream does not have and is not applied)
+        tail_pad = int(0.3 * 16000)
+        drain_min = chunk
     elif family == "dolphin_streaming":
         from asr_tpu.models.dolphin import DolphinConfig
         from asr_tpu.streaming.dolphin_stream import DolphinStreamConfig
@@ -586,6 +593,7 @@ def cmd_serve_stream(args) -> int:
                 DolphinStreamConfig(base=config_from_dict(DolphinConfig, cfg_dict)))
         runner = ms.dolphin_multistream(params, scfg, n)
         chunk, advance = scfg.window_samples, scfg.advance_samples
+        drain_min = advance  # session fires while pos + adv <= n
         blank = 0
 
         def extract(outs, i, st):  # per-slot cross-chunk CTC collapse
@@ -606,7 +614,8 @@ def cmd_serve_stream(args) -> int:
 
     serve_streams(runner, chunk, host=args.host, port=args.port,
                   extract=extract, pcm_scale=pcm_scale,
-                  advance_samples=advance)
+                  advance_samples=advance, tail_pad_samples=tail_pad,
+                  drain_min_samples=drain_min)
     return 0
 
 

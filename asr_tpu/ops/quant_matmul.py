@@ -404,22 +404,21 @@ def _pallas_quant_dense_2d(x2: jnp.ndarray, qleaf: dict, interpret: bool = False
 
 
 def _auto_prefers_pallas(m: int, bits: int, packed: bool) -> bool:
-    """Per-shape route for kernel="auto" on TPU, from real-hardware
-    measurements (tools/validate_kernels_tpu.py, hoist-proof in-jit
-    fori_loop difference timing — see KERNELS_TPU.json, r3):
+    """Route for kernel="auto" on TPU: always Pallas (where it tiles).
 
-    - decode/matvec shapes (M <= 64): Pallas wins 1.4-2.9x — it streams
-      only the quantized bytes (measured 150-380 GB/s of quant bytes)
-      while XLA materializes a bf16 weight copy first;
-    - prefill shapes (M ~ 512): XLA wins (Pallas 0.53-0.94x) — the op is
-      MXU-bound there and XLA's single fused dot reaches ~136 TF/s vs the
-      kernel's ~72-114 (grid-step overheads + dequant/MXU serialization).
-
-    The crossover sits between; 64 is conservative toward the measured
-    points (batch-8 lockstep LLM decode stays Pallas, encoder/prefill
-    GEMMs go XLA)."""
-    del bits, packed
-    return m <= 64
+    Measured on hardware (r3): at decode shapes Pallas wins 1.4-2.9x vs
+    the XLA dequant fallback (it streams only the quantized bytes). At
+    prefill shapes an isolated micro-benchmark showed XLA slightly ahead —
+    but ONLY when both run at the same matmul precision. In a real session
+    the kernel's in-kernel bf16 mode does one MXU pass regardless of the
+    session's global precision, while the XLA fallback inherits it: under
+    the f32-HIGHEST parity config XLA's dot runs the 6-pass emulation
+    (~28 vs ~130 TF/s) and the whole-model A/B flips decisively to Pallas
+    (SenseVoice q8 batch-8: 0.000262 Pallas vs 0.000465 XLA RTF;
+    Whisper q8 likewise). The XLA route remains reachable explicitly
+    (kernel="xla") and as the CPU/untileable-shape fallback."""
+    del m, bits, packed
+    return True
 
 
 def quant_dense(x: jnp.ndarray, qleaf: dict) -> jnp.ndarray:

@@ -35,14 +35,9 @@ def decode_audio_bytes(data: bytes, target_rate: int) -> np.ndarray:
     if data[:4] == b"RIFF":
         return decode_wav_bytes(data, target_rate)
     if data[:4] == b"fLaC":
-        import tempfile
+        from asr_tpu.runtime.flac import read_flac_bytes
 
-        from asr_tpu.runtime.flac import read_flac
-
-        with tempfile.NamedTemporaryFile(suffix=".flac") as f:
-            f.write(data)
-            f.flush()
-            samples, rate = read_flac(f.name)
+        samples, rate = read_flac_bytes(data)
     elif data[:3] == b"ID3" or (len(data) > 2 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0):
         import tempfile
 
@@ -157,25 +152,32 @@ class SessionServer:
         n = len(samples)
         w = self.window
         stride = getattr(self.session, "stride_samples", None) or w
-        num = max(1, -(-max(n - w, 0) // stride) + 1) if n > w else 1
+        starts = audio_io.iter_windows(n, w, stride)
         futures = [
-            self.batcher.submit(np.ascontiguousarray(samples[i * stride : i * stride + w]))
-            for i in range(num)
+            self.batcher.submit(np.ascontiguousarray(samples[s : s + w]))
+            for s in starts
         ]
         ids: list[int] = []
+        texts: list[str] = []
+        tok = self.session.tokenizer
         for fut in futures:
             out = fut.result()
             counts = int(out["counts"])
-            ids.extend(int(t) for t in np.asarray(out["tokens"])[:counts])
-        tok = self.session.tokenizer
-        text = self.session._postprocess(tok.decode(ids)) if tok else ""
+            win_ids = [int(t) for t in np.asarray(out["tokens"])[:counts]]
+            ids.extend(win_ids)
+            if tok:
+                # decode + postprocess PER WINDOW: LLM windows each carry
+                # their own "language X<asr_text>" prefix that the
+                # postprocessor strips — a single pass over concatenated
+                # ids would leave later windows' tags embedded mid-text
+                texts.append(self.session._postprocess(tok.decode(win_ids)))
         resp = {
-            "text": text,
+            "text": "".join(texts),
             "token_ids": ids,
             "audio_seconds": n / self.sample_rate,
         }
-        if num > 1:
-            resp["windows"] = num
+        if len(starts) > 1:
+            resp["windows"] = len(starts)
         return resp
 
     def stats(self) -> dict:

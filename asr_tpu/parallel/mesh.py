@@ -76,13 +76,31 @@ def sensevoice_param_specs(params: Any) -> Any:
 def _specs_by_rule(params: Any, rule) -> Any:
     """Build a PartitionSpec pytree mirroring ``params`` exactly: ``rule``
     maps a '/'-joined key path to a spec; unmatched leaves replicate. This
-    tolerates optional leaves (bias-less linears, tied heads)."""
+    tolerates optional leaves (bias-less linears, tied heads).
 
-    def assign(path, _leaf):
+    Quantized weights (``QuantizedLinear``) are treated as single leaves at
+    their '.../w' path so the rules match them: a COLUMN-sharded position
+    shards q/scale/zero on their shared output axis (exact — block
+    quantization is per column); a ROW-sharded position replicates (the
+    packed int4/int2 row layout interleaves nibble planes across the K
+    axis, which a row split would tear apart)."""
+    from asr_tpu.quant.quantize import QuantizedLinear
+
+    def assign(path, leaf):
         key = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
-        return rule(key)
+        spec = rule(key)
+        if isinstance(leaf, QuantizedLinear):
+            if spec == P(None, "model"):
+                col = P(None, "model")
+                return QuantizedLinear(col, col, col, leaf.bits, leaf.block,
+                                       leaf.packed, leaf.dynamic)
+            rep = P()
+            return QuantizedLinear(rep, rep, rep, leaf.bits, leaf.block,
+                                   leaf.packed, leaf.dynamic)
+        return spec
 
-    return jax.tree_util.tree_map_with_path(assign, params)
+    return jax.tree_util.tree_map_with_path(
+        assign, params, is_leaf=lambda x: isinstance(x, QuantizedLinear))
 
 
 def whisper_param_specs(params: Any) -> Any:

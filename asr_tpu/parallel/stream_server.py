@@ -41,15 +41,13 @@ import numpy as np
 
 
 class _Slot:
-    def __init__(self, carry_samples: int = 0):
+    def __init__(self):
         self.buffer = np.zeros(0, np.float32)
-        # overlapped-window families (X-ASR / Dolphin streaming): the tail
-        # of the previous window re-enters the next one
-        self.carry = np.zeros(carry_samples, np.float32)
         self.ext_state: dict = {}
         self.out_q: queue.Queue = queue.Queue()
         self.lock = threading.Lock()
         self.draining = False
+        self.finished = False  # sentinel already queued
         self.ticks = 0
 
 
@@ -63,13 +61,20 @@ class StreamingServer:
 
     def __init__(self, runner, chunk_samples: int, extract=None,
                  tick_wait_ms: float = 20.0, sample_rate: int = 16000,
-                 pcm_scale: float = 32768.0, advance_samples: int | None = None):
+                 pcm_scale: float = 32768.0, advance_samples: int | None = None,
+                 tail_pad_samples: int = 0, drain_min_samples: int = 1):
         self.runner = runner
         self.chunk = int(chunk_samples)
         # new audio consumed per tick; < chunk for overlapped-window
         # families (the window re-includes chunk - advance old samples)
         self.advance = int(advance_samples or chunk_samples)
         assert 0 < self.advance <= self.chunk
+        self.tail_pad = int(tail_pad_samples)
+        # smallest buffered remainder that still fires a (zero-padded)
+        # window while draining — family stop-condition knob: 1 =
+        # pad-and-fire everything (paraformer), advance = dolphin's
+        # `pos + adv <= n`, chunk = X-ASR's `pos + w <= len(padded)`
+        self.drain_min = max(1, int(drain_min_samples))
         self.sample_rate = sample_rate
         # model input convention: 32768 = int16 numeric range (Kaldi
         # families), 1.0 = [-1, 1] PCM
@@ -79,6 +84,7 @@ class StreamingServer:
             lambda outs, i, st: [int(t) for t in np.asarray(outs["ids"][i])[
                 : int(np.asarray(outs["count"][i]))]])
         self.slots: list[_Slot | None] = [None] * runner.n_streams
+        self._pending_resets: list[int] = []
         self._slot_lock = threading.Lock()
         self._wake = threading.Event()
         self._closed = False
@@ -93,32 +99,39 @@ class StreamingServer:
         with self._slot_lock:
             for i, s in enumerate(self.slots):
                 if s is None:
-                    self.runner.reset(i)
-                    self.slots[i] = _Slot(self.chunk - self.advance)
+                    # reset happens IN the ticker thread (it owns
+                    # runner.states; resetting here would race an
+                    # in-flight runner.step whose output overwrites it)
+                    self._pending_resets.append(i)
+                    self.slots[i] = _Slot()
                     return i
         return None
 
     def release(self, i: int) -> None:
         with self._slot_lock:
-            self.slots[i] = None
+            slot, self.slots[i] = self.slots[i], None
+        if slot is not None and not slot.finished:
+            slot.finished = True
+            slot.out_q.put(None)  # unblock the connection's writer thread
 
     def feed(self, i: int, samples: np.ndarray) -> None:
         slot = self.slots[i]
         with slot.lock:
             slot.buffer = np.concatenate([slot.buffer, samples])
-        if len(slot.buffer) >= self.advance:
+        if len(slot.buffer) >= self.chunk:
             self._wake.set()
 
     def finish_input(self, i: int) -> None:
-        """No more audio for slot i: zero-pad the trailing partial chunk so
-        the final tokens flush, then mark draining."""
+        """No more audio for slot i: append the family tail pad (so the
+        final tokens flush — e.g. X-ASR's 0.3 s zero tail) and mark
+        draining; remaining windows fire zero-padded."""
         slot = self.slots[i]
+        if slot is None:
+            return
         with slot.lock:
-            rem = len(slot.buffer) % self.advance
-            if rem or len(slot.buffer) == 0:
+            if self.tail_pad:
                 slot.buffer = np.concatenate(
-                    [slot.buffer, np.zeros(self.advance - rem if rem else self.advance,
-                                           np.float32)])
+                    [slot.buffer, np.zeros(self.tail_pad, np.float32)])
             slot.draining = True
         self._wake.set()
 
@@ -136,22 +149,34 @@ class StreamingServer:
                 done_slots = []
                 with self._slot_lock:
                     live = [(i, s) for i, s in enumerate(self.slots) if s is not None]
+                    resets, self._pending_resets = self._pending_resets, []
+                for i in resets:
+                    self.runner.reset(i)
                 for i, slot in live:
                     with slot.lock:
-                        if len(slot.buffer) >= self.advance:
-                            new = slot.buffer[: self.advance]
+                        # ready: a FULL window buffered; while draining, any
+                        # remaining audio fires as a zero-padded window
+                        # (window covers [t*adv, t*adv+chunk), so overlapped
+                        # families see exactly the single-stream sequence —
+                        # live output lags by chunk-advance of lookahead)
+                        have = len(slot.buffer)
+                        if have >= self.chunk or (slot.draining and have >= self.drain_min):
+                            w = slot.buffer[: self.chunk]
+                            if len(w) < self.chunk:
+                                w = np.concatenate(
+                                    [w, np.zeros(self.chunk - len(w), np.float32)])
+                            chunks[i] = w
                             slot.buffer = slot.buffer[self.advance:]
-                            window = np.concatenate([slot.carry, new])
-                            slot.carry = window[self.advance:]
-                            chunks[i] = window
                             active[i] = True
-                            if slot.draining and len(slot.buffer) < self.advance:
+                            if slot.draining and len(slot.buffer) < self.drain_min:
                                 done_slots.append(slot)
                         elif slot.draining:
                             done_slots.append(slot)
                 if not active.any():
                     for slot in done_slots:
-                        slot.out_q.put(None)
+                        if not slot.finished:
+                            slot.finished = True
+                            slot.out_q.put(None)
                     break
                 t0 = time.perf_counter()
                 outs = self.runner.step(chunks, active)
@@ -168,7 +193,9 @@ class StreamingServer:
                     if ids:
                         slot.out_q.put({"tick": slot.ticks, "ids": ids})
                 for slot in done_slots:
-                    slot.out_q.put(None)
+                    if not slot.finished:
+                        slot.finished = True
+                        slot.out_q.put(None)
 
     def stats(self) -> dict:
         with self._slot_lock:
@@ -259,7 +286,6 @@ def make_stream_http_server(server: StreamingServer, host="127.0.0.1", port=0):
 
             wt = threading.Thread(target=writer, daemon=True)
             wt.start()
-            ticks = 0
             try:
                 carry = b""
                 while True:
@@ -274,15 +300,17 @@ def make_stream_http_server(server: StreamingServer, host="127.0.0.1", port=0):
                         server.feed(slot, pcm * server.pcm_gain)
                 server.finish_input(slot)
                 wt.join(timeout=60)
-                ticks = sl.ticks
-                emit({"done": True, "ticks": ticks})
+                emit({"done": True, "ticks": sl.ticks})
                 with wlock:
                     self.wfile.write(b"0\r\n\r\n")
                     self.wfile.flush()
             except (OSError, ValueError):
-                pass  # client went away mid-stream; slot still resets below
+                pass  # client went away mid-stream
             finally:
+                # release() queues the writer sentinel if the normal drain
+                # never did (aborted body) — no leaked blocked threads
                 server.release(slot)
+                wt.join(timeout=10)
                 self.close_connection = True
 
     return ThreadingHTTPServer((host, port), Handler)
@@ -303,7 +331,9 @@ def stream_pcm_over_http(host: str, port: int, pcm_int16: np.ndarray,
 
         def pump_recv(block=False):
             nonlocal recv_buf
-            sock.setblocking(block)
+            # non-blocking drain between sends; blocking wait keeps the
+            # caller timeout (setblocking(True) would clear it)
+            sock.settimeout(timeout if block else 0.0)
             try:
                 while True:
                     piece = sock.recv(65536)
@@ -314,7 +344,9 @@ def stream_pcm_over_http(host: str, port: int, pcm_int16: np.ndarray,
                         continue
                     return True
             except (BlockingIOError, TimeoutError):
-                return True
+                if not block:
+                    return True
+                raise
             finally:
                 sock.settimeout(timeout)
 
@@ -350,10 +382,13 @@ def stream_pcm_over_http(host: str, port: int, pcm_int16: np.ndarray,
 
 def serve_streams(runner, chunk_samples: int, host="127.0.0.1", port=8001,
                   extract=None, pcm_scale: float = 32768.0,
-                  advance_samples: int | None = None):
+                  advance_samples: int | None = None,
+                  tail_pad_samples: int = 0, drain_min_samples: int = 1):
     """Blocking entry point (CLI ``serve-stream``)."""
     srv = StreamingServer(runner, chunk_samples, extract=extract,
-                          pcm_scale=pcm_scale, advance_samples=advance_samples)
+                          pcm_scale=pcm_scale, advance_samples=advance_samples,
+                          tail_pad_samples=tail_pad_samples,
+                          drain_min_samples=drain_min_samples)
     httpd = make_stream_http_server(srv, host, port)
     print(f"streaming on http://{host}:{httpd.server_address[1]} "
           f"({runner.n_streams} slots, chunk {chunk_samples})")
@@ -366,11 +401,15 @@ def serve_streams(runner, chunk_samples: int, host="127.0.0.1", port=8001,
 def start_stream_background(runner, chunk_samples: int, host="127.0.0.1",
                             port=0, extract=None, tick_wait_ms: float = 20.0,
                             pcm_scale: float = 32768.0,
-                            advance_samples: int | None = None):
+                            advance_samples: int | None = None,
+                            tail_pad_samples: int = 0,
+                            drain_min_samples: int = 1):
     """Non-blocking start for tests/embedding; returns (httpd, server, thread)."""
     srv = StreamingServer(runner, chunk_samples, extract=extract,
                           tick_wait_ms=tick_wait_ms, pcm_scale=pcm_scale,
-                          advance_samples=advance_samples)
+                          advance_samples=advance_samples,
+                          tail_pad_samples=tail_pad_samples,
+                          drain_min_samples=drain_min_samples)
     httpd = make_stream_http_server(srv, host, port)
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()

@@ -81,6 +81,15 @@ def rms_normalize(samples: np.ndarray, target_rms: float = 2048.0) -> np.ndarray
     return samples * (target_rms / rms)
 
 
+def iter_windows(n: int, window: int, stride: int):
+    """Start offsets of the sliding windows covering ``n`` samples — the
+    ONE definition of the windowing geometry, shared by the sessions and
+    the HTTP server (divergence would silently split requests differently
+    than `session.transcribe`)."""
+    num = max(1, -(-max(n - window, 0) // stride) + 1) if n > window else 1
+    return [i * stride for i in range(num)]
+
+
 def load_audio(
     path: str | Path,
     sample_rate: int,

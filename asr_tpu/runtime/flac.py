@@ -160,12 +160,16 @@ def _subframe(bits: _Bits, block_size: int, depth: int) -> list[int]:
 
 def read_flac(path: str | Path) -> tuple[np.ndarray, int]:
     """Decode a FLAC file -> (float32 samples in the int16 numeric range,
-    sample_rate). Multi-channel returns (N, C).
+    sample_rate). Multi-channel returns (N, C)."""
+    return read_flac_bytes(Path(path).read_bytes())
+
+
+def read_flac_bytes(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode an in-memory FLAC stream (HTTP bodies skip the filesystem).
 
     Prefers the native C++ decoder (``asr_tpu.native.flac_decode``, the
     same subset ~100x faster); this pure-Python implementation is the
     always-available fallback and the reference for its tests."""
-    data = Path(path).read_bytes()
     if data[:4] != b"fLaC":
         raise ValueError("not a FLAC file (missing fLaC marker)")
     try:

@@ -104,12 +104,13 @@ class SenseVoiceSession:
         n = len(audio)
         w = self.window_samples
         stride = self.stride_samples
-        num_windows = max(1, -(-max(n - w, 0) // stride) + 1) if n > w else 1
+        starts = audio_io.iter_windows(n, w, stride)
+        num_windows = len(starts)
         padded = bucket_windows(num_windows)
         buf = np.zeros((padded, w), dtype=np.float32)
         valid = np.zeros((padded,), dtype=np.int32)
-        for i in range(num_windows):
-            chunk = audio[i * stride : i * stride + w]
+        for i, s in enumerate(starts):
+            chunk = audio[s : s + w]
             buf[i, : len(chunk)] = chunk
             valid[i] = len(chunk)
         lang_idx = np.full((padded,), self.language_index(language), dtype=np.int32)

@@ -194,6 +194,16 @@ def test_overlength_llm_request_chunks_not_truncates():
             chunk = long[i * srv.window : (i + 1) * srv.window].astype(np.float32) / 32768.0
             want.extend(sess.transcribe(chunk).token_ids)
         assert out["token_ids"] == want
+
+        # EVERY window's "language X<asr_text>" prefix must be stripped —
+        # decode+postprocess runs per window, not once over concatenated ids
+        class _TagTok:
+            def decode(self, ids):
+                return "language Chinese<asr_text>w" + str(len(ids))
+
+        sess.tokenizer = _TagTok()
+        out = srv.transcribe_bytes(_wav_bytes(long))
+        assert "<asr_text>" not in out["text"] and "language" not in out["text"], out["text"]
     finally:
         srv.close()
 

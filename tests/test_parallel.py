@@ -443,3 +443,42 @@ def test_sensevoice_session_tp_matches_single():
         param_specs=pmesh.sensevoice_param_specs,
     ).transcribe(audio)
     assert tp.token_ids == want.token_ids
+
+
+def test_qwen3_tp_specs_shard_quantized_weights():
+    """Quantized (QuantizedLinear) weights must SHARD under the TP specs,
+    not silently replicate (review r3 finding: their flattened child paths
+    never matched the endswith rules): column-sharded positions shard
+    q/scale/zero over the model axis and the forward still matches."""
+    from jax.sharding import PartitionSpec as P
+
+    from asr_tpu.layers import qwen3
+    from asr_tpu.quant.quantize import QuantizedLinear, quantize_pytree
+
+    cfg = qwen3.Qwen3Config(vocab_size=64, hidden=128, num_layers=1, num_heads=4,
+                            num_kv_heads=2, head_dim=32, ffn_dim=256)
+    params = quantize_pytree(qwen3.init_params(cfg, jax.random.PRNGKey(3)),
+                             bits=8, block=64, min_size=0)
+    specs = pmesh.qwen3_param_specs(params)
+    qspec = specs["layers"][0]["attn"]["q"]["w"]
+    assert isinstance(qspec, QuantizedLinear)
+    assert qspec.q == P(None, "model") and qspec.scale == P(None, "model")
+    # row-sharded positions replicate quantized leaves (packed row layout)
+    ospec = specs["layers"][0]["attn"]["o"]["w"]
+    assert ospec.q == P()
+
+    mesh = pmesh.make_mesh(8, model_parallel=2)
+    sharded = pmesh.shard_params(params, mesh, specs)
+    qleaf = sharded["layers"][0]["attn"]["q"]["w"]
+    assert "model" in str(qleaf.q.sharding.spec), qleaf.q.sharding
+
+    ids = jnp.asarray(np.random.default_rng(5).integers(0, 64, (1, 6)))
+
+    def run(p):
+        embeds = p["embed"][ids]
+        state = qwen3.make_kv_state(cfg, 1, 12)
+        bias = qwen3.causal_prefill_bias(jnp.asarray([6]), 6, 12)
+        hidden, _ = qwen3.decoder_pass(p, cfg, embeds, state, jnp.asarray(0, jnp.int32), bias)
+        return np.asarray(qwen3.logits_from_hidden(p, cfg, hidden))
+
+    np.testing.assert_allclose(run(sharded), run(params), rtol=2e-5, atol=2e-5)

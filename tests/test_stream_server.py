@@ -122,3 +122,58 @@ def test_masked_tick_leaves_idle_stream_state_untouched():
     got1 = [int(t) for t in np.asarray(out1["ids"])[1, : int(out1["count"][1])]]
     got2 = [int(t) for t in np.asarray(out3["ids"])[1, : int(out3["count"][1])]]
     assert got1 == w1 and got2 == w2
+
+
+class _EchoRunner:
+    """Fake runner recording every (slot, window) fed to it."""
+
+    def __init__(self, n):
+        self.n_streams = n
+        self.windows = {i: [] for i in range(n)}
+        self.resets = []
+
+    def reset(self, i):
+        self.resets.append(i)
+
+    def step(self, chunks, active=None):
+        import numpy as np
+        ids = np.zeros((self.n_streams, 1), np.int32)
+        count = np.zeros((self.n_streams,), np.int32)
+        for i in range(self.n_streams):
+            if active is None or active[i]:
+                self.windows[i].append(chunks[i].copy())
+                ids[i, 0] = len(self.windows[i])
+                count[i] = 1
+        return {"ids": ids, "count": count}
+
+
+def test_overlapped_windows_match_session_geometry():
+    """advance < chunk: every fed window must cover [t*adv, t*adv+chunk) of
+    the stream (the single-stream sessions' geometry), the tail pad must be
+    appended before draining, and drain_min must bound the last window."""
+    from asr_tpu.parallel.stream_server import StreamingServer
+    import numpy as np
+
+    chunk, adv, tail = 8, 4, 6
+    runner = _EchoRunner(1)
+    srv = StreamingServer(runner, chunk, tick_wait_ms=1.0,
+                          advance_samples=adv, tail_pad_samples=tail,
+                          drain_min_samples=chunk)
+    try:
+        i = srv.acquire()
+        audio = np.arange(1, 15, dtype=np.float32)  # 14 samples
+        srv.feed(i, audio)
+        srv.finish_input(i)
+        # padded stream = audio + 6 zeros = 20 samples; windows while a
+        # full window fits: starts 0,4,8,12 (12+8=20)
+        deadline = __import__("time").time() + 10
+        while len(runner.windows[0]) < 4 and __import__("time").time() < deadline:
+            __import__("time").sleep(0.02)
+        ws = runner.windows[0]
+        assert len(ws) == 4, [w.tolist() for w in ws]
+        padded = np.concatenate([audio, np.zeros(tail, np.float32)])
+        for t, w in enumerate(ws):
+            np.testing.assert_array_equal(w, padded[t * adv: t * adv + chunk])
+        assert runner.resets == [0]  # reset applied by the ticker exactly once
+    finally:
+        srv.close()
