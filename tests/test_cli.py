@@ -102,3 +102,28 @@ def test_cli_parity_harness(tmp_path):
     golden.write_text(json.dumps(data))
     assert main(["--platform", "cpu", "parity", "--model-dir", str(art),
                  "--golden", str(golden)]) == 1
+
+
+def test_serve_stream_rejects_non_streaming_family(tmp_path):
+    """serve-stream on an offline artifact fails loudly naming the
+    streaming families instead of crashing into the runner."""
+    import dataclasses
+
+    import pytest
+
+    from asr_tpu.cli import main
+    from asr_tpu.models import sensevoice as sv
+    from asr_tpu.runtime.artifact import save_model
+    from asr_tpu.runtime.metadata import ModelMetadata
+
+    cfg = sv.SenseVoiceConfig(
+        vocab_size=64, hidden=32, num_heads=4, head_dim=8, ffn_dim=48,
+        num_encoders0=1, num_encoders=1, num_tp_encoders=1, fsmn_kernel=5,
+    )
+    params = sv.init_params(cfg, jax.random.PRNGKey(0))
+    folder = tmp_path / "art"
+    folder.mkdir()
+    save_model(folder, params, ModelMetadata(
+        family="sensevoice", extra={"config": dataclasses.asdict(cfg)}))
+    with pytest.raises(SystemExit, match="streaming families"):
+        main(["serve-stream", "--model-dir", str(folder), "--streams", "2"])
