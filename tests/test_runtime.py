@@ -266,3 +266,22 @@ def test_sensevoice_transcribe_batch(tmp_path):
         single = sess.transcribe(raws[i].astype(np.float32))
         assert res.token_ids == single.token_ids, f"file {i}"
         assert res.audio_seconds == pytest.approx(len(raws[i]) / 16000)
+
+
+def test_iter_windows_geometry():
+    """The ONE windowing definition (audio.iter_windows) shared by sessions
+    and the HTTP server: short audio -> one window; exact multiples don't
+    produce an empty trailing window; overlap strides cover the tail."""
+    from asr_tpu.runtime.audio import iter_windows
+
+    assert iter_windows(0, 100, 100) == [0]
+    assert iter_windows(99, 100, 100) == [0]
+    assert iter_windows(100, 100, 100) == [0]
+    assert iter_windows(101, 100, 100) == [0, 100]
+    assert iter_windows(200, 100, 100) == [0, 100]
+    assert iter_windows(201, 100, 100) == [0, 100, 200]
+    # overlapping stride: every sample is covered and the last window
+    # reaches the end
+    starts = iter_windows(250, 100, 60)
+    assert starts == [0, 60, 120, 180]
+    assert starts[-1] + 100 >= 250
