@@ -353,17 +353,25 @@ def _pallas_quant_dense_2d(x2: jnp.ndarray, qleaf: dict, interpret: bool = False
     tile_m, m_pad = _plan_tile_m(m)
     # tile_n capped at 256 (an uncapped n — e.g. a 151936-row LM head —
     # would put the whole weight strip in VMEM) — except small-M matvecs
-    # (AR decode steps) over a short K, where a 512-wide tile halves the
-    # grid-step count of a huge-N head while the dequant intermediate
-    # (K x tile_n f32) stays <= 2 MiB.
-    if n % 512 == 0 and m <= 64 and k * 512 * 4 <= (1 << 21):
-        tile_n = 512
-    elif n % 256 == 0:
-        tile_n = 256
-    elif n % 128 == 0:
-        tile_n = 128
-    else:
-        return None
+    # (AR decode steps), where wide tiles cut the grid-step count (the
+    # per-step overhead dominates matvec kernels). The bf16 path no longer
+    # materializes a dequantized f32 tile, so the VMEM bound is the int
+    # tile + its bf16 convert (+ double buffering): ~3 bytes/weight.
+    tile_n = None
+    if m <= 64:
+        k_store = k // (4 if (packed and int(qleaf["bits"]) == 2) else
+                        2 if packed else 1)
+        for cand in (2048, 1024, 512):
+            if n % cand == 0 and k_store * cand * 3 * 2 <= (10 << 20):
+                tile_n = cand
+                break
+    if tile_n is None:
+        if n % 256 == 0:
+            tile_n = 256
+        elif n % 128 == 0:
+            tile_n = 128
+        else:
+            return None
     scale32 = scale.astype(jnp.float32)
     zero32 = zero.astype(jnp.float32)
     if m_pad != m:
