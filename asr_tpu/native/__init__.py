@@ -67,13 +67,14 @@ def get_lib():
         ctypes.c_long, f32p, ctypes.POINTER(ctypes.c_long), ctypes.c_int,
     ]
     lib.load_wav_batch.restype = ctypes.c_int
-    lib.flac_decode.argtypes = [
-        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
-        ctypes.POINTER(ctypes.c_int32), ctypes.c_long,
-        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
-        ctypes.POINTER(ctypes.c_int),
-    ]
-    lib.flac_decode.restype = ctypes.c_long
+    if hasattr(lib, "flac_decode"):  # a stale cached .so may predate it
+        lib.flac_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.flac_decode.restype = ctypes.c_long
     _lib = lib
     return _lib
 
@@ -130,7 +131,8 @@ def flac_decode(data: bytes):
     depth). Raises ValueError on malformed streams (same subset as the
     pure-Python ``runtime.flac`` decoder, which remains the fallback)."""
     lib = get_lib()
-    assert lib is not None
+    if lib is None or not hasattr(lib, "flac_decode"):
+        raise ValueError("native FLAC decoder unavailable (stale .so)")
     buf = np.frombuffer(data, np.uint8)
     # capacity guess: a FLAC frame cannot code a sample in < 1 bit, so
     # 8 * n_bytes samples TOTAL is a safe upper bound; retry bigger if the

@@ -377,6 +377,7 @@ bool subframe(Bits& b, long block_size, int depth, std::vector<int64_t>& s) {
     const int prec = static_cast<int>(b.read(4)) + 1;
     if (prec == 16) return false;
     const int shift = static_cast<int>(b.read_signed(5));
+    if (shift < 0) return false;  // negative shift is UB; Python ref raises
     std::vector<int64_t> coeffs(order);
     for (int i = 0; i < order; ++i) coeffs[i] = b.read_signed(prec);
     if (!residuals(b, block_size, order, res)) return false;

@@ -358,7 +358,10 @@ def _pallas_quant_dense_2d(x2: jnp.ndarray, qleaf: dict, interpret: bool = False
     # materializes a dequantized f32 tile, so the VMEM bound is the int
     # tile + its bf16 convert (+ double buffering): ~3 bytes/weight.
     tile_n = None
-    if m <= 64:
+    if m <= 64 and _resolve_mm(mm) == "bf16":
+        # (f32 parity mode materializes an int32->f32 copy + dequantized
+        # f32 tile in-kernel — ~9 bytes/weight — so wide tiles would blow
+        # the 16 MB VMEM there; it keeps the narrow planner below)
         k_store = k // (4 if (packed and int(qleaf["bits"]) == 2) else
                         2 if packed else 1)
         for cand in (2048, 1024, 512):

@@ -160,17 +160,22 @@ class SessionServer:
         ids: list[int] = []
         texts: list[str] = []
         tok = self.session.tokenizer
+        # LLM sessions mark postprocess_per_window: each of their windows
+        # carries its own "language X<asr_text>" prefix that _postprocess
+        # strips, so decode+strip must run per window. Every other family
+        # decodes the CONCATENATED ids in one pass — exactly what
+        # session.transcribe does (a per-window decode would drop the
+        # separators space-joining tokenizers insert between windows).
+        per_window = bool(getattr(self.session, "postprocess_per_window", False))
         for fut in futures:
             out = fut.result()
             counts = int(out["counts"])
             win_ids = [int(t) for t in np.asarray(out["tokens"])[:counts]]
             ids.extend(win_ids)
-            if tok:
-                # decode + postprocess PER WINDOW: LLM windows each carry
-                # their own "language X<asr_text>" prefix that the
-                # postprocessor strips — a single pass over concatenated
-                # ids would leave later windows' tags embedded mid-text
+            if tok and per_window:
                 texts.append(self.session._postprocess(tok.decode(win_ids)))
+        if tok and not per_window:
+            texts = [self.session._postprocess(tok.decode(ids))]
         resp = {
             "text": "".join(texts),
             "token_ids": ids,

@@ -245,6 +245,9 @@ class QwenAsrSession:
         return self.cfg.sample_rate
 
     pcm_scale = 1.0  # tower consumes [-1, 1] PCM
+    # each window's decode carries its own "language X<asr_text>" prefix;
+    # the HTTP server must decode+strip per window (see SessionServer)
+    postprocess_per_window = True
 
     def _forward(self, params, audio, valid, language=None):
         """(B, W) audio -> (generated tokens (B, max_new+1), counts (B,));

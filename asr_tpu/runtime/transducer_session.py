@@ -60,12 +60,13 @@ class _WindowedSession:
         audio = np.asarray(audio, np.float32)
         n = len(audio)
         w = self.window_samples
-        num = max(1, -(-n // w))
+        starts = audio_io.iter_windows(n, w, w)  # shared geometry definition
+        num = len(starts)
         padded = bucket_windows(num)  # one compiled executable per bucket
         buf = np.zeros((padded, w), np.float32)
         valid = np.zeros((padded,), np.int32)
-        for i in range(num):
-            chunk = audio[i * w : (i + 1) * w]
+        for i, s in enumerate(starts):
+            chunk = audio[s : s + w]
             buf[i, : len(chunk)] = chunk
             valid[i] = len(chunk)
         t0 = time.perf_counter()

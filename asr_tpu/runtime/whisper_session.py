@@ -122,11 +122,12 @@ class WhisperSession:
         audio = np.asarray(audio, np.float32)
         n = len(audio)
         w = self.window_samples
-        num_windows = max(1, -(-n // w))
+        starts = audio_io.iter_windows(n, w, w)  # shared geometry definition
+        num_windows = len(starts)
         padded = bucket_windows(num_windows)  # compile once per bucket
         buf = np.zeros((padded, w), np.float32)
-        for i in range(num_windows):
-            chunk = audio[i * w : (i + 1) * w]
+        for i, s in enumerate(starts):
+            chunk = audio[s : s + w]
             buf[i, : len(chunk)] = chunk
 
         t0 = time.perf_counter()
