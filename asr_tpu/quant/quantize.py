@@ -324,7 +324,7 @@ class QuantizedEmbedding:
     """
 
     def __init__(self, q, scale, zero, bits: int, block: int,
-                 q_t=None, scale_t=None, zero_t=None):
+                 q_t=None, scale_t=None, zero_t=None, q_t_packed: bool = False):
         self.q = q            # (V, D) int8, centered (q - 128)
         self.scale = scale    # (V, D // block)
         self.zero = zero      # (V, D // block), centered
@@ -336,19 +336,28 @@ class QuantizedEmbedding:
         # 2^7 x 1187 otherwise forces 128-wide tiles and ~1200
         # latency-bound grid steps): logits route through the dequant-
         # fused kernel reading int8 bytes only, instead of materializing
-        # the full f32 table every decode step.
+        # the full f32 table every decode step.  For 4-bit tables the copy
+        # is NIBBLE-PACKED ((D/2, V_pad), ``q_t_packed=True``) — the head
+        # is the single largest HBM read of a decode step (D x V bytes
+        # unpacked) and packing halves it; V then pads to a 2048 multiple
+        # so the wide decode tiles still apply.
         self.q_t = q_t
-        self.scale_t = scale_t  # (NB, V_pad)
+        self.scale_t = scale_t  # (NB, V_pad); unsigned-zero convention when packed
         self.zero_t = zero_t
+        self.q_t_packed = bool(q_t_packed)
 
     def tree_flatten(self):
         return (self.q, self.scale, self.zero,
-                self.q_t, self.scale_t, self.zero_t), (self.bits, self.block)
+                self.q_t, self.scale_t, self.zero_t), (
+                    self.bits, self.block, self.q_t_packed)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         q, scale, zero, q_t, scale_t, zero_t = children
-        return cls(q, scale, zero, *aux, q_t=q_t, scale_t=scale_t, zero_t=zero_t)
+        bits, block = aux[0], aux[1]
+        packed = aux[2] if len(aux) > 2 else False
+        return cls(q, scale, zero, bits, block,
+                   q_t=q_t, scale_t=scale_t, zero_t=zero_t, q_t_packed=packed)
 
     def __getitem__(self, ids):
         ids = jnp.asarray(ids)
@@ -389,7 +398,8 @@ def embedding_logits(embed, y: jnp.ndarray) -> jnp.ndarray:
             from asr_tpu.ops.quant_matmul import quant_dense
 
             leaf = {"q": embed.q_t, "scale": embed.scale_t, "zero": embed.zero_t,
-                    "bits": embed.bits, "block": embed.block, "packed": False}
+                    "bits": embed.bits, "block": embed.block,
+                    "packed": embed.q_t_packed}
             return quant_dense(y, leaf)[..., : embed.q.shape[0]]
         # Blockwise decomposition: logits_v = sum_b s[v,b] (y_b . q[v,b])
         #                                   - sum_b s[v,b] z[v,b] sum(y_b)
@@ -410,16 +420,32 @@ def embedding_logits(embed, y: jnp.ndarray) -> jnp.ndarray:
     return jnp.dot(y, embed.T)
 
 
-def tied_head_arrays(q_t: jnp.ndarray, scale_t: jnp.ndarray, zero_t: jnp.ndarray):
-    """Pad the (D, V) head copy's V axis to a 512 multiple (zero scale in
-    the pad keeps padded logits at exactly 0; callers slice [:V])."""
-    v = q_t.shape[1]
-    pad = (-v) % 512
+def tied_head_arrays(q_t: jnp.ndarray, scale_t: jnp.ndarray, zero_t: jnp.ndarray,
+                     bits: int = 8, block: int | None = None):
+    """Prepare the (D, V) tied-head copy for the Pallas matvec.
+
+    Pads the V axis (zero scale in the pad keeps padded logits at exactly
+    0; callers slice [:V]).  For 4-bit tables whose halves stay
+    block-aligned the copy is additionally NIBBLE-PACKED to (D/2, V_pad)
+    — the head is the largest HBM read of every decode step and unpacked
+    int8 storage doubles it — and V pads to a 2048 multiple so the wide
+    decode tiles apply (512 otherwise, where (D, 512) strips already fit).
+
+    Returns (q_t, scale_t, zero_t, packed: bool)."""
+    d, v = q_t.shape
+    pack = (bits == 4 and block is not None and d % 2 == 0
+            and (d // 2) % block == 0)
+    pad = (-v) % (2048 if pack else 512)
     if pad:
         q_t = jnp.pad(q_t, ((0, 0), (0, pad)))
         scale_t = jnp.pad(scale_t, ((0, 0), (0, pad)))
         zero_t = jnp.pad(zero_t, ((0, 0), (0, pad)))
-    return q_t, scale_t, zero_t
+    if pack:
+        # centered int8 -> raw unsigned nibbles; zero moves to the
+        # unsigned convention (mirrors quantize_linear's packed storage).
+        q_t = pack4_halves((q_t.astype(jnp.int32) + 128).astype(jnp.uint8))
+        zero_t = zero_t + 128.0
+    return q_t, scale_t, zero_t, pack
 
 
 def quantize_embedding(
@@ -437,10 +463,13 @@ def quantize_embedding(
     # quantize_weight blocks along axis 0: feed the transpose.
     q, scale, zero = quantize_weight(w.T, bits, block, 0, objective=objective)
     q_t = scale_t = zero_t = None
+    q_t_packed = False
     if tie_head:
-        q_t, scale_t, zero_t = tied_head_arrays(jnp.asarray(q), scale, zero)
+        q_t, scale_t, zero_t, q_t_packed = tied_head_arrays(
+            jnp.asarray(q), scale, zero, bits=bits, block=block)
     return QuantizedEmbedding(q.T, scale.T, zero.T, bits, block,
-                              q_t=q_t, scale_t=scale_t, zero_t=zero_t)
+                              q_t=q_t, scale_t=scale_t, zero_t=zero_t,
+                              q_t_packed=q_t_packed)
 
 
 def is_quantized(leaf) -> bool:

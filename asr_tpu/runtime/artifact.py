@@ -76,18 +76,21 @@ def unflatten_pytree(flat: dict[str, np.ndarray]) -> Any:
 
             q = node["__qembed__"]
             q_t = scale_t = zero_t = None
+            q_t_packed = False
             if int(q.get("tied", 1)):
                 from asr_tpu.quant.quantize import tied_head_arrays
                 import jax.numpy as _jnp
 
-                q_t, scale_t, zero_t = tied_head_arrays(
+                q_t, scale_t, zero_t, q_t_packed = tied_head_arrays(
                     _jnp.asarray(np.ascontiguousarray(np.asarray(q["q"]).T)),
                     _jnp.asarray(np.ascontiguousarray(np.asarray(q["scale"]).T)),
                     _jnp.asarray(np.ascontiguousarray(np.asarray(q["zero"]).T)),
+                    bits=int(q["bits"]), block=int(q["block"]),
                 )
             return QuantizedEmbedding(q["q"], q["scale"], q["zero"],
                                       int(q["bits"]), int(q["block"]),
-                                      q_t=q_t, scale_t=scale_t, zero_t=zero_t)
+                                      q_t=q_t, scale_t=scale_t, zero_t=zero_t,
+                                      q_t_packed=q_t_packed)
         keys = list(node.keys())
         if keys and all(k.isdigit() for k in keys):
             return [listify(node[str(i)]) for i in range(len(keys))]
@@ -175,6 +178,7 @@ def _to_device(tree: Any, _memo: dict | None = None) -> Any:
             q_t=None if tree.q_t is None else put(tree.q_t),
             scale_t=None if tree.scale_t is None else put(tree.scale_t),
             zero_t=None if tree.zero_t is None else put(tree.zero_t),
+            q_t_packed=tree.q_t_packed,
         )
     if isinstance(tree, dict):
         return {k: _to_device(v, memo) for k, v in tree.items()}

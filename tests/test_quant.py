@@ -439,6 +439,49 @@ def test_quantized_embedding_tied_head_paths_agree():
     assert back_nt.q_t is None
 
 
+def test_quantized_embedding_tied_head_q4_packs_nibbles():
+    """4-bit tied heads store the (D/2, V_pad) NIBBLE-PACKED orientation
+    (the head is the largest HBM read of a decode step; unpacked int8
+    doubles it), V padded to 2048 for the wide decode tiles. Logits must
+    match dense y @ dequant().T to quantization-roundoff, through both the
+    XLA fallback (CPU) and the interpreted Pallas packed kernel; the
+    artifact roundtrip must rebuild the packed copy bit-identically."""
+    import jax.numpy as jnp
+    from asr_tpu.ops.quant_matmul import _pallas_quant_dense_2d
+    from asr_tpu.quant.quantize import embedding_logits, quantize_embedding
+    from asr_tpu.runtime.artifact import flatten_pytree, unflatten_pytree
+
+    rng = np.random.default_rng(7)
+    v, d = 300, 256
+    w = jnp.asarray(rng.standard_normal((v, d)).astype(np.float32) * 0.05)
+    y = jnp.asarray(rng.standard_normal((2, d)).astype(np.float32))
+
+    emb = quantize_embedding(w, bits=4, block=128)
+    assert emb.q_t_packed
+    v_pad = -(-v // 2048) * 2048
+    assert emb.q_t.shape == (d // 2, v_pad)
+    assert emb.scale_t.shape == (d // 128, v_pad)
+    dense_ref = np.asarray(y @ emb.dequant().T)
+
+    got = np.asarray(embedding_logits(emb, y))  # XLA fallback on CPU
+    assert got.shape == (2, v)
+    np.testing.assert_allclose(got, dense_ref, rtol=1e-5, atol=1e-5)
+
+    leaf = {"q": emb.q_t, "scale": emb.scale_t, "zero": emb.zero_t,
+            "bits": 4, "block": 128, "packed": True}
+    got_pl = _pallas_quant_dense_2d(y, leaf, interpret=True, mm="f32")
+    assert got_pl is not None, "packed tied head fell back to XLA"
+    np.testing.assert_allclose(np.asarray(got_pl)[:, :v], dense_ref,
+                               rtol=2e-5, atol=2e-5)
+    # padded columns have zero scale -> exactly-0 logits
+    np.testing.assert_array_equal(np.asarray(got_pl)[:, v:], 0.0)
+
+    back = unflatten_pytree(flatten_pytree({"embed": emb}))["embed"]
+    assert back.q_t_packed
+    np.testing.assert_array_equal(np.asarray(back.q_t), np.asarray(emb.q_t))
+    np.testing.assert_array_equal(np.asarray(back.zero_t), np.asarray(emb.zero_t))
+
+
 def test_pallas_bf16_mm_mode_within_quant_error():
     """Default kernel mode dequantizes to bf16 and runs one MXU pass:
     rounding must stay well below the quantization error itself (and the
