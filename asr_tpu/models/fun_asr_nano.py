@@ -218,6 +218,7 @@ def forward_llm(
     prompt_ids: dict,
     decode_cfg: DecodeConfig,
     rng: jax.Array | None = None,
+    stacked: dict | None = None,
 ):
     """LLM path: audio (B, S) + prompt ids -> generated token ids.
 
@@ -235,4 +236,5 @@ def forward_llm(
         tokens, speech_len, emb(prompt_ids["tail"]),
     )
     qcfg = QwenAsrConfig(llm=cfg.llm, eot_id=cfg.eot_id)
-    return transcribe_embeds(llm_params, qcfg, embeds, valid_len, decode_cfg, rng)
+    return transcribe_embeds(llm_params, qcfg, embeds, valid_len, decode_cfg, rng,
+                             stacked=stacked)

@@ -29,6 +29,8 @@ from asr_tpu.decode.strategies import suppress_tokens
 from asr_tpu.frontend.whisper_mel import WhisperMelConfig, log_mel_spectrogram
 from asr_tpu.layers import qwen3
 from asr_tpu.layers.norms import layer_norm
+from asr_tpu.layers.rope import rope_tables
+from asr_tpu.ops.fused_decode import fused_decode_step, fused_fits
 from asr_tpu.layers.transformer import dense, merge_heads, mha, split_heads
 from asr_tpu.models.sensevoice import sinusoid_position_encoding
 
@@ -197,6 +199,7 @@ def transcribe_embeds(
     valid_len: jnp.ndarray,
     decode_cfg: DecodeConfig,
     rng: jax.Array | None = None,
+    stacked: dict | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Prompt embeds (B, L, H) (valid prefix + END padding, as produced by
     :func:`assemble_prompt`) + per-sample valid lengths -> generated ids.
@@ -220,7 +223,17 @@ def transcribe_embeds(
     src = jnp.clip(idx - shift[:, None], 0, lf - 1)
     embeds = jnp.take_along_axis(embeds, src[..., None], axis=1)
 
-    t_max = lf + decode_cfg.max_new_tokens + 1
+    t_buf = lf + decode_cfg.max_new_tokens + 1
+    # Batch-1 single-stream decode routes through the fused megakernel
+    # (ops/fused_decode.py: all 28 layers in ONE pallas_call) when the
+    # stacked q4 weights are supplied and the cache fits its VMEM plan.
+    # The cache rounds up to a sublane multiple (extra slots are always
+    # masked, so the math is unchanged for either path).
+    t_max = -(-t_buf // 8) * 8
+    use_fused = (
+        stacked is not None and b == 1 and embeds.dtype == jnp.float32
+        and jax.default_backend() == "tpu" and fused_fits(lcfg, t_max)
+    )
     state = qwen3.make_kv_state(lcfg, b, t_max, embeds.dtype)
     bias = qwen3.left_prefill_bias(shift, lf, t_max)
     hidden, state = qwen3.decoder_pass(
@@ -230,12 +243,32 @@ def transcribe_embeds(
     logits0 = qwen3.logits_from_hidden(llm_params, lcfg, hidden[:, -1])
     logits0 = suppress_tokens(logits0.astype(jnp.float32), decode_cfg.suppress_ids)
 
-    buf = jnp.zeros((b, t_max), jnp.int32)
+    buf = jnp.zeros((b, t_buf), jnp.int32)
     prompt_len = jnp.asarray(lf, jnp.int32)
     if rng is None:
         rng = jax.random.PRNGKey(0)
     first, rng = select_token(logits0, buf, prompt_len, decode_cfg, rng,
                               history_start=prompt_len)
+
+    if use_fused:
+        kvw = lcfg.num_kv_heads * lcfg.head_dim
+        kc = jnp.stack([ls["k"][0].reshape(t_max, kvw) for ls in state["layers"]])
+        vc = jnp.stack([ls["v"][0].reshape(t_max, kvw) for ls in state["layers"]])
+        cs = jnp.asarray(rope_tables(t_max, lcfg.head_dim, lcfg.rope_theta))
+        sh0 = shift[0]
+
+        def step(st, token, pos):
+            kcc, vcc = st
+            emb1 = llm_params["embed"][token[:, 0]].astype(jnp.float32)
+            logical = jnp.clip(pos - sh0, 0, t_max - 1)
+            h1, kcc, vcc = fused_decode_step(
+                stacked, lcfg, emb1, kcc, vcc, pos, sh0,
+                cs[0][logical][None], cs[1][logical][None])
+            return qwen3.logits_from_hidden(llm_params, lcfg, h1), (kcc, vcc)
+
+        tokens, counts = ar_decode(step, (kc, vc), prompt_len, first, buf,
+                                   decode_cfg, rng)
+        return tokens, counts, jnp.full((b,), lf, jnp.int32)
 
     def step(state, token, pos):
         emb = llm_params["embed"][token].astype(embeds.dtype)
@@ -257,6 +290,7 @@ def forward(
     prompt_ids: dict,
     decode_cfg: DecodeConfig,
     rng: jax.Array | None = None,
+    stacked: dict | None = None,
 ):
     """Raw audio (B, S) [-1,1] + prompt id lists -> generated token ids.
 
@@ -280,4 +314,5 @@ def forward(
         emb(prompt_ids["head"]), emb(prompt_ids["query"]), emb(prompt_ids["suffix"]),
         audio_tokens, audio_valid, emb(prompt_ids["tail"]),
     )
-    return transcribe_embeds(llm_params, cfg, embeds, valid_len, decode_cfg, rng)
+    return transcribe_embeds(llm_params, cfg, embeds, valid_len, decode_cfg, rng,
+                             stacked=stacked)

@@ -112,6 +112,14 @@ class QwenAsrSession:
             from asr_tpu.layers.qwen3 import fuse_params
 
             llm_params = fuse_params(llm_params, cfg.llm)
+        # Stacked layer weights for the batch-1 fused decode megakernel
+        # (ops/fused_decode.py); None when the params are not uniformly
+        # q4-packed — transcribe_embeds then keeps the per-weight path.
+        self.stacked = None
+        if mesh is None:
+            from asr_tpu.ops.fused_decode import stack_decode_params
+
+            self.stacked = stack_decode_params(llm_params, cfg.llm)
         self.runner = None
         if mesh is not None:
             # Batch-DP over ``data`` + Megatron TP of the LLM decoder over
@@ -211,7 +219,8 @@ class QwenAsrSession:
                 )
             ids_d = {k: jnp.tile(v, (b, 1)) for k, v in prompt.items()}
             return qa.forward(self.tower_params, self.llm_params, self.cfg,
-                              audio, valid, ids_d, self.decode_cfg, rng)
+                              audio, valid, ids_d, self.decode_cfg, rng,
+                              stacked=self.stacked if b == 1 else None)
 
         ids_rows, valid, elapsed, b = _batched_llm_call(
             items, max_samples=self.max_samples, sample_rate=self.cfg.sample_rate,
@@ -259,7 +268,8 @@ class QwenAsrSession:
         ids_d = {k: jnp.tile(v, (audio.shape[0], 1))
                  for k, v in self._prompt_ids("", language).items()}
         tokens, counts, _ = qa.forward(
-            tower, llm, self.cfg, audio, valid, ids_d, self.decode_cfg, None)
+            tower, llm, self.cfg, audio, valid, ids_d, self.decode_cfg, None,
+            stacked=self.stacked if audio.shape[0] == 1 else None)
         lf = tokens.shape[1] - self.decode_cfg.max_new_tokens - 1
         gen = tokens[:, lf:]
         # counts include the EOT when produced — drop it so the server's
@@ -301,6 +311,12 @@ class FunAsrNanoLlmSession:
             from asr_tpu.layers.qwen3 import fuse_params
 
             llm_params = fuse_params(llm_params, cfg.llm)
+        # Batch-1 fused decode megakernel weights (None unless q4-packed).
+        self.stacked = None
+        if mesh is None:
+            from asr_tpu.ops.fused_decode import stack_decode_params
+
+            self.stacked = stack_decode_params(llm_params, cfg.llm)
         self.runner = None
         if mesh is not None:
             # Same DPxTP layout as QwenAsrSession: the Qwen3 LLM shards by
@@ -354,7 +370,8 @@ class FunAsrNanoLlmSession:
                 )
             ids_d = {k: jnp.tile(v, (b, 1)) for k, v in prompt.items()}
             return fn.forward_llm(self.params, self.llm_params, self.cfg,
-                                  audio, valid, ids_d, self.decode_cfg, rng)
+                                  audio, valid, ids_d, self.decode_cfg, rng,
+                                  stacked=self.stacked if b == 1 else None)
 
         ids_rows, valid, elapsed, b = _batched_llm_call(
             items, max_samples=self.max_samples, sample_rate=self.cfg.sample_rate,

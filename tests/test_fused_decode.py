@@ -1,0 +1,155 @@
+"""Correctness of the single-call fused Qwen3 decode megakernel.
+
+Compares ``fused_decode_step`` (interpret mode) against the per-weight
+``qwen3.decoder_pass`` step on a tiny-but-tiling geometry (head_dim must
+be 128 — the kernel hard-codes the lane width), including the left-padded
+``shift`` masking and multi-step cache evolution.
+
+Tolerances: the kernel dequantizes to bf16 and accumulates in f32, while
+the reference path dequantizes to f32 (HIGHEST matmuls under conftest) —
+differences are bounded by bf16 weight rounding (~2^-8 relative per dot).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from asr_tpu.layers import qwen3
+from asr_tpu.layers.rope import rope_tables
+from asr_tpu.ops.fused_decode import _plan, fused_decode_step, stack_decode_params
+from asr_tpu.quant.quantize import quantize_pytree
+
+CFG = qwen3.Qwen3Config(
+    vocab_size=64,
+    hidden=256,
+    num_layers=2,
+    num_heads=2,
+    num_kv_heads=1,
+    head_dim=128,
+    ffn_dim=512,
+    rope_theta=1e4,
+    max_seq_len=32,
+    tie_embeddings=True,
+)
+T_MAX = 16
+
+
+def _quantized_params(cfg=CFG, seed=0):
+    params = qwen3.init_params(cfg, jax.random.PRNGKey(seed))
+    qparams = quantize_pytree(params, bits=4, block=128, min_size=0, pack=True,
+                              refine_iters=0)
+    return qwen3.fuse_params(qparams, cfg)
+
+
+def _stack_caches(state, cfg):
+    kvw = cfg.num_kv_heads * cfg.head_dim
+    t = state["layers"][0]["k"].shape[1]
+    k = jnp.stack([ls["k"][0].reshape(t, kvw) for ls in state["layers"]])
+    v = jnp.stack([ls["v"][0].reshape(t, kvw) for ls in state["layers"]])
+    return k, v
+
+
+def _rope_rows(pos, shift, cfg, t_max):
+    cs = jnp.asarray(rope_tables(t_max, cfg.head_dim, cfg.rope_theta))
+    logical = jnp.clip(pos - shift, 0, t_max - 1)
+    return cs[0][logical][None, :], cs[1][logical][None, :]
+
+
+def test_plan_tiles_tiny_and_real_geometry():
+    p = _plan(CFG.hidden, CFG.num_heads, CFG.num_kv_heads, CFG.ffn_dim, 128)
+    assert p is not None
+    assert p["n_qkv"] * p["wa"] == p["qn"] and p["n_gu"] * p["wa"] == p["gn"]
+    real = qwen3.Qwen3Config()  # 0.6B geometry
+    pr = _plan(real.hidden, real.num_heads, real.num_kv_heads, real.ffn_dim, 128)
+    assert pr is not None
+    assert pr["wa"] % 128 == 0 and pr["rb"] % 128 == 0
+
+
+def test_stack_decode_params_roundtrip():
+    fused = _quantized_params()
+    stacked = stack_decode_params(fused, CFG)
+    assert stacked is not None
+    nl = CFG.num_layers
+    assert stacked["wq"].shape == (nl, CFG.hidden // 2,
+                                   (CFG.num_heads + 2 * CFG.num_kv_heads) * 128)
+    # scale/zero*scale arrays are nibble-plane-major: plane 0 rows must
+    # equal the first half of the per-leaf scale rows.
+    w0 = fused["layers"][0]["attn"]["qkv"]["w"]
+    nb2 = w0.scale.shape[0]
+    np.testing.assert_array_equal(
+        np.asarray(stacked["qkv_s"][0, 0]), np.asarray(w0.scale[: nb2 // 2]))
+    np.testing.assert_allclose(
+        np.asarray(stacked["qkv_zs"][0, 1]),
+        np.asarray((w0.zero * w0.scale)[nb2 // 2:]), rtol=1e-6)
+
+
+def test_stack_rejects_unpacked_or_mixed():
+    params = qwen3.init_params(CFG, jax.random.PRNGKey(0))
+    q8 = qwen3.fuse_params(
+        quantize_pytree(params, bits=8, min_size=0, refine_iters=0), CFG)
+    assert stack_decode_params(q8, CFG) is None
+    unfused = quantize_pytree(params, bits=4, block=128, min_size=0, pack=True,
+                              refine_iters=0)
+    assert stack_decode_params(unfused, CFG) is None  # no qkv/gateup leaves
+
+
+@pytest.mark.parametrize("shift_v", [0, 3])
+def test_fused_step_matches_decoder_pass(shift_v):
+    cfg = CFG
+    fused = _quantized_params()
+    shift = jnp.asarray([shift_v], jnp.int32)
+    prompt_len = 6  # prompt occupies slots [shift_v, 6)
+
+    rng = jax.random.PRNGKey(7)
+    embeds = jax.random.normal(rng, (1, prompt_len, cfg.hidden), jnp.float32) * 0.3
+
+    state = qwen3.make_kv_state(cfg, 1, T_MAX, jnp.float32)
+    bias = qwen3.left_prefill_bias(shift, prompt_len, T_MAX)
+    hidden, state = qwen3.decoder_pass(
+        fused, cfg, embeds, state, jnp.asarray(0, jnp.int32), bias,
+        pos_offset=shift)
+
+    kc, vc = _stack_caches(state, cfg)
+    x = jax.random.normal(jax.random.PRNGKey(9), (1, 1, cfg.hidden), jnp.float32) * 0.3
+
+    for step_i in range(2):
+        pos = jnp.asarray(prompt_len + step_i, jnp.int32)
+        sbias = qwen3.left_step_bias(shift, pos, T_MAX)
+        h_ref, state = qwen3.decoder_pass(fused, cfg, x, state, pos, sbias,
+                                          pos_offset=shift)
+        cos, sin = _rope_rows(pos, shift[0], cfg, T_MAX)
+        h_fused, kc, vc = fused_decode_step(
+            stacked_hashable(fused, cfg), cfg, x[:, 0], kc, vc, pos, shift[0],
+            cos, sin, interpret=True)
+
+        ref = np.asarray(h_ref[:, 0])
+        got = np.asarray(h_fused)
+        np.testing.assert_allclose(got, ref, rtol=0, atol=2e-2 * np.abs(ref).max())
+
+        kr, vr = _stack_caches(state, cfg)
+        # the written row matches to bf16-dot tolerance; all other rows
+        # must be untouched bit-for-bit.
+        np.testing.assert_allclose(np.asarray(kc[:, pos]), np.asarray(kr[:, pos]),
+                                   rtol=0, atol=2e-2 * np.abs(np.asarray(kr[:, pos])).max())
+        np.testing.assert_allclose(np.asarray(vc[:, pos]), np.asarray(vr[:, pos]),
+                                   rtol=0, atol=2e-2 * np.abs(np.asarray(vr[:, pos])).max())
+        mask = np.arange(T_MAX) != int(pos)
+        np.testing.assert_array_equal(np.asarray(kc[:, mask]), np.asarray(kr[:, mask]))
+        np.testing.assert_array_equal(np.asarray(vc[:, mask]), np.asarray(vr[:, mask]))
+
+        # feed the fused caches forward so errors do not compound across
+        # steps through mismatched states
+        kc, vc = kr, vr
+        x = jax.random.normal(jax.random.PRNGKey(20 + step_i), (1, 1, cfg.hidden),
+                              jnp.float32) * 0.3
+
+
+_STACK_CACHE = {}
+
+
+def stacked_hashable(fused, cfg):
+    key = id(fused)
+    if key not in _STACK_CACHE:
+        _STACK_CACHE[key] = stack_decode_params(fused, cfg)
+    return _STACK_CACHE[key]

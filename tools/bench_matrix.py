@@ -222,6 +222,7 @@ def bench_qwen_asr_q4():
     from asr_tpu.models import qwen_asr as qa
     from asr_tpu.layers import qwen3
     from asr_tpu.decode.ar import DecodeConfig
+    from asr_tpu.ops.fused_decode import stack_decode_params
     from asr_tpu.quant.quantize import quantize_pytree
     cfg = qa.QwenAsrConfig()
     tower = qa.init_tower_params(cfg, jax.random.PRNGKey(0))
@@ -236,9 +237,11 @@ def bench_qwen_asr_q4():
         "tail": jnp.asarray([[7, 8]], jnp.int32),
     }
     dc = DecodeConfig(max_new_tokens=100, eot_id=-1)
-    fn = jax.jit(lambda t, l, a, v: qa.forward(t, l, cfg, a, v, ids, dc))
-    _measure("qwen3_asr_0.6b_q4f32", fn, (tower, llm, audio, valid), 1, 8.0, 3,
-             0.12, "packed-int4 LLM weights (Pallas nibble kernel), forced 100 steps")
+    stk = stack_decode_params(llm, cfg.llm)  # batch-1 fused megakernel path
+    fn = jax.jit(lambda t, l, s, a, v: qa.forward(t, l, cfg, a, v, ids, dc,
+                                                  stacked=s))
+    _measure("qwen3_asr_0.6b_q4f32", fn, (tower, llm, stk, audio, valid), 1, 8.0, 3,
+             0.12, "packed-int4 LLM weights (fused decode megakernel), forced 100 steps")
 
 
 def bench_paraformer():
@@ -344,6 +347,7 @@ def bench_qwen_asr_q4_qembed():
     from asr_tpu.models import qwen_asr as qa
     from asr_tpu.layers import qwen3
     from asr_tpu.decode.ar import DecodeConfig
+    from asr_tpu.ops.fused_decode import stack_decode_params
     from asr_tpu.quant.quantize import quantize_pytree
     cfg = qa.QwenAsrConfig()
     tower = qa.init_tower_params(cfg, jax.random.PRNGKey(0))
@@ -358,9 +362,11 @@ def bench_qwen_asr_q4_qembed():
         "tail": jnp.asarray([[7, 8]], jnp.int32),
     }
     dc = DecodeConfig(max_new_tokens=100, eot_id=-1)
-    fn = jax.jit(lambda t, l, a, v: qa.forward(t, l, cfg, a, v, ids, dc))
-    _measure("qwen3_asr_0.6b_q4f32_qembed", fn, (tower, llm, audio, valid), 1, 8.0, 3,
-             0.12, "packed-int4 LLM + int4 quantized tied embed head, forced 100 steps")
+    stk = stack_decode_params(llm, cfg.llm)  # batch-1 fused megakernel path
+    fn = jax.jit(lambda t, l, s, a, v: qa.forward(t, l, cfg, a, v, ids, dc,
+                                                  stacked=s))
+    _measure("qwen3_asr_0.6b_q4f32_qembed", fn, (tower, llm, stk, audio, valid), 1, 8.0, 3,
+             0.12, "packed-int4 LLM + int4 tied head + fused decode megakernel, forced 100 steps")
 
 
 def bench_qwen_asr_q4_batch8():
@@ -392,6 +398,7 @@ def bench_fun_asr_nano_llm_q4():
     from asr_tpu.models import fun_asr_nano as fn_
     from asr_tpu.layers import qwen3
     from asr_tpu.decode.ar import DecodeConfig
+    from asr_tpu.ops.fused_decode import stack_decode_params
     from asr_tpu.quant.quantize import quantize_pytree
     cfg = fn_.FunAsrNanoConfig()
     params = fn_.init_params(cfg, jax.random.PRNGKey(0))
@@ -404,9 +411,12 @@ def bench_fun_asr_nano_llm_q4():
         "tail": jnp.asarray([[6, 7]], jnp.int32),
     }
     dc = DecodeConfig(max_new_tokens=100, eot_id=-1)
-    fn = jax.jit(lambda p, l, a, v: fn_.forward_llm(p, l, cfg, a, v, ids, dc))
-    _measure("fun_asr_nano_llm_q4f32", fn, (params, llm, audio, valid), 1, 8.0, 3,
-             0.11, "packed-int4 LLM, forced 100 decode steps; ref README.md:61 q4f32")
+    llm = qwen3.fuse_params(llm, cfg.llm)  # session-identical: fused leaves
+    stk = stack_decode_params(llm, cfg.llm)
+    fn = jax.jit(lambda p, l, s, a, v: fn_.forward_llm(p, l, cfg, a, v, ids, dc,
+                                                       stacked=s))
+    _measure("fun_asr_nano_llm_q4f32", fn, (params, llm, stk, audio, valid), 1, 8.0, 3,
+             0.11, "packed-int4 LLM + fused decode megakernel, forced 100 steps; ref README.md:61 q4f32")
 
 
 def bench_fun_asr_llm_batch8():
