@@ -240,6 +240,19 @@ def fuse_params(params: dict, cfg: Qwen3Config) -> dict:
     return {**params, "layers": layers}
 
 
+def logits_from_normalized(params: dict, cfg: Qwen3Config, y: jnp.ndarray) -> jnp.ndarray:
+    """LM-head logits for a hidden state that is ALREADY final-normalized
+    (the fused decode megakernel applies final_norm in-kernel)."""
+    if cfg.tie_embeddings:
+        emb = params["embed"]
+        if not isinstance(emb, jnp.ndarray):
+            from asr_tpu.quant.quantize import embedding_logits
+
+            return embedding_logits(emb, y)
+        return jnp.dot(y, emb.T)
+    return dense(y, params["lm_head"])
+
+
 def logits_from_hidden(params: dict, cfg: Qwen3Config, hidden: jnp.ndarray) -> jnp.ndarray:
     y = rms_norm(hidden, params["final_norm"]["scale"], cfg.rms_eps)
     if cfg.tie_embeddings:

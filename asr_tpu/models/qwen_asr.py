@@ -191,7 +191,7 @@ def assemble_prompt(
     return embeds, valid
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "decode_cfg"))
+@functools.partial(jax.jit, static_argnames=("cfg", "decode_cfg", "fused_interpret"))
 def transcribe_embeds(
     llm_params: dict,
     cfg: QwenAsrConfig,
@@ -200,6 +200,7 @@ def transcribe_embeds(
     decode_cfg: DecodeConfig,
     rng: jax.Array | None = None,
     stacked: dict | None = None,
+    fused_interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Prompt embeds (B, L, H) (valid prefix + END padding, as produced by
     :func:`assemble_prompt`) + per-sample valid lengths -> generated ids.
@@ -230,10 +231,16 @@ def transcribe_embeds(
     # The cache rounds up to a sublane multiple (extra slots are always
     # masked, so the math is unchanged for either path).
     t_max = -(-t_buf // 8) * 8
+    from asr_tpu.ops.quant_matmul import _resolve_kernel, _resolve_mm
+
     use_fused = (
         stacked is not None and b == 1 and embeds.dtype == jnp.float32
-        and jax.default_backend() == "tpu" and fused_fits(lcfg, t_max)
-    )
+        and (jax.default_backend() == "tpu" or fused_interpret)
+        and fused_fits(lcfg, t_max)
+        # strict-parity (mm=f32) and forced-XLA runs keep the per-weight
+        # path: the megakernel's dots are bf16-with-f32-accumulation only
+        and _resolve_mm(None) == "bf16" and _resolve_kernel() != "xla"
+    )  # fused_interpret: CPU tests drive the same routing in interpret mode
     state = qwen3.make_kv_state(lcfg, b, t_max, embeds.dtype)
     bias = qwen3.left_prefill_bias(shift, lf, t_max)
     hidden, state = qwen3.decoder_pass(
@@ -252,8 +259,13 @@ def transcribe_embeds(
 
     if use_fused:
         kvw = lcfg.num_kv_heads * lcfg.head_dim
-        kc = jnp.stack([ls["k"][0].reshape(t_max, kvw) for ls in state["layers"]])
-        vc = jnp.stack([ls["v"][0].reshape(t_max, kvw) for ls in state["layers"]])
+        # bf16 stacked caches: halves the per-step cache traffic and the
+        # kernel's VMEM tiles (same rounding class as Whisper's
+        # kv_dtype=bf16 option; the attention dots are bf16 either way).
+        kc = jnp.stack([ls["k"][0].reshape(t_max, kvw)
+                        for ls in state["layers"]]).astype(jnp.bfloat16)
+        vc = jnp.stack([ls["v"][0].reshape(t_max, kvw)
+                        for ls in state["layers"]]).astype(jnp.bfloat16)
         cs = jnp.asarray(rope_tables(t_max, lcfg.head_dim, lcfg.rope_theta))
         sh0 = shift[0]
 
@@ -263,8 +275,10 @@ def transcribe_embeds(
             logical = jnp.clip(pos - sh0, 0, t_max - 1)
             h1, kcc, vcc = fused_decode_step(
                 stacked, lcfg, emb1, kcc, vcc, pos, sh0,
-                cs[0][logical][None], cs[1][logical][None])
-            return qwen3.logits_from_hidden(llm_params, lcfg, h1), (kcc, vcc)
+                cs[0][logical][None], cs[1][logical][None],
+                interpret=fused_interpret)
+            # h1 is already final-normalized in-kernel
+            return qwen3.logits_from_normalized(llm_params, lcfg, h1), (kcc, vcc)
 
         tokens, counts = ar_decode(step, (kc, vc), prompt_len, first, buf,
                                    decode_cfg, rng)

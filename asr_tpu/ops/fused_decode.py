@@ -128,6 +128,9 @@ def stack_decode_params(params: dict, cfg) -> dict | None:
         norms["post"].append(p["post_norm"]["scale"])
         norms["qn"].append(p["attn"]["q_norm"]["scale"])
         norms["kn"].append(p["attn"]["k_norm"]["scale"])
+    final = params.get("final_norm")
+    if not (isinstance(final, dict) and "scale" in final):
+        return None  # the kernel emits FINAL-NORMALIZED hidden
 
     plan = _plan(cfg.hidden, cfg.num_heads, cfg.num_kv_heads, cfg.ffn_dim, block)
     if plan is None:
@@ -161,10 +164,12 @@ def stack_decode_params(params: dict, cfg) -> dict | None:
     out["dn_s"], out["dn_zs"] = sz(rows["dn"])
     for k, key in (("in", "in_s"), ("post", "post_s"), ("qn", "qn_s"), ("kn", "kn_s")):
         out[key] = jnp.stack([v.astype(jnp.float32) for v in norms[k]])
+    out["fn_s"] = final["scale"].astype(jnp.float32)[None, :]  # (1, H)
     return out
 
 
-def fused_fits(cfg, t: int, block: int = 128, budget: int = 14 << 20) -> bool:
+def fused_fits(cfg, t: int, block: int = 128, budget: int = 14 << 20,
+               cache_bytes: int = 2) -> bool:
     """Whether the megakernel's VMEM footprint fits at cache length ``t``.
 
     Counts the scratch pools, the double-buffered per-layer scale blocks,
@@ -182,7 +187,7 @@ def fused_fits(cfg, t: int, block: int = 128, budget: int = 14 << 20) -> bool:
         + 2 * p["rb"] * h                                # pool_b (int8)
         # in-register nibble planes of the live strip (bf16 convert)
         + 3 * max(p["ra"] * p["wa"], p["rb"] * h)
-        + 4 * 8 * kvw * 4                                # kpatch/vpatch
+        + 4 * 8 * kvw * cache_bytes                      # kpatch/vpatch
         + (2 * cfg.num_heads + cfg.num_kv_heads) * 128 * 4  # qm/ctx/km
         + (2 * h + cfg.num_heads * 128 + 2 * 128) * 4    # xs, x, xo, cos/sin
     )
@@ -191,7 +196,7 @@ def fused_fits(cfg, t: int, block: int = 128, budget: int = 14 << 20) -> bool:
         + (p["ok2"] // block + p["dk2"] // block) * h
     )
     norms = 4 * cfg.num_layers * (2 * h + 2 * 128)
-    kv = 2 * 2 * t * kvw * 4
+    kv = 2 * 2 * t * kvw * cache_bytes
     return fixed + scales + norms + kv <= budget
 
 
@@ -201,7 +206,7 @@ def _rot_half(x):
 
 
 def _kernel(cfg_static, smem_ref, x_ref, cos_ref, sin_ref,
-            in_s_ref, post_s_ref, qn_s_ref, kn_s_ref,
+            in_s_ref, post_s_ref, qn_s_ref, kn_s_ref, fn_s_ref,
             wq_ref, wo_ref, wgu_ref, wd_ref,
             qkv_s_ref, qkv_zs_ref, o_s_ref, o_zs_ref,
             gu_s_ref, gu_zs_ref, dn_s_ref, dn_zs_ref,
@@ -298,8 +303,12 @@ def _kernel(cfg_static, smem_ref, x_ref, cos_ref, sin_ref,
                 rs = slice(b * block, (b + 1) * block)
                 s = s_ref[0, plane, kblk0 + b, pl.ds(col0, width)][None, :]
                 zs = zs_ref[0, plane, kblk0 + b, pl.ds(col0, width)][None, :]
+                # precision pinned to DEFAULT: a global HIGHEST (parity
+                # runs, bench harnesses) would request fp32 contract on
+                # bf16 operands, which Mosaic rejects ("Bad lhs type")
                 p = jnp.dot(xv[:, rs], v16[rs, :],
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.DEFAULT)
                 xs = jnp.sum(xv[:, rs].astype(jnp.float32), axis=1,
                              keepdims=True)
                 term = p * s - xs * zs
@@ -372,9 +381,12 @@ def _kernel(cfg_static, smem_ref, x_ref, cos_ref, sin_ref,
     for hh in range(n_kv):
         krow_s[0:1, 128 * hh:128 * (hh + 1)] = k[hh:hh + 1, :]
     in_row = jax.lax.broadcasted_iota(jnp.int32, (8, kvw), 0) + pos8 == pos
-    kpatch[sl] = jnp.where(in_row, jnp.broadcast_to(krow_s[0:1, :], (8, kvw)),
+    cdt = kpatch.dtype  # cache dtype (bf16 tiles halve traffic + VMEM)
+    kpatch[sl] = jnp.where(in_row,
+                           jnp.broadcast_to(krow_s[0:1, :].astype(cdt), (8, kvw)),
                            kbuf[sl, pl.ds(pos8, 8), :])
-    vpatch[sl] = jnp.where(in_row, jnp.broadcast_to(v_row, (8, kvw)),
+    vpatch[sl] = jnp.where(in_row,
+                           jnp.broadcast_to(v_row.astype(cdt), (8, kvw)),
                            vbuf[sl, pl.ds(pos8, 8), :])
     wb_dma(kpatch, kc_out_ref, sem_wk, sl, l).start()
     wb_dma(vpatch, vc_out_ref, sem_wv, sl, l).start()
@@ -392,7 +404,8 @@ def _kernel(cfg_static, smem_ref, x_ref, cos_ref, sin_ref,
         qg = qscaled[groups * hh:groups * (hh + 1), :]  # (groups, 128)
         scores = jax.lax.dot_general(
             qg, kh.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (groups, T)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)  # (groups, T)
         # N=1 MXU dots fail Mosaic verification — the fresh-row score is a
         # VPU multiply-reduce instead (f32, tighter than the bf16 cache dot)
         snew = jnp.sum(qscaled32[groups * hh:groups * (hh + 1), :] * knew,
@@ -405,8 +418,9 @@ def _kernel(cfg_static, smem_ref, x_ref, cos_ref, sin_ref,
         pc = jnp.where(is_pos, 0.0, probs)
         pn = jnp.sum(jnp.where(is_pos, probs, 0.0), axis=1, keepdims=True)
         ctxh = jnp.dot(pc.astype(jnp.bfloat16), vh.astype(jnp.bfloat16),
-                       preferred_element_type=jnp.float32)  # (groups, 128)
-        ctx[groups * hh:groups * (hh + 1), :] = ctxh + pn * vnew
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.DEFAULT)  # (groups, 128)
+        ctx[groups * hh:groups * (hh + 1), :] = ctxh + pn * vnew.astype(jnp.float32)
     for hh in range(n_heads):
         xo[:, 128 * hh:128 * (hh + 1)] = ctx[hh:hh + 1, :]
 
@@ -445,7 +459,9 @@ def _kernel(cfg_static, smem_ref, x_ref, cos_ref, sin_ref,
 
     @pl.when(l == nl - 1)
     def _():
-        h_out_ref[:] = xs[:]
+        # Emit the FINAL-NORMALIZED hidden: the LM head consumes it
+        # directly, saving one dispatch per decode step.
+        h_out_ref[:] = rmsnorm(xs[:], fn_s_ref[0:1, :])
         # Outstanding row writebacks: layer l on slot sl and (when nl >= 2)
         # layer l-1 on slot s1. The waits reconstruct the SAME (1, kvw)
         # row copies — semaphores count bytes.
@@ -468,12 +484,15 @@ def fused_decode_step(stacked: dict, cfg, x: jnp.ndarray,
     Args:
       stacked: from :func:`stack_decode_params`.
       x: (1, H) f32 input embedding row.
-      k_cache/v_cache: (NL, T, n_kv*128) f32, head-major rows.
+      k_cache/v_cache: (NL, T, n_kv*128) head-major rows — f32 or bf16;
+        bf16 halves both the per-step HBM traffic and the VMEM tiles
+        (double-buffered tiles are the dominant VMEM cost at long T).
       pos: scalar int32 cache slot; shift: scalar int32 left-pad width.
       cos/sin: (1, 128) f32 RoPE rows for the LOGICAL position.
 
-    Returns (hidden (1, H) f32, k_cache', v_cache') — caches updated at
-    ``pos`` (aliased in-place on TPU).
+    Returns (hidden (1, H) f32 — FINAL-NORMALIZED, the LM head consumes it
+    directly — k_cache', v_cache') — caches updated at ``pos`` (aliased
+    in-place on TPU).
     """
     nl, t = k_cache.shape[0], k_cache.shape[1]
     assert t % 8 == 0, "cache length must be sublane-aligned (8-row patches)"
@@ -501,7 +520,7 @@ def fused_decode_step(stacked: dict, cfg, x: jnp.ndarray,
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),      # smem scalars
         vmem(), vmem(), vmem(),                     # x, cos, sin
-        vmem(), vmem(), vmem(), vmem(),             # norm tables (full)
+        vmem(), vmem(), vmem(), vmem(), vmem(),     # norm tables (full)
         anyspec(), anyspec(), anyspec(), anyspec(),  # weights in HBM
         blk(stacked["qkv_s"].shape), blk(stacked["qkv_zs"].shape),
         blk(stacked["o_s"].shape), blk(stacked["o_zs"].shape),
@@ -515,14 +534,15 @@ def fused_decode_step(stacked: dict, cfg, x: jnp.ndarray,
         jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
         jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
     ]
+    cdt = k_cache.dtype
     scratch = [
         pltpu.VMEM((1, h), jnp.float32),                   # xs
         pltpu.VMEM((2, p["ra"], p["wa"]), jnp.int8),       # pool_a
         pltpu.VMEM((2, p["rb"], h), jnp.int8),             # pool_b
-        pltpu.VMEM((2, t, kvw), jnp.float32),              # kbuf
-        pltpu.VMEM((2, t, kvw), jnp.float32),              # vbuf
-        pltpu.VMEM((2, 8, kvw), jnp.float32),              # kpatch
-        pltpu.VMEM((2, 8, kvw), jnp.float32),              # vpatch
+        pltpu.VMEM((2, t, kvw), cdt),                      # kbuf
+        pltpu.VMEM((2, t, kvw), cdt),                      # vbuf
+        pltpu.VMEM((2, 8, kvw), cdt),                      # kpatch
+        pltpu.VMEM((2, 8, kvw), cdt),                      # vpatch
         pltpu.VMEM((1, kvw), jnp.float32),                 # krow_s
         pltpu.VMEM((cfg.num_heads, 128), jnp.float32),     # qm
         pltpu.VMEM((cfg.num_kv_heads, 128), jnp.float32),  # km
@@ -539,7 +559,7 @@ def fused_decode_step(stacked: dict, cfg, x: jnp.ndarray,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        input_output_aliases={20: 1, 21: 2},
+        input_output_aliases={21: 1, 22: 2},
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
@@ -547,6 +567,7 @@ def fused_decode_step(stacked: dict, cfg, x: jnp.ndarray,
         ),
     )(smem, x, cos, sin,
       stacked["in_s"], stacked["post_s"], stacked["qn_s"], stacked["kn_s"],
+      stacked["fn_s"],
       stacked["wq"], stacked["wo"], stacked["wgu"], stacked["wd"],
       stacked["qkv_s"], stacked["qkv_zs"], stacked["o_s"], stacked["o_zs"],
       stacked["gu_s"], stacked["gu_zs"], stacked["dn_s"], stacked["dn_zs"],

@@ -42,11 +42,13 @@ def _quantized_params(cfg=CFG, seed=0):
     return qwen3.fuse_params(qparams, cfg)
 
 
-def _stack_caches(state, cfg):
+def _stack_caches(state, cfg, dtype=None):
     kvw = cfg.num_kv_heads * cfg.head_dim
     t = state["layers"][0]["k"].shape[1]
     k = jnp.stack([ls["k"][0].reshape(t, kvw) for ls in state["layers"]])
     v = jnp.stack([ls["v"][0].reshape(t, kvw) for ls in state["layers"]])
+    if dtype is not None:
+        k, v = k.astype(dtype), v.astype(dtype)
     return k, v
 
 
@@ -92,6 +94,9 @@ def test_stack_rejects_unpacked_or_mixed():
     unfused = quantize_pytree(params, bits=4, block=128, min_size=0, pack=True,
                               refine_iters=0)
     assert stack_decode_params(unfused, CFG) is None  # no qkv/gateup leaves
+    no_final = dict(_quantized_params())
+    no_final.pop("final_norm")
+    assert stack_decode_params(no_final, CFG) is None  # final norm lives in-kernel
 
 
 @pytest.mark.parametrize("shift_v", [0, 3])
@@ -110,8 +115,10 @@ def test_fused_step_matches_decoder_pass(shift_v):
         fused, cfg, embeds, state, jnp.asarray(0, jnp.int32), bias,
         pos_offset=shift)
 
-    kc, vc = _stack_caches(state, cfg)
+    kc, vc = _stack_caches(state, cfg, jnp.bfloat16)
     x = jax.random.normal(jax.random.PRNGKey(9), (1, 1, cfg.hidden), jnp.float32) * 0.3
+
+    from asr_tpu.layers.norms import rms_norm
 
     for step_i in range(2):
         pos = jnp.asarray(prompt_len + step_i, jnp.int32)
@@ -123,24 +130,30 @@ def test_fused_step_matches_decoder_pass(shift_v):
             stacked_hashable(fused, cfg), cfg, x[:, 0], kc, vc, pos, shift[0],
             cos, sin, interpret=True)
 
-        ref = np.asarray(h_ref[:, 0])
+        # the kernel emits FINAL-NORMALIZED hidden
+        ref = np.asarray(rms_norm(h_ref[:, 0], fused["final_norm"]["scale"],
+                                  cfg.rms_eps))
         got = np.asarray(h_fused)
         np.testing.assert_allclose(got, ref, rtol=0, atol=2e-2 * np.abs(ref).max())
 
         kr, vr = _stack_caches(state, cfg)
-        # the written row matches to bf16-dot tolerance; all other rows
-        # must be untouched bit-for-bit.
-        np.testing.assert_allclose(np.asarray(kc[:, pos]), np.asarray(kr[:, pos]),
-                                   rtol=0, atol=2e-2 * np.abs(np.asarray(kr[:, pos])).max())
-        np.testing.assert_allclose(np.asarray(vc[:, pos]), np.asarray(vr[:, pos]),
-                                   rtol=0, atol=2e-2 * np.abs(np.asarray(vr[:, pos])).max())
+        # the written row matches to bf16 tolerance; all other rows must
+        # be untouched bit-for-bit (bf16 round of the reference rows).
+        np.testing.assert_allclose(
+            np.asarray(kc[:, pos], np.float32), np.asarray(kr[:, pos]),
+            rtol=0, atol=2e-2 * np.abs(np.asarray(kr[:, pos])).max())
+        np.testing.assert_allclose(
+            np.asarray(vc[:, pos], np.float32), np.asarray(vr[:, pos]),
+            rtol=0, atol=2e-2 * np.abs(np.asarray(vr[:, pos])).max())
         mask = np.arange(T_MAX) != int(pos)
-        np.testing.assert_array_equal(np.asarray(kc[:, mask]), np.asarray(kr[:, mask]))
-        np.testing.assert_array_equal(np.asarray(vc[:, mask]), np.asarray(vr[:, mask]))
+        np.testing.assert_array_equal(
+            np.asarray(kc[:, mask]), np.asarray(kr.astype(jnp.bfloat16)[:, mask]))
+        np.testing.assert_array_equal(
+            np.asarray(vc[:, mask]), np.asarray(vr.astype(jnp.bfloat16)[:, mask]))
 
-        # feed the fused caches forward so errors do not compound across
-        # steps through mismatched states
-        kc, vc = kr, vr
+        # feed the reference caches forward so errors do not compound
+        # across steps through mismatched states
+        kc, vc = kr.astype(jnp.bfloat16), vr.astype(jnp.bfloat16)
         x = jax.random.normal(jax.random.PRNGKey(20 + step_i), (1, 1, cfg.hidden),
                               jnp.float32) * 0.3
 
@@ -153,3 +166,32 @@ def stacked_hashable(fused, cfg):
     if key not in _STACK_CACHE:
         _STACK_CACHE[key] = stack_decode_params(fused, cfg)
     return _STACK_CACHE[key]
+
+
+def test_transcribe_embeds_fused_routing():
+    """The batch-1 fused route through transcribe_embeds (interpret mode on
+    CPU) must produce the same generated ids as the per-weight path —
+    weights are shaped so logits gaps dwarf the bf16-dot differences."""
+    from asr_tpu.decode.ar import DecodeConfig
+    from asr_tpu.models.qwen_asr import QwenAsrConfig, transcribe_embeds
+
+    cfg = CFG
+    fused = _quantized_params(seed=3)
+    qcfg = QwenAsrConfig(output_dim=cfg.hidden, llm=cfg, eot_id=5)
+    stacked = stacked_hashable(fused, cfg)
+    assert stacked is not None
+
+    embeds = jax.random.normal(jax.random.PRNGKey(11), (1, 5, cfg.hidden),
+                               jnp.float32) * 0.3
+    valid = jnp.asarray([4], jnp.int32)
+    dc = DecodeConfig(max_new_tokens=4, eot_id=-1)
+
+    tok_f, cnt_f, start_f = transcribe_embeds(
+        fused, qcfg, embeds, valid, dc, stacked=stacked, fused_interpret=True)
+    tok_p, cnt_p, start_p = transcribe_embeds(fused, qcfg, embeds, valid, dc)
+    assert int(start_f[0]) == int(start_p[0]) == 5
+    np.testing.assert_array_equal(np.asarray(cnt_f), np.asarray(cnt_p))
+    lf = int(start_f[0])
+    np.testing.assert_array_equal(
+        np.asarray(tok_f[:, lf:lf + int(cnt_f[0])]),
+        np.asarray(tok_p[:, lf:lf + int(cnt_p[0])]))

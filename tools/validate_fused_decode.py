@@ -56,10 +56,11 @@ def main():
     print(f"backend={jax.default_backend()} t_max={t_max} nl={nl}")
 
     params = qwen3.init_params(cfg, jax.random.PRNGKey(0))
-    params.pop("embed"); params.pop("final_norm", None)  # decode stack only
+    params.pop("embed")  # decode stack + final norm only
     fused = qwen3.fuse_params(
-        quantize_pytree({"layers": params["layers"]}, bits=4, block=128,
-                        min_size=0, pack=True, refine_iters=0), cfg)
+        quantize_pytree({"layers": params["layers"],
+                         "final_norm": params["final_norm"]}, bits=4,
+                        block=128, min_size=0, pack=True, refine_iters=0), cfg)
     stacked = stack_decode_params(fused, cfg)
     assert stacked is not None, "0.6B geometry must tile"
 
@@ -74,8 +75,10 @@ def main():
                                            bias, pos_offset=shift),
         static_argnums=(),
     )(fused, emb, state)
-    kc = jnp.stack([ls["k"][0].reshape(t_max, kvw) for ls in state["layers"]])
-    vc = jnp.stack([ls["v"][0].reshape(t_max, kvw) for ls in state["layers"]])
+    kc = jnp.stack([ls["k"][0].reshape(t_max, kvw)
+                    for ls in state["layers"]]).astype(jnp.bfloat16)
+    vc = jnp.stack([ls["v"][0].reshape(t_max, kvw)
+                    for ls in state["layers"]]).astype(jnp.bfloat16)
 
     # ---- correctness: one step, fused vs per-weight --------------------
     x = jax.random.normal(jax.random.PRNGKey(2), (1, h), jnp.float32) * 0.3
@@ -87,10 +90,14 @@ def main():
     cos, sin = cs[0][prompt][None], cs[1][prompt][None]
     h_fu, kc2, vc2 = fused_decode_step(stacked, cfg, x, kc, vc, pos,
                                        shift[0], cos, sin)
-    ref = np.asarray(h_ref[:, 0]); got = np.asarray(h_fu)
+    from asr_tpu.layers.norms import rms_norm
+    ref = np.asarray(rms_norm(h_ref[:, 0], fused["final_norm"]["scale"],
+                              cfg.rms_eps))
+    got = np.asarray(h_fu)
     err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-9)
     kr = np.asarray(state2["layers"][nl - 1]["k"][0, prompt].reshape(-1))
-    kerr = np.abs(np.asarray(kc2[nl - 1, prompt]) - kr).max() / max(np.abs(kr).max(), 1e-9)
+    kerr = (np.abs(np.asarray(kc2[nl - 1, prompt], np.float32) - kr).max()
+            / max(np.abs(kr).max(), 1e-9))
     print(f"hidden rel err {err:.3e}  last-layer k-row rel err {kerr:.3e}")
     ok = err < 3e-2 and kerr < 3e-2
 
@@ -125,7 +132,7 @@ def main():
     qbytes = sum(int(np.prod(stacked[k].shape)) for k in ("wq", "wo", "wgu", "wd"))
     scale_b = sum(int(np.prod(stacked[k].shape)) * 4 for k in stacked
                   if k.endswith("_s") or k.endswith("_zs"))
-    cache_b = 2 * nl * t_max * kvw * 4
+    cache_b = 2 * nl * t_max * kvw * 2  # bf16 cache tiles
     gbs = (qbytes + scale_b + cache_b) / (ms_fused * 1e-3) / 1e9
     print(f"fused megakernel: {ms_fused:.3f} ms/step  (~{gbs:.0f} GB/s incl. cache)")
     print(f"per-weight path:  {ms_ref:.3f} ms/step  -> speedup {ms_ref/ms_fused:.2f}x")
