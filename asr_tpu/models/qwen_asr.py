@@ -236,11 +236,20 @@ def transcribe_embeds(
     use_fused = (
         stacked is not None and b == 1 and embeds.dtype == jnp.float32
         and (jax.default_backend() == "tpu" or fused_interpret)
-        and fused_fits(lcfg, t_max)
         # strict-parity (mm=f32) and forced-XLA runs keep the per-weight
         # path: the megakernel's dots are bf16-with-f32-accumulation only
         and _resolve_mm(None) == "bf16" and _resolve_kernel() != "xla"
     )  # fused_interpret: CPU tests drive the same routing in interpret mode
+    if use_fused:
+        head_cols = stacked["wh"].shape[1] if "wh" in stacked else 0
+        if not fused_fits(lcfg, t_max, head_cols=head_cols):
+            if head_cols and fused_fits(lcfg, t_max):
+                # the fused tied head alone overflows VMEM at this cache
+                # length — keep the layer megakernel, run the head separately
+                stacked = {k: v for k, v in stacked.items()
+                           if k not in ("wh", "h_s", "h_zs")}
+            else:
+                use_fused = False
     state = qwen3.make_kv_state(lcfg, b, t_max, embeds.dtype)
     bias = qwen3.left_prefill_bias(shift, lf, t_max)
     hidden, state = qwen3.decoder_pass(
@@ -273,12 +282,18 @@ def transcribe_embeds(
             kcc, vcc = st
             emb1 = llm_params["embed"][token[:, 0]].astype(jnp.float32)
             logical = jnp.clip(pos - sh0, 0, t_max - 1)
-            h1, kcc, vcc = fused_decode_step(
+            h1, lg, kcc, vcc = fused_decode_step(
                 stacked, lcfg, emb1, kcc, vcc, pos, sh0,
                 cs[0][logical][None], cs[1][logical][None],
                 interpret=fused_interpret)
-            # h1 is already final-normalized in-kernel
-            return qwen3.logits_from_normalized(llm_params, lcfg, h1), (kcc, vcc)
+            if lg is not None:
+                # the tied LM head ran IN-kernel (streamed through the same
+                # weight pool); pad columns carry exactly-0 logits
+                lg = lg[:, :lcfg.vocab_size]
+            else:
+                # h1 is already final-normalized in-kernel
+                lg = qwen3.logits_from_normalized(llm_params, lcfg, h1)
+            return lg, (kcc, vcc)
 
         tokens, counts = ar_decode(step, (kc, vc), prompt_len, first, buf,
                                    decode_cfg, rng)

@@ -84,8 +84,15 @@ def stack_decode_params(params: dict, cfg) -> dict | None:
     Requires every layer to carry packed-int4 ``qkv``/``o``/``gateup``/
     ``down`` QuantizedLinear leaves (same block), q/k RMSNorm, no attention
     bias, head_dim 128. Returns None when the structure doesn't match —
-    callers fall back to the per-weight path."""
-    from asr_tpu.quant.quantize import QuantizedLinear
+    callers fall back to the per-weight path.
+
+    When ``params["embed"]`` is a :class:`QuantizedEmbedding` carrying the
+    nibble-packed tied-head copy with a compatible layout, the head arrays
+    ("wh"/"h_s"/"h_zs") are included too and the kernel streams the LM
+    head through the same weight pool right after the last layer (the
+    head is ~30% of the decode step's HBM bytes — a separate dispatch
+    both re-pays kernel launch latency and streams slower)."""
+    from asr_tpu.quant.quantize import QuantizedEmbedding, QuantizedLinear
 
     if not isinstance(params, dict):  # prompt-only sessions pass None
         return None
@@ -165,11 +172,24 @@ def stack_decode_params(params: dict, cfg) -> dict | None:
     for k, key in (("in", "in_s"), ("post", "post_s"), ("qn", "qn_s"), ("kn", "kn_s")):
         out[key] = jnp.stack([v.astype(jnp.float32) for v in norms[k]])
     out["fn_s"] = final["scale"].astype(jnp.float32)[None, :]  # (1, H)
+
+    emb = params.get("embed")
+    if (isinstance(emb, QuantizedEmbedding) and emb.q_t is not None
+            and emb.q_t_packed and emb.bits == 4 and emb.block == block
+            and emb.q_t.shape[0] == plan["ra"]
+            and emb.q_t.shape[1] % plan["wa"] == 0):
+        nbh2 = emb.scale_t.shape[0]
+        vpad = emb.q_t.shape[1]
+        out["wh"] = emb.q_t
+        out["h_s"] = emb.scale_t.astype(jnp.float32).reshape(
+            1, 2, nbh2 // 2, vpad)
+        out["h_zs"] = (emb.zero_t * emb.scale_t).astype(jnp.float32).reshape(
+            1, 2, nbh2 // 2, vpad)
     return out
 
 
 def fused_fits(cfg, t: int, block: int = 128, budget: int = 14 << 20,
-               cache_bytes: int = 2) -> bool:
+               cache_bytes: int = 2, head_cols: int = 0) -> bool:
     """Whether the megakernel's VMEM footprint fits at cache length ``t``.
 
     Counts the scratch pools, the double-buffered per-layer scale blocks,
@@ -197,7 +217,10 @@ def fused_fits(cfg, t: int, block: int = 128, budget: int = 14 << 20,
     )
     norms = 4 * cfg.num_layers * (2 * h + 2 * 128)
     kv = 2 * 2 * t * kvw * cache_bytes
-    return fixed + scales + norms + kv <= budget
+    # fused tied head: full (1, V_pad) logits block + double-buffered
+    # scale/zero*scale strips + the xn scratch
+    head = head_cols * 4 + 2 * 2 * 2 * 4 * (h // 2 // block) * p["wa"] + h * 4
+    return fixed + scales + norms + kv + (head if head_cols else 0) <= budget
 
 
 def _rot_half(x):
@@ -215,8 +238,54 @@ def _kernel(cfg_static, smem_ref, x_ref, cos_ref, sin_ref,
             xs, pool_a, pool_b, kbuf, vbuf, kpatch, vpatch, krow_s,
             qm, km, ctx, xo,
             sem_a, sem_b, sem_k, sem_v, sem_wk, sem_wv):
+    _kernel_impl(cfg_static, smem_ref, x_ref, cos_ref, sin_ref,
+                 in_s_ref, post_s_ref, qn_s_ref, kn_s_ref, fn_s_ref,
+                 wq_ref, wo_ref, wgu_ref, wd_ref,
+                 qkv_s_ref, qkv_zs_ref, o_s_ref, o_zs_ref,
+                 gu_s_ref, gu_zs_ref, dn_s_ref, dn_zs_ref,
+                 kc_ref, vc_ref,
+                 h_out_ref, kc_out_ref, vc_out_ref,
+                 xs, pool_a, pool_b, kbuf, vbuf, kpatch, vpatch, krow_s,
+                 qm, km, ctx, xo,
+                 sem_a, sem_b, sem_k, sem_v, sem_wk, sem_wv)
+
+
+def _kernel_with_head(cfg_static, smem_ref, x_ref, cos_ref, sin_ref,
+                      in_s_ref, post_s_ref, qn_s_ref, kn_s_ref, fn_s_ref,
+                      wq_ref, wo_ref, wgu_ref, wd_ref,
+                      qkv_s_ref, qkv_zs_ref, o_s_ref, o_zs_ref,
+                      gu_s_ref, gu_zs_ref, dn_s_ref, dn_zs_ref,
+                      kc_ref, vc_ref, wh_ref, h_s_ref, h_zs_ref,
+                      h_out_ref, kc_out_ref, vc_out_ref, logits_ref,
+                      xs, pool_a, pool_b, kbuf, vbuf, kpatch, vpatch, krow_s,
+                      qm, km, ctx, xo, xn,
+                      sem_a, sem_b, sem_k, sem_v, sem_wk, sem_wv):
+    _kernel_impl(cfg_static, smem_ref, x_ref, cos_ref, sin_ref,
+                 in_s_ref, post_s_ref, qn_s_ref, kn_s_ref, fn_s_ref,
+                 wq_ref, wo_ref, wgu_ref, wd_ref,
+                 qkv_s_ref, qkv_zs_ref, o_s_ref, o_zs_ref,
+                 gu_s_ref, gu_zs_ref, dn_s_ref, dn_zs_ref,
+                 kc_ref, vc_ref,
+                 h_out_ref, kc_out_ref, vc_out_ref,
+                 xs, pool_a, pool_b, kbuf, vbuf, kpatch, vpatch, krow_s,
+                 qm, km, ctx, xo,
+                 sem_a, sem_b, sem_k, sem_v, sem_wk, sem_wv,
+                 head=(wh_ref, h_s_ref, h_zs_ref, logits_ref, xn))
+
+
+def _kernel_impl(cfg_static, smem_ref, x_ref, cos_ref, sin_ref,
+                 in_s_ref, post_s_ref, qn_s_ref, kn_s_ref, fn_s_ref,
+                 wq_ref, wo_ref, wgu_ref, wd_ref,
+                 qkv_s_ref, qkv_zs_ref, o_s_ref, o_zs_ref,
+                 gu_s_ref, gu_zs_ref, dn_s_ref, dn_zs_ref,
+                 kc_ref, vc_ref,
+                 h_out_ref, kc_out_ref, vc_out_ref,
+                 xs, pool_a, pool_b, kbuf, vbuf, kpatch, vpatch, krow_s,
+                 qm, km, ctx, xo,
+                 sem_a, sem_b, sem_k, sem_v, sem_wk, sem_wv,
+                 head=None):
     (nl, h, n_heads, n_kv, f, block, t, eps, ra, wa, qn, gn,
-     rb, ok2, dk2, n_qkv, n_gu, n_o, n_d) = cfg_static
+     rb, ok2, dk2, n_qkv, n_gu, n_o, n_d, n_head) = cfg_static
     l = pl.program_id(0)
     na, nb = n_qkv + n_gu, n_o + n_d
     pos = smem_ref[0]
@@ -241,6 +310,14 @@ def _kernel(cfg_static, smem_ref, x_ref, cos_ref, sin_ref,
             src = wd_ref.at[lidx, pl.ds((j - n_o) * rb, rb), :]
         pltpu.make_async_copy(src, pool_b.at[slot], sem_b.at[slot]).start()
 
+    def issue_head(hj, slot):
+        """Pool-A strip hj of the fused tied LM head (reuses pool A: the
+        head's packed K rows equal ra — K is the hidden dim for both)."""
+        wh_ref = head[0]
+        off = hj * wa if isinstance(hj, int) else pl.multiple_of(hj * wa, wa)
+        pltpu.make_async_copy(wh_ref.at[:, pl.ds(off, wa)],
+                              pool_a.at[slot], sem_a.at[slot]).start()
+
     def next_a(i):
         """After consuming pool-A sequence position i of layer l, refill the
         slot with sequence position i+2 (same slot by parity)."""
@@ -252,6 +329,11 @@ def _kernel(cfg_static, smem_ref, x_ref, cos_ref, sin_ref,
             @pl.when(l + 1 < nl)
             def _():
                 issue_a(l + 1, j - na, slot)
+            if head is not None and j - na < n_head:
+                # the last layer's refills roll into the head strips
+                @pl.when(l + 1 == nl)
+                def _():
+                    issue_head(j - na, slot)
 
     def next_b(i):
         j = i + 2
@@ -315,163 +397,191 @@ def _kernel(cfg_static, smem_ref, x_ref, cos_ref, sin_ref,
                 acc = term if acc is None else acc + term
         return acc
 
-    # ---- 1. input norm + qkv ------------------------------------------
-    x = xs[:]
-    in_s = in_s_ref[pl.ds(l, 1), :]
-    y = rmsnorm(x, in_s)
-    qkv_parts = []
-    for i in range(n_qkv):
-        slot = (l * na + i) % 2
-        part = strip_dots(pool_a, slot, sem_a, qkv_s_ref, qkv_zs_ref, y,
-                          ra, wa, ra // block, 0, i * wa, 0, ra)
-        next_a(i)
-        qkv_parts.append(part)
-    qkv = jnp.concatenate(qkv_parts, axis=1) if len(qkv_parts) > 1 else qkv_parts[0]
-
-    # ---- 2. heads: q/k norm + rope; cache update; GQA attention -------
-    qd = n_heads * 128
-    for hh in range(n_heads):
-        qm[hh:hh + 1, :] = qkv[:, 128 * hh:128 * (hh + 1)]
-    for hh in range(n_kv):
-        km[hh:hh + 1, :] = qkv[:, qd + 128 * hh:qd + 128 * (hh + 1)]
-    v_row = qkv[:, qd + kvw:qd + 2 * kvw]  # (1, kvw)
-
-    cos = cos_ref[:]
-    sin = sin_ref[:]
-    q = rmsnorm(qm[:], qn_s_ref[pl.ds(l, 1), :])
-    k = rmsnorm(km[:], kn_s_ref[pl.ds(l, 1), :])
-    q = q * cos + _rot_half(q) * sin
-    k = k * cos + _rot_half(k) * sin
-
-    sl = l % 2
-    s1 = (l + 1) % 2
-    pos8 = pl.multiple_of((pos // 8) * 8, 8)
-
-    def wb_dma(buf, out_ref, sem, slot, lidx):
-        """The (8, kvw) cache-patch writeback kpatch/vpatch[slot] -> rows
-        [pos8, pos8+8) of layer ``lidx``. Mosaic requires sublane slices of
-        tiled HBM memrefs to be 8-aligned, so the single updated row rides
-        in an aligned 8-row patch whose other rows rewrite their existing
-        contents. wait() must reconstruct the SAME copy (semaphores count
-        bytes)."""
-        return pltpu.make_async_copy(
-            buf.at[slot], out_ref.at[lidx, pl.ds(pos8, 8), :], sem.at[slot])
-
-    pltpu.make_async_copy(kc_ref.at[l], kbuf.at[sl], sem_k.at[sl]).wait()
-    pltpu.make_async_copy(vc_ref.at[l], vbuf.at[sl], sem_v.at[sl]).wait()
-
-    # prefetch next layer's cache (kbuf/vbuf are read-only tiles; the
-    # patch writebacks stream from kpatch/vpatch, so no ordering constraint)
-    @pl.when(l + 1 < nl)
-    def _():
-        pltpu.make_async_copy(kc_ref.at[l + 1], kbuf.at[s1], sem_k.at[s1]).start()
-        pltpu.make_async_copy(vc_ref.at[l + 1], vbuf.at[s1], sem_v.at[s1]).start()
-
-    # Mosaic cannot store at a dynamic sublane offset, so the new row never
-    # enters kbuf/vbuf: the aligned 8-row patch is assembled by vector
-    # select (cached rows + fresh row) into kpatch/vpatch (static stores)
-    # and DMA'd to HBM; attention overrides column ``pos`` below. Slot sl's
-    # previous DMA (issued at layer l-2) must land before the overwrite.
-    @pl.when(l >= 2)
-    def _():
-        wb_dma(kpatch, kc_out_ref, sem_wk, sl, l - 2).wait()
-        wb_dma(vpatch, vc_out_ref, sem_wv, sl, l - 2).wait()
-    # k heads -> one (1, kvw) row via static stores (lane-concat of
-    # sublane-offset slices is not implemented in Mosaic)
-    for hh in range(n_kv):
-        krow_s[0:1, 128 * hh:128 * (hh + 1)] = k[hh:hh + 1, :]
-    in_row = jax.lax.broadcasted_iota(jnp.int32, (8, kvw), 0) + pos8 == pos
-    cdt = kpatch.dtype  # cache dtype (bf16 tiles halve traffic + VMEM)
-    kpatch[sl] = jnp.where(in_row,
-                           jnp.broadcast_to(krow_s[0:1, :].astype(cdt), (8, kvw)),
-                           kbuf[sl, pl.ds(pos8, 8), :])
-    vpatch[sl] = jnp.where(in_row,
-                           jnp.broadcast_to(v_row.astype(cdt), (8, kvw)),
-                           vbuf[sl, pl.ds(pos8, 8), :])
-    wb_dma(kpatch, kc_out_ref, sem_wk, sl, l).start()
-    wb_dma(vpatch, vc_out_ref, sem_wv, sl, l).start()
-
-    kpos = jax.lax.broadcasted_iota(jnp.int32, (groups, t), 1)
-    cache_mask = (kpos >= shift) & (kpos < pos)  # row pos comes fresh
-    is_pos = kpos == pos
-    qscaled32 = q * (128 ** -0.5)
-    qscaled = qscaled32.astype(jnp.bfloat16)
-    for hh in range(n_kv):
-        kh = kbuf[sl, :, 128 * hh:128 * (hh + 1)]  # (T, 128)
-        vh = vbuf[sl, :, 128 * hh:128 * (hh + 1)]
-        knew = krow_s[0:1, 128 * hh:128 * (hh + 1)]  # (1, 128), sublane 0
-        vnew = v_row[:, 128 * hh:128 * (hh + 1)]
-        qg = qscaled[groups * hh:groups * (hh + 1), :]  # (groups, 128)
-        scores = jax.lax.dot_general(
-            qg, kh.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT)  # (groups, T)
-        # N=1 MXU dots fail Mosaic verification — the fresh-row score is a
-        # VPU multiply-reduce instead (f32, tighter than the bf16 cache dot)
-        snew = jnp.sum(qscaled32[groups * hh:groups * (hh + 1), :] * knew,
-                       axis=1, keepdims=True)  # (groups, 1)
-        scores = jnp.where(cache_mask, scores, _NEG)
-        scores = jnp.where(is_pos, snew, scores)
-        m = jnp.max(scores, axis=1, keepdims=True)
-        e = jnp.exp(scores - m)
-        probs = e / jnp.sum(e, axis=1, keepdims=True)
-        pc = jnp.where(is_pos, 0.0, probs)
-        pn = jnp.sum(jnp.where(is_pos, probs, 0.0), axis=1, keepdims=True)
-        ctxh = jnp.dot(pc.astype(jnp.bfloat16), vh.astype(jnp.bfloat16),
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.DEFAULT)  # (groups, 128)
-        ctx[groups * hh:groups * (hh + 1), :] = ctxh + pn * vnew.astype(jnp.float32)
-    for hh in range(n_heads):
-        xo[:, 128 * hh:128 * (hh + 1)] = ctx[hh:hh + 1, :]
-
-    # ---- 3. o projection (K-strips) -----------------------------------
-    o_acc = None
-    for i in range(n_o):
-        slot = (l * nb + i) % 2
-        part = strip_dots(pool_b, slot, sem_b, o_s_ref, o_zs_ref, xo[:],
-                          rb, h, rb // block, i * (rb // block), 0,
-                          i * rb, ok2 + i * rb)
-        next_b(i)
-        o_acc = part if o_acc is None else o_acc + part
-    x = x + o_acc
-
-    # ---- 4. post norm + gated FFN -------------------------------------
-    y2 = rmsnorm(x, post_s_ref[pl.ds(l, 1), :])
-    gu_parts = []
-    for i in range(n_gu):
-        slot = (l * na + n_qkv + i) % 2
-        part = strip_dots(pool_a, slot, sem_a, gu_s_ref, gu_zs_ref, y2,
-                          ra, wa, ra // block, 0, i * wa, 0, ra)
-        next_a(n_qkv + i)
-        gu_parts.append(part)
-    gu = jnp.concatenate(gu_parts, axis=1) if len(gu_parts) > 1 else gu_parts[0]
-    hact = jax.nn.silu(gu[:, :f]) * gu[:, f:]
-
-    d_acc = None
-    for i in range(n_d):
-        slot = (l * nb + n_o + i) % 2
-        part = strip_dots(pool_b, slot, sem_b, dn_s_ref, dn_zs_ref, hact,
-                          rb, h, rb // block, i * (rb // block), 0,
-                          i * rb, dk2 + i * rb)
-        next_b(n_o + i)
-        d_acc = part if d_acc is None else d_acc + part
-    xs[:] = x + d_acc
-
-    @pl.when(l == nl - 1)
-    def _():
-        # Emit the FINAL-NORMALIZED hidden: the LM head consumes it
-        # directly, saving one dispatch per decode step.
-        h_out_ref[:] = rmsnorm(xs[:], fn_s_ref[0:1, :])
-        # Outstanding row writebacks: layer l on slot sl and (when nl >= 2)
-        # layer l-1 on slot s1. The waits reconstruct the SAME (1, kvw)
-        # row copies — semaphores count bytes.
-        wb_dma(kpatch, kc_out_ref, sem_wk, sl, l).wait()
-        wb_dma(vpatch, vc_out_ref, sem_wv, sl, l).wait()
-        @pl.when(nl >= 2)
+    def head_body():
+        # ---- fused tied LM head: one pool-A strip of (D/2, wa) nibbles
+        # per grid step, consuming the final-normalized hidden in ``xn``.
+        wh_ref, h_s_ref, h_zs_ref, logits_ref, xn = head
+        hj = l - nl
+        slot = (nl * na + hj) % 2
+        acc = strip_dots(pool_a, slot, sem_a, h_s_ref, h_zs_ref, xn[0:1, :],
+                         ra, wa, ra // block, 0, 0, 0, ra)
+        @pl.when(hj + 2 < n_head)
         def _():
-            wb_dma(kpatch, kc_out_ref, sem_wk, s1, l - 1).wait()
-            wb_dma(vpatch, vc_out_ref, sem_wv, s1, l - 1).wait()
+            issue_head(hj + 2, (nl * na + hj + 2) % 2)
+        logits_ref[:] = acc
 
+    def layer_body():
+        # ---- 1. input norm + qkv ------------------------------------------
+        x = xs[:]
+        in_s = in_s_ref[pl.ds(l, 1), :]
+        y = rmsnorm(x, in_s)
+        qkv_parts = []
+        for i in range(n_qkv):
+            slot = (l * na + i) % 2
+            part = strip_dots(pool_a, slot, sem_a, qkv_s_ref, qkv_zs_ref, y,
+                              ra, wa, ra // block, 0, i * wa, 0, ra)
+            next_a(i)
+            qkv_parts.append(part)
+        qkv = jnp.concatenate(qkv_parts, axis=1) if len(qkv_parts) > 1 else qkv_parts[0]
+
+        # ---- 2. heads: q/k norm + rope; cache update; GQA attention -------
+        qd = n_heads * 128
+        for hh in range(n_heads):
+            qm[hh:hh + 1, :] = qkv[:, 128 * hh:128 * (hh + 1)]
+        for hh in range(n_kv):
+            km[hh:hh + 1, :] = qkv[:, qd + 128 * hh:qd + 128 * (hh + 1)]
+        v_row = qkv[:, qd + kvw:qd + 2 * kvw]  # (1, kvw)
+
+        cos = cos_ref[:]
+        sin = sin_ref[:]
+        q = rmsnorm(qm[:], qn_s_ref[pl.ds(l, 1), :])
+        k = rmsnorm(km[:], kn_s_ref[pl.ds(l, 1), :])
+        q = q * cos + _rot_half(q) * sin
+        k = k * cos + _rot_half(k) * sin
+
+        sl = l % 2
+        s1 = (l + 1) % 2
+        pos8 = pl.multiple_of((pos // 8) * 8, 8)
+
+        def wb_dma(buf, out_ref, sem, slot, lidx):
+            """The (8, kvw) cache-patch writeback kpatch/vpatch[slot] -> rows
+            [pos8, pos8+8) of layer ``lidx``. Mosaic requires sublane slices of
+            tiled HBM memrefs to be 8-aligned, so the single updated row rides
+            in an aligned 8-row patch whose other rows rewrite their existing
+            contents. wait() must reconstruct the SAME copy (semaphores count
+            bytes)."""
+            return pltpu.make_async_copy(
+                buf.at[slot], out_ref.at[lidx, pl.ds(pos8, 8), :], sem.at[slot])
+
+        pltpu.make_async_copy(kc_ref.at[l], kbuf.at[sl], sem_k.at[sl]).wait()
+        pltpu.make_async_copy(vc_ref.at[l], vbuf.at[sl], sem_v.at[sl]).wait()
+
+        # prefetch next layer's cache (kbuf/vbuf are read-only tiles; the
+        # patch writebacks stream from kpatch/vpatch, so no ordering constraint)
+        @pl.when(l + 1 < nl)
+        def _():
+            pltpu.make_async_copy(kc_ref.at[l + 1], kbuf.at[s1], sem_k.at[s1]).start()
+            pltpu.make_async_copy(vc_ref.at[l + 1], vbuf.at[s1], sem_v.at[s1]).start()
+
+        # Mosaic cannot store at a dynamic sublane offset, so the new row never
+        # enters kbuf/vbuf: the aligned 8-row patch is assembled by vector
+        # select (cached rows + fresh row) into kpatch/vpatch (static stores)
+        # and DMA'd to HBM; attention overrides column ``pos`` below. Slot sl's
+        # previous DMA (issued at layer l-2) must land before the overwrite.
+        @pl.when(l >= 2)
+        def _():
+            wb_dma(kpatch, kc_out_ref, sem_wk, sl, l - 2).wait()
+            wb_dma(vpatch, vc_out_ref, sem_wv, sl, l - 2).wait()
+        # k heads -> one (1, kvw) row via static stores (lane-concat of
+        # sublane-offset slices is not implemented in Mosaic)
+        for hh in range(n_kv):
+            krow_s[0:1, 128 * hh:128 * (hh + 1)] = k[hh:hh + 1, :]
+        in_row = jax.lax.broadcasted_iota(jnp.int32, (8, kvw), 0) + pos8 == pos
+        cdt = kpatch.dtype  # cache dtype (bf16 tiles halve traffic + VMEM)
+        kpatch[sl] = jnp.where(in_row,
+                               jnp.broadcast_to(krow_s[0:1, :].astype(cdt), (8, kvw)),
+                               kbuf[sl, pl.ds(pos8, 8), :])
+        vpatch[sl] = jnp.where(in_row,
+                               jnp.broadcast_to(v_row.astype(cdt), (8, kvw)),
+                               vbuf[sl, pl.ds(pos8, 8), :])
+        wb_dma(kpatch, kc_out_ref, sem_wk, sl, l).start()
+        wb_dma(vpatch, vc_out_ref, sem_wv, sl, l).start()
+
+        kpos = jax.lax.broadcasted_iota(jnp.int32, (groups, t), 1)
+        cache_mask = (kpos >= shift) & (kpos < pos)  # row pos comes fresh
+        is_pos = kpos == pos
+        qscaled32 = q * (128 ** -0.5)
+        qscaled = qscaled32.astype(jnp.bfloat16)
+        for hh in range(n_kv):
+            kh = kbuf[sl, :, 128 * hh:128 * (hh + 1)]  # (T, 128)
+            vh = vbuf[sl, :, 128 * hh:128 * (hh + 1)]
+            knew = krow_s[0:1, 128 * hh:128 * (hh + 1)]  # (1, 128), sublane 0
+            vnew = v_row[:, 128 * hh:128 * (hh + 1)]
+            qg = qscaled[groups * hh:groups * (hh + 1), :]  # (groups, 128)
+            scores = jax.lax.dot_general(
+                qg, kh.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)  # (groups, T)
+            # N=1 MXU dots fail Mosaic verification — the fresh-row score is a
+            # VPU multiply-reduce instead (f32, tighter than the bf16 cache dot)
+            snew = jnp.sum(qscaled32[groups * hh:groups * (hh + 1), :] * knew,
+                           axis=1, keepdims=True)  # (groups, 1)
+            scores = jnp.where(cache_mask, scores, _NEG)
+            scores = jnp.where(is_pos, snew, scores)
+            m = jnp.max(scores, axis=1, keepdims=True)
+            e = jnp.exp(scores - m)
+            probs = e / jnp.sum(e, axis=1, keepdims=True)
+            pc = jnp.where(is_pos, 0.0, probs)
+            pn = jnp.sum(jnp.where(is_pos, probs, 0.0), axis=1, keepdims=True)
+            ctxh = jnp.dot(pc.astype(jnp.bfloat16), vh.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.DEFAULT)  # (groups, 128)
+            ctx[groups * hh:groups * (hh + 1), :] = ctxh + pn * vnew.astype(jnp.float32)
+        for hh in range(n_heads):
+            xo[:, 128 * hh:128 * (hh + 1)] = ctx[hh:hh + 1, :]
+
+        # ---- 3. o projection (K-strips) -----------------------------------
+        o_acc = None
+        for i in range(n_o):
+            slot = (l * nb + i) % 2
+            part = strip_dots(pool_b, slot, sem_b, o_s_ref, o_zs_ref, xo[:],
+                              rb, h, rb // block, i * (rb // block), 0,
+                              i * rb, ok2 + i * rb)
+            next_b(i)
+            o_acc = part if o_acc is None else o_acc + part
+        x = x + o_acc
+
+        # ---- 4. post norm + gated FFN -------------------------------------
+        y2 = rmsnorm(x, post_s_ref[pl.ds(l, 1), :])
+        gu_parts = []
+        for i in range(n_gu):
+            slot = (l * na + n_qkv + i) % 2
+            part = strip_dots(pool_a, slot, sem_a, gu_s_ref, gu_zs_ref, y2,
+                              ra, wa, ra // block, 0, i * wa, 0, ra)
+            next_a(n_qkv + i)
+            gu_parts.append(part)
+        gu = jnp.concatenate(gu_parts, axis=1) if len(gu_parts) > 1 else gu_parts[0]
+        hact = jax.nn.silu(gu[:, :f]) * gu[:, f:]
+
+        d_acc = None
+        for i in range(n_d):
+            slot = (l * nb + n_o + i) % 2
+            part = strip_dots(pool_b, slot, sem_b, dn_s_ref, dn_zs_ref, hact,
+                              rb, h, rb // block, i * (rb // block), 0,
+                              i * rb, dk2 + i * rb)
+            next_b(n_o + i)
+            d_acc = part if d_acc is None else d_acc + part
+        xs[:] = x + d_acc
+
+        @pl.when(l == nl - 1)
+        def _():
+            # Emit the FINAL-NORMALIZED hidden: the LM head consumes it
+            # directly, saving a dispatch per decode step. With a fused
+            # head it also lands in the ``xn`` scratch the head strips read.
+            hn = rmsnorm(xs[:], fn_s_ref[0:1, :])
+            h_out_ref[:] = hn
+            if head is not None:
+                head[4][:] = hn
+            # Outstanding row writebacks: layer l on slot sl and (when nl >= 2)
+            # layer l-1 on slot s1. The waits reconstruct the SAME (1, kvw)
+            # row copies — semaphores count bytes.
+            wb_dma(kpatch, kc_out_ref, sem_wk, sl, l).wait()
+            wb_dma(vpatch, vc_out_ref, sem_wv, sl, l).wait()
+            @pl.when(nl >= 2)
+            def _():
+                wb_dma(kpatch, kc_out_ref, sem_wk, s1, l - 1).wait()
+                wb_dma(vpatch, vc_out_ref, sem_wv, s1, l - 1).wait()
+
+    if head is None:
+        layer_body()
+    else:
+        @pl.when(l < nl)
+        def _():
+            layer_body()
+
+        @pl.when(l >= nl)
+        def _():
+            head_body()
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
 def fused_decode_step(stacked: dict, cfg, x: jnp.ndarray,
@@ -490,9 +600,11 @@ def fused_decode_step(stacked: dict, cfg, x: jnp.ndarray,
       pos: scalar int32 cache slot; shift: scalar int32 left-pad width.
       cos/sin: (1, 128) f32 RoPE rows for the LOGICAL position.
 
-    Returns (hidden (1, H) f32 — FINAL-NORMALIZED, the LM head consumes it
-    directly — k_cache', v_cache') — caches updated at ``pos`` (aliased
-    in-place on TPU).
+    Returns ``(hidden, logits, k_cache', v_cache')`` — ``hidden`` (1, H)
+    f32 is FINAL-NORMALIZED, ``logits`` is the fused tied-head output
+    (1, V_pad) f32 when the stacked dict carries head arrays and None
+    otherwise (caller runs the separate head kernel), and the caches are
+    updated at ``pos`` (aliased in-place on TPU).
     """
     nl, t = k_cache.shape[0], k_cache.shape[1]
     assert t % 8 == 0, "cache length must be sublane-aligned (8-row patches)"
@@ -500,10 +612,11 @@ def fused_decode_step(stacked: dict, cfg, x: jnp.ndarray,
     f = cfg.ffn_dim
     block = (h // 2) // stacked["qkv_s"].shape[2]
     p = _plan(h, cfg.num_heads, cfg.num_kv_heads, f, block)
+    n_head = (stacked["wh"].shape[1] // p["wa"]) if "wh" in stacked else 0
     cfg_static = (nl, h, cfg.num_heads, cfg.num_kv_heads, f, block, t,
                   cfg.rms_eps, p["ra"], p["wa"], p["qn"], p["gn"],
                   p["rb"], p["ok2"], p["dk2"], p["n_qkv"], p["n_gu"],
-                  p["n_o"], p["n_d"])
+                  p["n_o"], p["n_d"], n_head)
     kvw = cfg.num_kv_heads * 128
     smem = jnp.stack([pos.astype(jnp.int32), shift.astype(jnp.int32)])
 
@@ -511,11 +624,15 @@ def fused_decode_step(stacked: dict, cfg, x: jnp.ndarray,
     anyspec = lambda: pl.BlockSpec(memory_space=pl.ANY)
 
     def blk(shape):
-        # per-layer block of a (NL, ...) array
+        # per-layer block of a (NL, ...) array; with a fused head the grid
+        # runs past nl, so the index clamps to the last layer (resident, no
+        # refetch) — an unclamped index is an OOB block DMA during the head
+        # phase, which kills the device.
         ndim = len(shape)
-        return pl.BlockSpec((1,) + shape[1:],
-                            lambda l, nd=ndim: (l,) + (0,) * (nd - 1),
-                            memory_space=pltpu.VMEM)
+        return pl.BlockSpec(
+            (1,) + shape[1:],
+            lambda l, nd=ndim: (jnp.minimum(l, nl - 1),) + (0,) * (nd - 1),
+            memory_space=pltpu.VMEM)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),      # smem scalars
@@ -534,6 +651,20 @@ def fused_decode_step(stacked: dict, cfg, x: jnp.ndarray,
         jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
         jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
     ]
+    if n_head:
+        wa = p["wa"]
+        vpad = stacked["wh"].shape[1]
+        nbh = stacked["h_s"].shape[2]
+        # head scale/zero*scale blocks follow the head grid steps; during
+        # the layer phase the index clamps to block 0 (resident, no refetch)
+        hs_spec = pl.BlockSpec((1, 2, nbh, wa),
+                               lambda g: (0, 0, 0, jnp.maximum(g - nl, 0)),
+                               memory_space=pltpu.VMEM)
+        in_specs += [anyspec(), hs_spec, hs_spec]   # wh, h_s, h_zs
+        out_specs.append(pl.BlockSpec((1, wa),
+                                      lambda g: (0, jnp.maximum(g - nl, 0)),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((1, vpad), jnp.float32))
     cdt = k_cache.dtype
     scratch = [
         pltpu.VMEM((1, h), jnp.float32),                   # xs
@@ -548,14 +679,29 @@ def fused_decode_step(stacked: dict, cfg, x: jnp.ndarray,
         pltpu.VMEM((cfg.num_kv_heads, 128), jnp.float32),  # km
         pltpu.VMEM((cfg.num_heads, 128), jnp.float32),     # ctx
         pltpu.VMEM((1, cfg.num_heads * 128), jnp.float32),  # xo
+    ]
+    if n_head:
+        scratch.append(pltpu.VMEM((1, h), jnp.float32))     # xn
+    scratch += [
         pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2,)),
     ]
-    kernel = functools.partial(_kernel, cfg_static)
-    hidden, kc, vc = pl.pallas_call(
+    kernel = functools.partial(_kernel_with_head if n_head else _kernel,
+                               cfg_static)
+    args = [smem, x, cos, sin,
+            stacked["in_s"], stacked["post_s"], stacked["qn_s"],
+            stacked["kn_s"], stacked["fn_s"],
+            stacked["wq"], stacked["wo"], stacked["wgu"], stacked["wd"],
+            stacked["qkv_s"], stacked["qkv_zs"], stacked["o_s"],
+            stacked["o_zs"], stacked["gu_s"], stacked["gu_zs"],
+            stacked["dn_s"], stacked["dn_zs"],
+            k_cache, v_cache]
+    if n_head:
+        args += [stacked["wh"], stacked["h_s"], stacked["h_zs"]]
+    outs = pl.pallas_call(
         kernel,
-        grid=(nl,),
+        grid=(nl + n_head,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -565,11 +711,9 @@ def fused_decode_step(stacked: dict, cfg, x: jnp.ndarray,
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-    )(smem, x, cos, sin,
-      stacked["in_s"], stacked["post_s"], stacked["qn_s"], stacked["kn_s"],
-      stacked["fn_s"],
-      stacked["wq"], stacked["wo"], stacked["wgu"], stacked["wd"],
-      stacked["qkv_s"], stacked["qkv_zs"], stacked["o_s"], stacked["o_zs"],
-      stacked["gu_s"], stacked["gu_zs"], stacked["dn_s"], stacked["dn_zs"],
-      k_cache, v_cache)
-    return hidden, kc, vc
+    )(*args)
+    if n_head:
+        hidden, kc, vc, logits = outs
+        return hidden, logits, kc, vc
+    hidden, kc, vc = outs
+    return hidden, None, kc, vc

@@ -35,10 +35,10 @@ CFG = qwen3.Qwen3Config(
 T_MAX = 16
 
 
-def _quantized_params(cfg=CFG, seed=0):
+def _quantized_params(cfg=CFG, seed=0, qembed=False):
     params = qwen3.init_params(cfg, jax.random.PRNGKey(seed))
     qparams = quantize_pytree(params, bits=4, block=128, min_size=0, pack=True,
-                              refine_iters=0)
+                              refine_iters=0, quantize_embeddings=qembed)
     return qwen3.fuse_params(qparams, cfg)
 
 
@@ -126,9 +126,10 @@ def test_fused_step_matches_decoder_pass(shift_v):
         h_ref, state = qwen3.decoder_pass(fused, cfg, x, state, pos, sbias,
                                           pos_offset=shift)
         cos, sin = _rope_rows(pos, shift[0], cfg, T_MAX)
-        h_fused, kc, vc = fused_decode_step(
+        h_fused, lg, kc, vc = fused_decode_step(
             stacked_hashable(fused, cfg), cfg, x[:, 0], kc, vc, pos, shift[0],
             cos, sin, interpret=True)
+        assert lg is None  # no tied-head arrays in this stacked dict
 
         # the kernel emits FINAL-NORMALIZED hidden
         ref = np.asarray(rms_norm(h_ref[:, 0], fused["final_norm"]["scale"],
@@ -166,6 +167,44 @@ def stacked_hashable(fused, cfg):
     if key not in _STACK_CACHE:
         _STACK_CACHE[key] = stack_decode_params(fused, cfg)
     return _STACK_CACHE[key]
+
+
+def test_fused_head_logits_match_reference():
+    """With a quantized tied embed, the LM head streams through the same
+    kernel: its (1, V_pad) logits must match logits_from_hidden on the
+    un-normalized hidden (same head weights, same affine), and the pad
+    columns must be exactly 0 (zero-scale padding)."""
+    cfg = CFG
+    fused = _quantized_params(seed=5, qembed=True)
+    stacked = stack_decode_params(fused, cfg)
+    assert stacked is not None and "wh" in stacked
+
+    shift = jnp.asarray([0], jnp.int32)
+    prompt_len = 4
+    embeds = jax.random.normal(jax.random.PRNGKey(6), (1, prompt_len, cfg.hidden),
+                               jnp.float32) * 0.3
+    state = qwen3.make_kv_state(cfg, 1, T_MAX, jnp.float32)
+    bias = qwen3.left_prefill_bias(shift, prompt_len, T_MAX)
+    _, state = qwen3.decoder_pass(fused, cfg, embeds, state,
+                                  jnp.asarray(0, jnp.int32), bias,
+                                  pos_offset=shift)
+    kc, vc = _stack_caches(state, cfg, jnp.bfloat16)
+
+    x = jax.random.normal(jax.random.PRNGKey(8), (1, 1, cfg.hidden), jnp.float32) * 0.3
+    pos = jnp.asarray(prompt_len, jnp.int32)
+    sbias = qwen3.left_step_bias(shift, pos, T_MAX)
+    h_ref, _ = qwen3.decoder_pass(fused, cfg, x, state, pos, sbias,
+                                  pos_offset=shift)
+    logits_ref = qwen3.logits_from_hidden(fused, cfg, h_ref[:, 0])
+
+    cos, sin = _rope_rows(pos, shift[0], cfg, T_MAX)
+    _, lg, _, _ = fused_decode_step(stacked, cfg, x[:, 0], kc, vc, pos,
+                                    shift[0], cos, sin, interpret=True)
+    assert lg is not None and lg.shape[1] == stacked["wh"].shape[1]
+    ref = np.asarray(logits_ref)
+    got = np.asarray(lg[:, : cfg.vocab_size])
+    np.testing.assert_allclose(got, ref, rtol=0, atol=3e-2 * np.abs(ref).max())
+    np.testing.assert_array_equal(np.asarray(lg[:, cfg.vocab_size:]), 0.0)
 
 
 def test_transcribe_embeds_fused_routing():
