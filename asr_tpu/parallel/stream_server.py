@@ -300,6 +300,10 @@ def make_stream_http_server(server: StreamingServer, host="127.0.0.1", port=0):
                         server.feed(slot, pcm * server.pcm_gain)
                 server.finish_input(slot)
                 wt.join(timeout=60)
+                # release BEFORE emitting done: a client acting on the done
+                # event (health checks, immediate reconnect) must observe the
+                # slot as free — the finally-release below is then a no-op
+                server.release(slot)
                 emit({"done": True, "ticks": sl.ticks})
                 with wlock:
                     self.wfile.write(b"0\r\n\r\n")
