@@ -42,6 +42,7 @@ class Plan:
     pack: bool | None = None
     min_size: int | None = None        # skip linear weights smaller than this
     exclude: tuple[str, ...] = ()      # path globs never quantized/cast
+    embeddings: bool | None = None     # also quantize matching "embed" tables
     inherit: str | None = None
 
 
@@ -54,6 +55,7 @@ class ResolvedPlan:
     pack: bool = False
     min_size: int = 1 << 16
     exclude: tuple[str, ...] = ()
+    embeddings: bool = False
 
     @property
     def bits(self) -> int | None:
@@ -108,7 +110,8 @@ def resolve_plan(cfg: OptimizerConfig, name: str) -> ResolvedPlan:
     resolved: dict[str, Any] = {}
     exclude: list[str] = []
     for plan in reversed(chain):  # base first, derived overrides
-        for f in ("method", "algorithm", "block", "refine_iters", "pack", "min_size"):
+        for f in ("method", "algorithm", "block", "refine_iters", "pack",
+                  "min_size", "embeddings"):
             v = getattr(plan, f)
             if v is not None:
                 resolved[f] = v
@@ -141,16 +144,28 @@ def plan_for_path(cfg: OptimizerConfig, path: str) -> ResolvedPlan | None:
 
 def apply_plans(params, cfg: OptimizerConfig):
     """Apply the config to a parameter pytree: each path is matched to a
-    plan; q* methods block-quantize eligible 2-D linear weights, bf16 casts
-    floating leaves, f32 leaves things alone. ``exclude`` globs on the
-    matched plan veto individual paths."""
-    from asr_tpu.quant.quantize import quantize_linear
+    plan; q* methods block-quantize eligible 2-D linear weights (plus
+    ``embed`` tables into gather-dequant :class:`QuantizedEmbedding` leaves
+    when the plan sets ``embeddings``), bf16 casts floating leaves, f32
+    leaves things alone. ``exclude`` globs on the matched plan veto
+    individual paths.
+
+    Depthwise-conv kernels (``dw``/``dw1``/``dw2`` parents) are always
+    skipped: they are stored as 2-D ``{"w": (K, C)}`` dicts but consumed
+    ELEMENTWISE (``depthwise_conv1d_time`` indexes ``weight[k]``), not
+    through ``dense()`` — quantizing them would hand the model a
+    QuantizedLinear where it expects a raw array (same guard as
+    :func:`asr_tpu.quant.quantize.quantize_pytree`)."""
+    from asr_tpu.quant.quantize import quantize_embedding, quantize_linear
+
+    non_matmul_parents = ("dw", "dw1", "dw2")
 
     # Validate every referenced plan up front (fail closed before touching weights).
     for _, name in cfg.assign:
         resolve_plan(cfg, name)
 
     def walk(node, path):
+        parent = path.rsplit("/", 1)[-1]
         if isinstance(node, dict):
             out = {}
             for key, value in node.items():
@@ -162,6 +177,7 @@ def apply_plans(params, cfg: OptimizerConfig):
                     plan is not None
                     and plan.bits is not None
                     and key in ("w", "w1", "w2")
+                    and parent not in non_matmul_parents
                     and isinstance(value, jnp.ndarray)
                     and value.ndim == 2
                     and value.size >= plan.min_size
@@ -170,6 +186,21 @@ def apply_plans(params, cfg: OptimizerConfig):
                         value, bits=plan.bits, block=plan.block,
                         refine_iters=plan.refine_iters, pack=plan.pack,
                         objective=plan.algorithm,
+                    )
+                elif (
+                    plan is not None
+                    and plan.bits is not None
+                    and plan.embeddings
+                    and key == "embed"
+                    and isinstance(value, jnp.ndarray)
+                    and value.ndim == 2
+                    and value.size >= plan.min_size
+                ):
+                    out[key] = quantize_embedding(
+                        value,
+                        max(plan.bits, 8) if plan.algorithm == "dynamic" else plan.bits,
+                        plan.block,
+                        objective="rtn" if plan.algorithm == "dynamic" else plan.algorithm,
                     )
                 elif (
                     plan is not None and plan.method == "bf16"

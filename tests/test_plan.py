@@ -102,3 +102,36 @@ def test_config_json_roundtrip(tmp_path):
     bad = OptimizerConfig(plans={}, assign=(("*", "ghost"),))
     with pytest.raises(PlanError):
         apply_plans({"w": jnp.zeros((8, 8))}, bad)
+
+
+def test_apply_plans_skips_depthwise_and_quantizes_embeddings():
+    """The dw/dw1/dw2 guard from quantize_pytree applies to plans too
+    (depthwise kernels are consumed elementwise, not via dense()), and a
+    plan with ``embeddings: true`` converts matching embed tables into
+    gather-dequant QuantizedEmbedding leaves (the reference quantizes
+    Decoder_Embed to Q8 as its own plan row,
+    ``Fun_ASR_Nano/Optimize_ONNX.py:107-112``)."""
+    from asr_tpu.quant.quantize import QuantizedEmbedding
+
+    rng = np.random.default_rng(2)
+    arr = lambda shape: jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    params = {
+        "enc": {"dw": {"w": arr((64, 64))},       # depthwise: must stay raw
+                "fc": {"w": arr((128, 64))}},
+        "embed": arr((256, 64)),
+    }
+    cfg = OptimizerConfig(
+        plans={"q": Plan(method="q8", min_size=1024, refine_iters=0,
+                         embeddings=True)},
+        assign=(("*", "q"),),
+    )
+    out = apply_plans(params, cfg)
+    assert isinstance(out["enc"]["dw"]["w"], jnp.ndarray)        # untouched
+    assert isinstance(out["enc"]["fc"]["w"], QuantizedLinear)
+    assert isinstance(out["embed"], QuantizedEmbedding)
+    # embeddings default off: same plan without the flag leaves the table
+    cfg_off = OptimizerConfig(
+        plans={"q": Plan(method="q8", min_size=1024, refine_iters=0)},
+        assign=(("*", "q"),),
+    )
+    assert isinstance(apply_plans(params, cfg_off)["embed"], jnp.ndarray)

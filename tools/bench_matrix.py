@@ -218,14 +218,19 @@ def bench_whisper_q8_bf16():
 
 
 def bench_qwen_asr_q4():
-    """q4f32 Qwen3-ASR (reference README.md:62: 0.12 on i7-1165G7)."""
+    """q4f32 Qwen3-ASR (reference README.md:62: 0.12 on i7-1165G7).
+
+    Tower is q8 like the reference's Encoder plan
+    (``Qwen_ASR/Optimize_ONNX.py:139-144`` method="Q8"): the tower is
+    0.63 GB of weights — f32 it costs ~7.6 ms of pure HBM reads per
+    8 s window; q8 cuts that 4x (measured 10.9 -> 7.0 ms mel+tower)."""
     from asr_tpu.models import qwen_asr as qa
     from asr_tpu.layers import qwen3
     from asr_tpu.decode.ar import DecodeConfig
     from asr_tpu.ops.fused_decode import stack_decode_params
     from asr_tpu.quant.quantize import quantize_pytree
     cfg = qa.QwenAsrConfig()
-    tower = qa.init_tower_params(cfg, jax.random.PRNGKey(0))
+    tower = quantize_pytree(qa.init_tower_params(cfg, jax.random.PRNGKey(0)), bits=8)
     llm = qwen3.fuse_params(
         quantize_pytree(qwen3.init_params(cfg.llm, jax.random.PRNGKey(1)),
                         bits=4, pack=True), cfg.llm)
@@ -240,8 +245,8 @@ def bench_qwen_asr_q4():
     stk = stack_decode_params(llm, cfg.llm)  # batch-1 fused megakernel path
     fn = jax.jit(lambda t, l, s, a, v: qa.forward(t, l, cfg, a, v, ids, dc,
                                                   stacked=s))
-    _measure("qwen3_asr_0.6b_q4f32", fn, (tower, llm, stk, audio, valid), 1, 8.0, 3,
-             0.12, "packed-int4 LLM weights (fused decode megakernel), forced 100 steps")
+    _measure("qwen3_asr_0.6b_q4f32", fn, (tower, llm, stk, audio, valid), 1, 8.0, 10,
+             0.12, "packed-int4 LLM weights + q8 tower (fused decode megakernel), forced 100 steps")
 
 
 def bench_paraformer():
@@ -343,14 +348,15 @@ def bench_fun_asr_nano_ctc():
 
 def bench_qwen_asr_q4_qembed():
     """q4 weights + quantized tied embed/LM head: the head is the single
-    biggest HBM read of each decode step (151936 x 1024 f32 = 622 MB)."""
+    biggest HBM read of each decode step (151936 x 1024 f32 = 622 MB).
+    Tower q8 (reference Encoder plan, ``Qwen_ASR/Optimize_ONNX.py:139``)."""
     from asr_tpu.models import qwen_asr as qa
     from asr_tpu.layers import qwen3
     from asr_tpu.decode.ar import DecodeConfig
     from asr_tpu.ops.fused_decode import stack_decode_params
     from asr_tpu.quant.quantize import quantize_pytree
     cfg = qa.QwenAsrConfig()
-    tower = qa.init_tower_params(cfg, jax.random.PRNGKey(0))
+    tower = quantize_pytree(qa.init_tower_params(cfg, jax.random.PRNGKey(0)), bits=8)
     llm = qwen3.fuse_params(
         quantize_pytree(qwen3.init_params(cfg.llm, jax.random.PRNGKey(1)),
                         bits=4, pack=True, quantize_embeddings=True), cfg.llm)
@@ -365,8 +371,8 @@ def bench_qwen_asr_q4_qembed():
     stk = stack_decode_params(llm, cfg.llm)  # batch-1 fused megakernel path
     fn = jax.jit(lambda t, l, s, a, v: qa.forward(t, l, cfg, a, v, ids, dc,
                                                   stacked=s))
-    _measure("qwen3_asr_0.6b_q4f32_qembed", fn, (tower, llm, stk, audio, valid), 1, 8.0, 3,
-             0.12, "packed-int4 LLM + int4 tied head + fused decode megakernel, forced 100 steps")
+    _measure("qwen3_asr_0.6b_q4f32_qembed", fn, (tower, llm, stk, audio, valid), 1, 8.0, 10,
+             0.12, "packed-int4 LLM + int4 tied head + q8 tower + fused decode megakernel, forced 100 steps")
 
 
 def bench_qwen_asr_q4_batch8():
@@ -379,7 +385,7 @@ def bench_qwen_asr_q4_batch8():
     from asr_tpu.decode.ar import DecodeConfig
     from asr_tpu.quant.quantize import quantize_pytree
     cfg = qa.QwenAsrConfig()
-    tower = qa.init_tower_params(cfg, jax.random.PRNGKey(0))
+    tower = quantize_pytree(qa.init_tower_params(cfg, jax.random.PRNGKey(0)), bits=8)
     llm = qwen3.fuse_params(
         quantize_pytree(qwen3.init_params(cfg.llm, jax.random.PRNGKey(1)),
                         bits=4, pack=True, quantize_embeddings=True), cfg.llm)
@@ -390,20 +396,24 @@ def bench_qwen_asr_q4_batch8():
     dc = DecodeConfig(max_new_tokens=100, eot_id=-1)
     fn = jax.jit(lambda t, l, a, v: qa.forward(t, l, cfg, a, v, ids, dc))
     _measure("qwen3_asr_0.6b_q4f32_batch8", fn, (tower, llm, audio, valid), 8, 8.0, 3,
-             0.12, "8 utterances per decode loop, packed-int4 weights + int4 tied head, forced 100 steps")
+             0.12, "8 utterances per decode loop, packed-int4 + int4 tied head + q8 tower, forced 100 steps")
 
 
 def bench_fun_asr_nano_llm_q4():
-    """q4f32 LLM path — the reference's measured config (README.md:61)."""
+    """q4f32 LLM path — the reference's measured config (README.md:61).
+
+    Embeddings quantized too (the reference quantizes Decoder_Embed to Q8,
+    ``Fun_ASR_Nano/Optimize_ONNX.py:107-112``; without it the tied LM head
+    is a 622 MB f32 HBM read per decode step and dominates the row)."""
     from asr_tpu.models import fun_asr_nano as fn_
     from asr_tpu.layers import qwen3
     from asr_tpu.decode.ar import DecodeConfig
     from asr_tpu.ops.fused_decode import stack_decode_params
     from asr_tpu.quant.quantize import quantize_pytree
     cfg = fn_.FunAsrNanoConfig()
-    params = fn_.init_params(cfg, jax.random.PRNGKey(0))
+    params = quantize_pytree(fn_.init_params(cfg, jax.random.PRNGKey(0)), bits=8)
     llm = quantize_pytree(qwen3.init_params(cfg.llm, jax.random.PRNGKey(1)),
-                          bits=4, pack=True)
+                          bits=4, pack=True, quantize_embeddings=True)
     audio, valid = _audio(1, 8.0)
     ids = {
         "head": jnp.asarray([[1, 2, 3]], jnp.int32),
@@ -415,8 +425,9 @@ def bench_fun_asr_nano_llm_q4():
     stk = stack_decode_params(llm, cfg.llm)
     fn = jax.jit(lambda p, l, s, a, v: fn_.forward_llm(p, l, cfg, a, v, ids, dc,
                                                        stacked=s))
-    _measure("fun_asr_nano_llm_q4f32", fn, (params, llm, stk, audio, valid), 1, 8.0, 3,
-             0.11, "packed-int4 LLM + fused decode megakernel, forced 100 steps; ref README.md:61 q4f32")
+    _measure("fun_asr_nano_llm_q4f32", fn, (params, llm, stk, audio, valid), 1, 8.0, 10,
+             0.11, "packed-int4 LLM + int4 tied head + q8 encoder + fused decode megakernel, "
+                   "forced 100 steps; ref README.md:61 q4f32")
 
 
 def bench_fun_asr_llm_batch8():
@@ -427,7 +438,7 @@ def bench_fun_asr_llm_batch8():
     from asr_tpu.decode.ar import DecodeConfig
     from asr_tpu.quant.quantize import quantize_pytree
     cfg = fn_.FunAsrNanoConfig()
-    params = fn_.init_params(cfg, jax.random.PRNGKey(0))
+    params = quantize_pytree(fn_.init_params(cfg, jax.random.PRNGKey(0)), bits=8)
     llm = qwen3.fuse_params(
         quantize_pytree(qwen3.init_params(cfg.llm, jax.random.PRNGKey(1)),
                         bits=4, pack=True, quantize_embeddings=True), cfg.llm)
