@@ -13,7 +13,7 @@ This kernel runs the ENTIRE decode step (28 layers x qkv/attention/o/
 gated-FFN) as ONE ``pallas_call`` with ``grid=(num_layers,)``:
 
 - packed-int4 weights stay in HBM (``memory_space=ANY``) and stream
-  through two double-buffered VMEM strip pools via explicit
+  through two ``_SLOTS``-deep VMEM strip pools via explicit
   ``make_async_copy`` (pool A: N-strips of qkv/gateup, pool B: K-strips
   of o/down) — the pools are reused across all four weights of every
   layer, which is what a blocked auto-pipeline cannot express within the
@@ -49,6 +49,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -1e30
+
+# Weight-strip pool depth. 2 = classic double buffering. A depth of 3 was
+# measured on v5e (r3) and bought NOTHING (0.711 vs 0.713 ms/step at
+# t_max=240) — the strip path is bounded by per-strip VPU unpack/convert
+# throughput, not by DMA latency — so 2 keeps the extra ~1.5 MB of VMEM
+# available for longer KV caches (fused_fits accounts _SLOTS strips).
+_SLOTS = 2
 
 
 def _plan(h: int, n_heads: int, n_kv: int, f: int, block: int):
@@ -203,8 +210,8 @@ def fused_fits(cfg, t: int, block: int = 128, budget: int = 14 << 20,
     kvw = cfg.num_kv_heads * 128
     h = cfg.hidden
     fixed = (
-        2 * p["ra"] * p["wa"]                            # pool_a (int8)
-        + 2 * p["rb"] * h                                # pool_b (int8)
+        _SLOTS * p["ra"] * p["wa"]                       # pool_a (int8)
+        + _SLOTS * p["rb"] * h                           # pool_b (int8)
         # in-register nibble planes of the live strip (bf16 convert)
         + 3 * max(p["ra"] * p["wa"], p["rb"] * h)
         + 4 * 8 * kvw * cache_bytes                      # kpatch/vpatch
@@ -285,7 +292,7 @@ def _kernel_impl(cfg_static, smem_ref, x_ref, cos_ref, sin_ref,
                  sem_a, sem_b, sem_k, sem_v, sem_wk, sem_wv,
                  head=None):
     (nl, h, n_heads, n_kv, f, block, t, eps, ra, wa, qn, gn,
-     rb, ok2, dk2, n_qkv, n_gu, n_o, n_d, n_head) = cfg_static
+     rb, ok2, dk2, n_qkv, n_gu, n_o, n_d, n_head, S) = cfg_static
     l = pl.program_id(0)
     na, nb = n_qkv + n_gu, n_o + n_d
     pos = smem_ref[0]
@@ -320,9 +327,10 @@ def _kernel_impl(cfg_static, smem_ref, x_ref, cos_ref, sin_ref,
 
     def next_a(i):
         """After consuming pool-A sequence position i of layer l, refill the
-        slot with sequence position i+2 (same slot by parity)."""
-        j = i + 2
-        slot = (l * na + j) % 2
+        slot with sequence position i+S (same slot: strips are globally
+        sequenced, slot = global index mod S)."""
+        j = i + S
+        slot = (l * na + j) % S
         if j < na:
             issue_a(l, j, slot)
         else:
@@ -336,8 +344,8 @@ def _kernel_impl(cfg_static, smem_ref, x_ref, cos_ref, sin_ref,
                     issue_head(j - na, slot)
 
     def next_b(i):
-        j = i + 2
-        slot = (l * nb + j) % 2
+        j = i + S
+        slot = (l * nb + j) % S
         if j < nb:
             issue_b(l, j, slot)
         else:
@@ -348,10 +356,9 @@ def _kernel_impl(cfg_static, smem_ref, x_ref, cos_ref, sin_ref,
     @pl.when(l == 0)
     def _():
         xs[:] = x_ref[:]
-        issue_a(0, 0, 0)
-        issue_a(0, 1, 1)
-        issue_b(0, 0, 0)
-        issue_b(0, 1, 1)
+        for j in range(S):  # S <= min(na, nb), enforced by the caller
+            issue_a(0, j, j)
+            issue_b(0, j, j)
         pltpu.make_async_copy(kc_ref.at[0], kbuf.at[0], sem_k.at[0]).start()
         pltpu.make_async_copy(vc_ref.at[0], vbuf.at[0], sem_v.at[0]).start()
 
@@ -375,6 +382,13 @@ def _kernel_impl(cfg_static, smem_ref, x_ref, cos_ref, sin_ref,
         col0: first output column (N-strips) — scale columns slice there.
         x_lo0/x_hi0: lane offsets of the strip's K rows in ``x_row``."""
         pltpu.make_async_copy(pool.at[slot], pool.at[slot], sem.at[slot]).wait()
+        # int32 unpack, measured optimal. Tried and rejected on hardware
+        # (r3): (a) int8-native masks with the shift-free high-nibble
+        # identity hi = ((u & 0xF0) - 2*(u & 0x80)) / 16 — exact but 1.14
+        # ms/step vs 0.71 (the int8->bf16 converts cost more than the int32
+        # ops they replace; Mosaic legalizes NO 8-bit shift, shrsi or
+        # shrui); (b) a 3-deep strip pool — no change (the path is bounded
+        # by per-strip VPU convert throughput, not DMA).
         u = pool[slot][:rows, :width].astype(jnp.int32) & 0xFF
         acc = None
         for plane, vals in ((0, u & 0xF), (1, (u >> 4) & 0xF)):
@@ -402,12 +416,12 @@ def _kernel_impl(cfg_static, smem_ref, x_ref, cos_ref, sin_ref,
         # per grid step, consuming the final-normalized hidden in ``xn``.
         wh_ref, h_s_ref, h_zs_ref, logits_ref, xn = head
         hj = l - nl
-        slot = (nl * na + hj) % 2
+        slot = (nl * na + hj) % S
         acc = strip_dots(pool_a, slot, sem_a, h_s_ref, h_zs_ref, xn[0:1, :],
                          ra, wa, ra // block, 0, 0, 0, ra)
-        @pl.when(hj + 2 < n_head)
+        @pl.when(hj + S < n_head)
         def _():
-            issue_head(hj + 2, (nl * na + hj + 2) % 2)
+            issue_head(hj + S, slot)
         logits_ref[:] = acc
 
     def layer_body():
@@ -417,7 +431,7 @@ def _kernel_impl(cfg_static, smem_ref, x_ref, cos_ref, sin_ref,
         y = rmsnorm(x, in_s)
         qkv_parts = []
         for i in range(n_qkv):
-            slot = (l * na + i) % 2
+            slot = (l * na + i) % S
             part = strip_dots(pool_a, slot, sem_a, qkv_s_ref, qkv_zs_ref, y,
                               ra, wa, ra // block, 0, i * wa, 0, ra)
             next_a(i)
@@ -523,7 +537,7 @@ def _kernel_impl(cfg_static, smem_ref, x_ref, cos_ref, sin_ref,
         # ---- 3. o projection (K-strips) -----------------------------------
         o_acc = None
         for i in range(n_o):
-            slot = (l * nb + i) % 2
+            slot = (l * nb + i) % S
             part = strip_dots(pool_b, slot, sem_b, o_s_ref, o_zs_ref, xo[:],
                               rb, h, rb // block, i * (rb // block), 0,
                               i * rb, ok2 + i * rb)
@@ -535,7 +549,7 @@ def _kernel_impl(cfg_static, smem_ref, x_ref, cos_ref, sin_ref,
         y2 = rmsnorm(x, post_s_ref[pl.ds(l, 1), :])
         gu_parts = []
         for i in range(n_gu):
-            slot = (l * na + n_qkv + i) % 2
+            slot = (l * na + n_qkv + i) % S
             part = strip_dots(pool_a, slot, sem_a, gu_s_ref, gu_zs_ref, y2,
                               ra, wa, ra // block, 0, i * wa, 0, ra)
             next_a(n_qkv + i)
@@ -545,7 +559,7 @@ def _kernel_impl(cfg_static, smem_ref, x_ref, cos_ref, sin_ref,
 
         d_acc = None
         for i in range(n_d):
-            slot = (l * nb + n_o + i) % 2
+            slot = (l * nb + n_o + i) % S
             part = strip_dots(pool_b, slot, sem_b, dn_s_ref, dn_zs_ref, hact,
                               rb, h, rb // block, i * (rb // block), 0,
                               i * rb, dk2 + i * rb)
@@ -613,10 +627,12 @@ def fused_decode_step(stacked: dict, cfg, x: jnp.ndarray,
     block = (h // 2) // stacked["qkv_s"].shape[2]
     p = _plan(h, cfg.num_heads, cfg.num_kv_heads, f, block)
     n_head = (stacked["wh"].shape[1] // p["wa"]) if "wh" in stacked else 0
+    # the l==0 prologue issues strips 0..S-1 of layer 0 into both pools
+    slots = min(_SLOTS, p["n_qkv"] + p["n_gu"], p["n_o"] + p["n_d"])
     cfg_static = (nl, h, cfg.num_heads, cfg.num_kv_heads, f, block, t,
                   cfg.rms_eps, p["ra"], p["wa"], p["qn"], p["gn"],
                   p["rb"], p["ok2"], p["dk2"], p["n_qkv"], p["n_gu"],
-                  p["n_o"], p["n_d"], n_head)
+                  p["n_o"], p["n_d"], n_head, slots)
     kvw = cfg.num_kv_heads * 128
     smem = jnp.stack([pos.astype(jnp.int32), shift.astype(jnp.int32)])
 
@@ -668,8 +684,8 @@ def fused_decode_step(stacked: dict, cfg, x: jnp.ndarray,
     cdt = k_cache.dtype
     scratch = [
         pltpu.VMEM((1, h), jnp.float32),                   # xs
-        pltpu.VMEM((2, p["ra"], p["wa"]), jnp.int8),       # pool_a
-        pltpu.VMEM((2, p["rb"], h), jnp.int8),             # pool_b
+        pltpu.VMEM((slots, p["ra"], p["wa"]), jnp.int8),   # pool_a
+        pltpu.VMEM((slots, p["rb"], h), jnp.int8),         # pool_b
         pltpu.VMEM((2, t, kvw), cdt),                      # kbuf
         pltpu.VMEM((2, t, kvw), cdt),                      # vbuf
         pltpu.VMEM((2, 8, kvw), cdt),                      # kpatch
@@ -683,9 +699,9 @@ def fused_decode_step(stacked: dict, cfg, x: jnp.ndarray,
     if n_head:
         scratch.append(pltpu.VMEM((1, h), jnp.float32))     # xn
     scratch += [
-        pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2,)),
-        pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2,)),
-        pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((slots,)), pltpu.SemaphoreType.DMA((slots,)),  # sem_a/b
+        pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2,)),          # sem_k/v
+        pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2,)),          # sem_wk/wv
     ]
     kernel = functools.partial(_kernel_with_head if n_head else _kernel,
                                cfg_static)
