@@ -367,3 +367,54 @@ def test_dolphin_language_catalog_and_named_forcing(tmp_path):
         (folder2 / "metadata.json").read_text().replace('"dolphin2"', '"dolphin"'))
     with pytest.raises(KeyError, match="rebuild with --vocab"):
         _build_session(folder2, language="ja")
+
+
+def test_cli_optimize_plan_roundtrip_qwen(tmp_path):
+    """`asr_tpu optimize --plan` applies the per-component serving recipe
+    (reference ``Qwen_ASR/Optimize_ONNX.py:139-161``: Encoder Q8 + Main Q4
+    + Embed quantized) and the resulting artifact loads + transcribes
+    through the normal session path with QuantizedLinear /
+    QuantizedEmbedding leaves intact."""
+    import json
+
+    from asr_tpu.cli import _build_session, main
+    from asr_tpu.layers import qwen3
+    from asr_tpu.models import qwen_asr as qa
+    from asr_tpu.quant.quantize import QuantizedEmbedding, QuantizedLinear
+    from asr_tpu.runtime.artifact import load_model
+
+    lcfg = qwen3.Qwen3Config(vocab_size=120, hidden=48, num_layers=1, num_heads=4,
+                             num_kv_heads=2, head_dim=16, ffn_dim=64)
+    llm = qwen3.init_params(lcfg, jax.random.PRNGKey(9))
+    cfg = qa.QwenAsrConfig(n_mels=16, tower_dim=32, tower_layers=1, tower_heads=4,
+                           tower_ffn=48, downsample_hidden=8, chunks_per_window=2,
+                           output_dim=lcfg.hidden, llm=lcfg, eot_id=-1)
+    qt = qa.init_tower_params(cfg, jax.random.PRNGKey(8))
+    folder = _save(tmp_path, "qwen_asr", {"tower": qt, "llm": llm}, cfg)
+
+    plan = {
+        "plans": {
+            "tower": {"method": "q8", "block": 8, "min_size": 1024,
+                      "refine_iters": 0},
+            "llm": {"method": "q4", "pack": True, "block": 8, "min_size": 1024,
+                    "refine_iters": 0, "embeddings": True},
+        },
+        "assign": [["tower/*", "tower"], ["llm/*", "llm"], ["*", "tower"]],
+    }
+    plan_path = tmp_path / "plan.json"
+    plan_path.write_text(json.dumps(plan), encoding="utf-8")
+    out = tmp_path / "optimized"
+    assert main(["optimize", "--model-dir", str(folder), "--plan", str(plan_path),
+                 "--out", str(out)]) == 0
+
+    params, meta = load_model(out)
+    assert isinstance(params["llm"]["embed"], QuantizedEmbedding)
+    qkv_or_q = params["llm"]["layers"][0]["attn"]["q"]["w"]
+    assert isinstance(qkv_or_q, QuantizedLinear) and qkv_or_q.bits == 4
+    assert meta.extra["optimizer_plan"]["assign"][0] == ["tower/*", "tower"]
+
+    sess = _build_session(out)
+    sess.decode_cfg = dataclasses.replace(sess.decode_cfg, max_new_tokens=4)
+    rng = np.random.default_rng(3)
+    res = sess.transcribe((rng.standard_normal(8000) * 0.1).astype(np.float32))
+    assert isinstance(res.token_ids, list) and len(res.token_ids) >= 1
