@@ -5,9 +5,11 @@ Fun-ASR-Nano; reference ``Qwen_ASR/Export_Qwen_ASR.py:1080-1350`` runs the
 same stack as one ONNX session call) is HBM-bandwidth-bound on the
 quantized weight bytes, but splitting the step into ~112 per-weight
 kernel dispatches leaves the DMA engines idle between calls. Measured on
-v5e (tools/validate_fused_decode.py, t_max=256): per-weight path 0.79
-ms/step vs THIS kernel 0.54 ms/step — ~570 GB/s including the KV cache
-traffic, against a ~740 GB/s chip ceiling.
+v5e (tools/validate_fused_decode.py, t_max=240, in-kernel tied head):
+per-weight path 0.96 ms/step vs THIS kernel 0.71 ms/step (1.34x) —
+~511 GB/s including the KV-cache traffic, against a ~740 GB/s chip
+ceiling; the residual gap is per-strip VPU unpack/convert throughput
+(see the measured-negative variants in ``strip_dots``).
 
 This kernel runs the ENTIRE decode step (28 layers x qkv/attention/o/
 gated-FFN) as ONE ``pallas_call`` with ``grid=(num_layers,)``:
