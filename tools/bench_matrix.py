@@ -471,28 +471,69 @@ def bench_qwen_asr():
              0.12, "batch 1 (ref layout), forced 100 decode steps; ref README.md:62 q4f32")
 
 
-def _measure_stream(name, step, args, chunk_seconds, ref_cpu_rtf, note="", iters=50):
-    """Streaming RTF: steady-state per-chunk latency / chunk duration
-    (batch 1, single stream — the reference's streaming measurement)."""
+def _measure_stream(name, step, args, chunk_seconds, ref_cpu_rtf, note="",
+                    iters=25, batch=1, state_idx=1):
+    """Streaming RTF: steady-state per-chunk DEVICE latency / chunk duration.
+
+    The chunk loop runs INSIDE one jit — ``lax.fori_loop`` carrying the
+    stream state (``args[state_idx]``; ``step`` must return the new state
+    first), the same chunk fed every tick, every other step output folded
+    into a checksum so nothing dead-code-eliminates — and is timed with
+    the difference method ``(t(2n) - t(n)) / n``, cancelling dispatch and
+    remote-tunnel latency. Per-dispatch timing of the very same step was
+    observed swinging 3.3 -> 18.9 ms/chunk with axon-tunnel weather (r3);
+    a production host sits next to the TPU and pays none of that. The
+    dispatch-inclusive number is still recorded as
+    ``per_dispatch_chunk_ms`` for transparency."""
+    import functools
+
+    pre, state0, post = args[:state_idx], args[state_idx], args[state_idx + 1:]
+
+    # pre/post (params, chunks) ride as jit ARGUMENTS — closing over big
+    # device pytrees makes them trace-time constants, which jax fetches to
+    # host during lowering (0.6 GB through the tunnel = an apparent hang).
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def run(n, state, pre_args, post_args):
+        def body(_, carry):
+            s, acc = carry
+            out = step(*pre_args, s, *post_args)
+            rest = jax.tree.leaves(out[1:])
+            acc = acc + sum(jnp.sum(r.astype(jnp.float32)) for r in rest)
+            return out[0], acc
+        return jax.lax.fori_loop(0, n, body, (state, jnp.zeros((), jnp.float32)))
+
     t_c0 = time.perf_counter()
-    out = step(*args)
-    jax.block_until_ready(out)
+    _fetch(run(iters, state0, pre, post))
+    _fetch(run(2 * iters, state0, pre, post))
     compile_s = time.perf_counter() - t_c0
+    diffs = []
+    for _ in range(5):
+        t0 = time.perf_counter(); _fetch(run(iters, state0, pre, post)); t1 = time.perf_counter()
+        _fetch(run(2 * iters, state0, pre, post)); t2 = time.perf_counter()
+        diffs.append(((t2 - t1) - (t1 - t0)) / iters)
+    per_chunk = float(np.median(diffs))
+
+    # secondary: one dispatch per chunk, completion fetched each tick —
+    # includes Python dispatch + tunnel round trip (varies with tunnel load)
+    out = step(*args); _fetch(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(5):
         out = step(*args)
-    jax.block_until_ready(out)
-    per_chunk = (time.perf_counter() - t0) / iters
+        _fetch(out)
+    per_dispatch = (time.perf_counter() - t0) / 5
+
     rec = {
         "family": name,
-        "rtf": round(per_chunk / chunk_seconds, 6),
+        "rtf": round(per_chunk / (batch * chunk_seconds), 6),
         "chunk_ms": round(per_chunk * 1e3, 3),
+        "per_dispatch_chunk_ms": round(per_dispatch * 1e3, 3),
         "chunk_seconds": chunk_seconds,
-        "batch": 1,
+        "batch": batch,
         "iters": iters,
         "compile_s": round(compile_s, 1),
         "ref_cpu_rtf": ref_cpu_rtf,
-        "speedup_vs_ref": round(ref_cpu_rtf * chunk_seconds / per_chunk, 1) if ref_cpu_rtf else None,
+        "speedup_vs_ref": (round(ref_cpu_rtf * batch * chunk_seconds / per_chunk, 1)
+                           if ref_cpu_rtf else None),
         "note": note,
     }
     RESULTS.append(rec)
@@ -534,37 +575,15 @@ def bench_paraformer_multistream(n_streams: int = 8):
     rng = np.random.default_rng(0)
     chunks = jnp.asarray(
         (rng.standard_normal((n_streams, cfg.chunk_samples)) * 2000).astype(np.float32))
-
-    def step(c):
-        out = runner.step(c)
-        return out["count"]
-
-    chunk_seconds = cfg.chunk_samples / 16000.0
-    t0 = time.perf_counter()
-    jax.block_until_ready(step(chunks))
-    compile_s = time.perf_counter() - t0
-    iters = 50
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(chunks)
-    jax.block_until_ready(out)
-    per_chunk = (time.perf_counter() - t0) / iters
-    rec = {
-        "family": f"paraformer_multistream_x{n_streams}_f32",
-        "rtf": round(per_chunk / (n_streams * chunk_seconds), 6),
-        "chunk_ms": round(per_chunk * 1e3, 3),
-        "chunk_seconds": chunk_seconds,
-        "batch": n_streams,
-        "iters": iters,
-        "compile_s": round(compile_s, 1),
-        "ref_cpu_rtf": 0.06,
-        "speedup_vs_ref": round(0.06 * n_streams * chunk_seconds / per_chunk, 1),
-        "note": f"{n_streams} concurrent streams, one vmapped dispatch/tick; "
-                "aggregate RTF (per-stream latency = chunk_ms)",
-    }
-    RESULTS.append(rec)
-    print(json.dumps(rec), flush=True)
-    _write_audit()
+    # runner._step is the jitted vmapped (params, states, chunks) ->
+    # (states', outputs) tick — exactly the state-first contract
+    # _measure_stream's in-jit loop carries.
+    _measure_stream(f"paraformer_multistream_x{n_streams}_f32", runner._step,
+                    (runner.params, runner.states, chunks),
+                    cfg.chunk_samples / 16000.0, 0.06,
+                    f"{n_streams} concurrent streams, one vmapped dispatch/tick; "
+                    "aggregate RTF (per-stream latency = chunk_ms)",
+                    batch=n_streams)
 
 
 def bench_zipformer_streaming():
