@@ -506,21 +506,28 @@ def _measure_stream(name, step, args, chunk_seconds, ref_cpu_rtf, note="",
     _fetch(run(iters, state0, pre, post))
     _fetch(run(2 * iters, state0, pre, post))
     compile_s = time.perf_counter() - t_c0
-    diffs = []
-    for _ in range(5):
-        t0 = time.perf_counter(); _fetch(run(iters, state0, pre, post)); t1 = time.perf_counter()
-        _fetch(run(2 * iters, state0, pre, post)); t2 = time.perf_counter()
-        diffs.append(((t2 - t1) - (t1 - t0)) / iters)
-    per_chunk = float(np.median(diffs))
+    # Each wall time = device time + ONE tunnel round trip. The round trip
+    # is one-sided noise (only ever slower, observed 80 ms .. 5 s), so take
+    # the MINIMUM of several repeats per loop length — min(t) converges to
+    # device + min-RTT, and the subtraction cancels min-RTT. A 5-sample
+    # median difference went NEGATIVE for the fastest chunks under tunnel
+    # weather; minima are robust.
+    t1s, t2s = [], []
+    for _ in range(7):
+        t0 = time.perf_counter(); _fetch(run(iters, state0, pre, post))
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); _fetch(run(2 * iters, state0, pre, post))
+        t2s.append(time.perf_counter() - t0)
+    per_chunk = (min(t2s) - min(t1s)) / iters
 
     # secondary: one dispatch per chunk, completion fetched each tick —
     # includes Python dispatch + tunnel round trip (varies with tunnel load)
     out = step(*args); _fetch(out)
     t0 = time.perf_counter()
-    for _ in range(5):
+    for _ in range(2):
         out = step(*args)
         _fetch(out)
-    per_dispatch = (time.perf_counter() - t0) / 5
+    per_dispatch = (time.perf_counter() - t0) / 2
 
     rec = {
         "family": name,
