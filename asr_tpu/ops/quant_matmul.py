@@ -93,6 +93,21 @@ def _mm_cfg(mm: str):
 def _xla_quant_dense(x: jnp.ndarray, qleaf: dict) -> jnp.ndarray:
     from asr_tpu.quant.quantize import dequantize_weight
 
+    # The XLA route must honor the same serving-mode contract as the
+    # Pallas kernels: mm="bf16" means ONE bf16 MXU pass with f32
+    # accumulation. Inheriting the ambient matmul precision here silently
+    # ran every XLA-routed quantized matmul (all prefill/encoder shapes,
+    # M >= 512) as 6-pass f32 HIGHEST under parity/bench configs — ~4.6x
+    # slower (28 vs 130 TF/s measured) than the documented serving mode,
+    # which made q8 rows barely faster than their own f32 rows. mm="f32"
+    # (strict parity) keeps the exact dequant dot at ambient precision.
+    if jax.default_backend() == "tpu" and _resolve_mm(None) == "bf16":
+        w = dequantize_weight(qleaf, dtype=jnp.bfloat16)
+        return jnp.dot(
+            x.astype(jnp.bfloat16), w,
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
     w = dequantize_weight(qleaf, dtype=x.dtype)
     return jnp.dot(x, w)
 
@@ -415,21 +430,30 @@ def _pallas_quant_dense_2d(x2: jnp.ndarray, qleaf: dict, interpret: bool = False
 
 
 def _auto_prefers_pallas(m: int, bits: int, packed: bool) -> bool:
-    """Route for kernel="auto" on TPU: always Pallas (where it tiles).
+    """Route for kernel="auto" on TPU, measured per shape class (r3):
 
-    Measured on hardware (r3): at decode shapes Pallas wins 1.4-2.9x vs
-    the XLA dequant fallback (it streams only the quantized bytes). At
-    prefill shapes an isolated micro-benchmark showed XLA slightly ahead —
-    but ONLY when both run at the same matmul precision. In a real session
-    the kernel's in-kernel bf16 mode does one MXU pass regardless of the
-    session's global precision, while the XLA fallback inherits it: under
-    the f32-HIGHEST parity config XLA's dot runs the 6-pass emulation
-    (~28 vs ~130 TF/s) and the whole-model A/B flips decisively to Pallas
-    (SenseVoice q8 batch-8: 0.000262 Pallas vs 0.000465 XLA RTF;
-    Whisper q8 likewise). The XLA route remains reachable explicitly
-    (kernel="xla") and as the CPU/untileable-shape fallback."""
-    del m, bits, packed
-    return True
+    - Small M (AR decode steps): Pallas wins 1.4-2.9x — it streams only
+      the quantized bytes (385 GB/s measured at m8) where XLA first
+      materializes a dequantized bf16 copy.
+    - Large M (prefill / encoder shapes): XLA wins — its dequant-once +
+      single bf16 MXU pass is compute-bound at ~137 TF/s (m512 micro-bench:
+      1.3-1.9x over the Pallas block-loop, whose per-block small-K dots
+      can't keep the MXU full). This only holds since _xla_quant_dense
+      pins the bf16 serving pass itself; when it still inherited the
+      ambient precision, a global f32-HIGHEST config ran XLA's dot as the
+      6-pass emulation (~28 TF/s) and always-Pallas was the right call
+      (SenseVoice q8 batch-8 whole-model A/B: 0.000262 Pallas vs
+      0.000465 XLA under HIGHEST).
+
+    In f32/parity mode (mm="f32") stay on Pallas wherever it tiles: both
+    routes then do exact f32 math, but XLA's would pay HIGHEST-precision
+    dequant-dot costs and parity runs are not perf-critical anyway.
+    The XLA route remains reachable explicitly (kernel="xla") and as the
+    CPU/untileable-shape fallback."""
+    del bits, packed
+    if _resolve_mm(None) != "bf16":
+        return True
+    return m <= 128
 
 
 def quant_dense(x: jnp.ndarray, qleaf: dict) -> jnp.ndarray:

@@ -96,9 +96,16 @@ def validate_quant_matmul(bits: int, pack: bool, m: int, results: dict) -> None:
 
     pallas_f32 = jax.jit(lambda x: qm._pallas_quant_dense_2d(x, qleaf, mm="f32"))
     pallas_bf16 = jax.jit(lambda x: qm._pallas_quant_dense_2d(x, qleaf, mm="bf16"))
-    xla_fn = jax.jit(lambda x: qm._xla_quant_dense(x, qleaf))
 
-    want = xla_fn(x)
+    # Exact ground truth: explicit f32 dequant + HIGHEST dot — independent
+    # of _xla_quant_dense, which (correctly) takes the bf16 serving pass on
+    # TPU when mm resolves to "bf16".
+    from asr_tpu.quant.quantize import dequantize_weight
+
+    want_fn = jax.jit(lambda x: jnp.dot(
+        x, dequantize_weight(qleaf, dtype=jnp.float32),
+        precision=jax.lax.Precision.HIGHEST))
+    want = want_fn(x)
     ref_scale = float(jnp.max(jnp.abs(want))) + 1e-30
     err32 = float(jnp.max(jnp.abs(pallas_f32(x) - want)))
     err16 = float(jnp.max(jnp.abs(pallas_bf16(x) - want)))
