@@ -242,8 +242,12 @@ def transcribe_embeds(
     )  # fused_interpret: CPU tests drive the same routing in interpret mode
     if use_fused:
         head_cols = stacked["wh"].shape[1] if "wh" in stacked else 0
-        if not fused_fits(lcfg, t_max, head_cols=head_cols):
-            if head_cols and fused_fits(lcfg, t_max):
+        # The VMEM plan must use the artifact's REAL quant block (plan
+        # recipes allow non-128 blocks); derived exactly as
+        # fused_decode_step does from the stacked scale-table shape.
+        blk = (lcfg.hidden // 2) // stacked["qkv_s"].shape[2]
+        if not fused_fits(lcfg, t_max, block=blk, head_cols=head_cols):
+            if head_cols and fused_fits(lcfg, t_max, block=blk):
                 # the fused tied head alone overflows VMEM at this cache
                 # length — keep the layer megakernel, run the head separately
                 stacked = {k: v for k, v in stacked.items()

@@ -429,31 +429,42 @@ def _pallas_quant_dense_2d(x2: jnp.ndarray, qleaf: dict, interpret: bool = False
     return out[:m] if m_pad != m else out
 
 
-def _auto_prefers_pallas(m: int, bits: int, packed: bool) -> bool:
-    """Route for kernel="auto" on TPU, measured per shape class (r3):
+def _auto_prefers_pallas(m: int, bits: int, packed: bool,
+                         k: int = 0, n: int = 0) -> bool:
+    """Route for kernel="auto" on TPU, measured per shape class (r3 sweep,
+    M in {8,128,256,512,1024,2048} x several (K, N); v5e):
 
-    - Small M (AR decode steps): Pallas wins 1.4-2.9x — it streams only
+    - Small M (AR decode steps): Pallas wins 1.3-2.9x — it streams only
       the quantized bytes (385 GB/s measured at m8) where XLA first
-      materializes a dequantized bf16 copy.
+      materializes a dequantized bf16 copy. The crossover M grows as the
+      bit width shrinks (XLA's unpack gets pricier): int8 wins to m~64
+      (m128 already loses at 0.85x), packed int4 to m~128-256, packed
+      int2 to m~256-512.
     - Large M (prefill / encoder shapes): XLA wins — its dequant-once +
-      single bf16 MXU pass is compute-bound at ~137 TF/s (m512 micro-bench:
-      1.3-1.9x over the Pallas block-loop, whose per-block small-K dots
+      single bf16 MXU pass is compute-bound at ~130 TF/s (m512 int8:
+      1.9x over the Pallas block-loop, whose per-block small-K dots
       can't keep the MXU full). This only holds since _xla_quant_dense
       pins the bf16 serving pass itself; when it still inherited the
       ambient precision, a global f32-HIGHEST config ran XLA's dot as the
       6-pass emulation (~28 TF/s) and always-Pallas was the right call
       (SenseVoice q8 batch-8 whole-model A/B: 0.000262 Pallas vs
       0.000465 XLA under HIGHEST).
+    - Very large packed weights (K*N >= 16M, e.g. 4096x4096 int4): XLA
+      stops fusing the unpack into the dot and round-trips a 2-byte
+      dequantized copy through HBM — Pallas wins 1.2-3.8x up to m1024.
 
     In f32/parity mode (mm="f32") stay on Pallas wherever it tiles: both
     routes then do exact f32 math, but XLA's would pay HIGHEST-precision
     dequant-dot costs and parity runs are not perf-critical anyway.
     The XLA route remains reachable explicitly (kernel="xla") and as the
     CPU/untileable-shape fallback."""
-    del bits, packed
     if _resolve_mm(None) != "bf16":
         return True
-    return m <= 128
+    if packed and k * n >= 16 * 1024 * 1024 and m <= 1024:
+        return True
+    if bits >= 8:
+        return m <= 64
+    return m <= (128 if bits >= 4 else 256)
 
 
 def quant_dense(x: jnp.ndarray, qleaf: dict) -> jnp.ndarray:
@@ -470,7 +481,8 @@ def quant_dense(x: jnp.ndarray, qleaf: dict) -> jnp.ndarray:
     if jax.default_backend() == "tpu" and route != "xla":
         bits = int(qleaf["bits"]) if "bits" in qleaf else 8
         packed = bool(qleaf["packed"]) if "packed" in qleaf else False
-        if route == "pallas" or _auto_prefers_pallas(x2.shape[0], bits, packed):
+        if route == "pallas" or _auto_prefers_pallas(
+                x2.shape[0], bits, packed, k=k, n=n):
             out = _pallas_quant_dense_2d(x2, qleaf)
             if out is not None:
                 return out.reshape(orig_shape[:-1] + (n,))

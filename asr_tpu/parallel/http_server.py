@@ -29,6 +29,26 @@ from asr_tpu.parallel.server import MicroBatcher
 from asr_tpu.runtime import audio as audio_io
 
 
+def _join_window_texts(texts: list[str]) -> str:
+    """Join per-window transcripts of a long request.
+
+    A bare concat glues the last word of one 30 s window to the first word
+    of the next ("...todayThe next..."); an unconditional space corrupts
+    CJK text with spurious separators. Insert a space only where both
+    sides of the boundary are word characters that space-delimited scripts
+    would separate (ASCII-ish letters/digits), matching what the
+    tokenizer's own decode produces WITHIN a window."""
+    out = ""
+    for t in texts:
+        if not t:
+            continue
+        if out and (out[-1].isalnum() and ord(out[-1]) < 0x2E80
+                    and t[0].isalnum() and ord(t[0]) < 0x2E80):
+            out += " "
+        out += t
+    return out
+
+
 def decode_audio_bytes(data: bytes, target_rate: int) -> np.ndarray:
     """Sniff the body format (WAV / FLAC / MP3) and decode to mono float32
     in the int16 numeric range at ``target_rate``."""
@@ -177,7 +197,7 @@ class SessionServer:
         if tok and not per_window:
             texts = [self.session._postprocess(tok.decode(ids))]
         resp = {
-            "text": "".join(texts),
+            "text": _join_window_texts(texts),
             "token_ids": ids,
             "audio_seconds": n / self.sample_rate,
         }

@@ -54,9 +54,11 @@ class _Slot:
 class StreamingServer:
     """Owns the MultiStreamRunner, slot allocation and the ticker thread.
 
-    ``extract(outs, i) -> list[int]`` maps the runner's per-tick output
-    pytree to stream ``i``'s newly emitted token ids (family-specific; the
-    default reads ``outs["ids"][i][:outs["count"][i]]``).
+    ``extract(outs, i, ext_state) -> list[int]`` maps the runner's
+    per-tick output pytree to stream ``i``'s newly emitted token ids
+    (family-specific; ``ext_state`` is a per-connection dict for carry
+    state such as dedup history; the default reads
+    ``outs["ids"][i][:outs["count"][i]]``).
     """
 
     def __init__(self, runner, chunk_samples: int, extract=None,
@@ -91,6 +93,7 @@ class StreamingServer:
         self._lat_total = 0.0
         self._lat_max = 0.0
         self._tick_count = 0
+        self.last_error: str | None = None
         self._ticker = threading.Thread(target=self._tick_loop, daemon=True)
         self._ticker.start()
 
@@ -137,72 +140,106 @@ class StreamingServer:
 
     # ── ticker ────────────────────────────────────────────────────────────
     def _tick_loop(self) -> None:
-        n = self.runner.n_streams
+        """Ticker thread body. Any exception from runner.step/reset or an
+        extract callback must not kill the thread silently (every stream
+        would hang until its writer-join deadline while /healthz kept
+        reporting ok): the failing tick is reported to every live stream
+        as an ``{"error": ...}`` event + end-of-stream, recorded in
+        ``last_error`` (healthz flips ok=false), and the loop continues —
+        transient device errors don't take the process down."""
         while not self._closed:
             if not self._wake.wait(timeout=0.2):
                 continue
             time.sleep(self.tick_wait)  # coalesce concurrent arrivals
             self._wake.clear()
-            while not self._closed:
-                chunks = np.zeros((n, self.chunk), np.float32)
-                active = np.zeros((n,), bool)
-                done_slots = []
+            try:
+                self._tick_burst()
+            except Exception as e:  # noqa: BLE001 — see docstring
+                self.last_error = f"{type(e).__name__}: {e}"
                 with self._slot_lock:
-                    live = [(i, s) for i, s in enumerate(self.slots) if s is not None]
-                    resets, self._pending_resets = self._pending_resets, []
-                for i in resets:
-                    self.runner.reset(i)
-                for i, slot in live:
-                    with slot.lock:
-                        # ready: a FULL window buffered; while draining, any
-                        # remaining audio fires as a zero-padded window
-                        # (window covers [t*adv, t*adv+chunk), so overlapped
-                        # families see exactly the single-stream sequence —
-                        # live output lags by chunk-advance of lookahead)
-                        have = len(slot.buffer)
-                        if have >= self.chunk or (slot.draining and have >= self.drain_min):
-                            w = slot.buffer[: self.chunk]
-                            if len(w) < self.chunk:
-                                w = np.concatenate(
-                                    [w, np.zeros(self.chunk - len(w), np.float32)])
-                            chunks[i] = w
-                            slot.buffer = slot.buffer[self.advance:]
-                            active[i] = True
-                            if slot.draining and len(slot.buffer) < self.drain_min:
-                                done_slots.append(slot)
-                        elif slot.draining:
+                    live = [s for s in self.slots if s is not None]
+                for slot in live:
+                    if not slot.finished:
+                        slot.finished = True
+                        slot.out_q.put({"error": self.last_error})
+                        slot.out_q.put(None)
+
+    def _tick_burst(self) -> None:
+        n = self.runner.n_streams
+        while not self._closed:
+            chunks = np.zeros((n, self.chunk), np.float32)
+            active = np.zeros((n,), bool)
+            done_slots = []
+            with self._slot_lock:
+                live = [(i, s) for i, s in enumerate(self.slots) if s is not None]
+                resets, self._pending_resets = self._pending_resets, []
+            for i in resets:
+                self.runner.reset(i)
+            for i, slot in live:
+                if slot.finished:
+                    continue  # already errored/ended — don't step it again
+                with slot.lock:
+                    # ready: a FULL window buffered; while draining, any
+                    # remaining audio fires as a zero-padded window
+                    # (window covers [t*adv, t*adv+chunk), so overlapped
+                    # families see exactly the single-stream sequence —
+                    # live output lags by chunk-advance of lookahead)
+                    have = len(slot.buffer)
+                    if have >= self.chunk or (slot.draining and have >= self.drain_min):
+                        w = slot.buffer[: self.chunk]
+                        if len(w) < self.chunk:
+                            w = np.concatenate(
+                                [w, np.zeros(self.chunk - len(w), np.float32)])
+                        chunks[i] = w
+                        slot.buffer = slot.buffer[self.advance:]
+                        active[i] = True
+                        if slot.draining and len(slot.buffer) < self.drain_min:
                             done_slots.append(slot)
-                if not active.any():
-                    for slot in done_slots:
-                        if not slot.finished:
-                            slot.finished = True
-                            slot.out_q.put(None)
-                    break
-                t0 = time.perf_counter()
-                outs = self.runner.step(chunks, active)
-                outs = {k: np.asarray(v) for k, v in outs.items()}
-                dt = time.perf_counter() - t0
-                self._lat_total += dt
-                self._lat_max = max(self._lat_max, dt)
-                self._tick_count += 1
-                for i, slot in live:
-                    if not active[i]:
-                        continue
-                    slot.ticks += 1
-                    ids = self.extract(outs, i, slot.ext_state)
-                    if ids:
-                        slot.out_q.put({"tick": slot.ticks, "ids": ids})
+                    elif slot.draining:
+                        done_slots.append(slot)
+            if not active.any():
                 for slot in done_slots:
                     if not slot.finished:
                         slot.finished = True
                         slot.out_q.put(None)
+                break
+            t0 = time.perf_counter()
+            outs = self.runner.step(chunks, active)
+            outs = {k: np.asarray(v) for k, v in outs.items()}
+            dt = time.perf_counter() - t0
+            self._lat_total += dt
+            self._lat_max = max(self._lat_max, dt)
+            self._tick_count += 1
+            for i, slot in live:
+                if not active[i]:
+                    continue
+                slot.ticks += 1
+                try:
+                    ids = self.extract(outs, i, slot.ext_state)
+                except Exception as e:  # noqa: BLE001 — per-stream callback
+                    # fault: fail THIS stream loudly; other slots and the
+                    # ticker keep running (device faults in runner.step are
+                    # handled one level up in _tick_loop).
+                    self.last_error = f"extract[{i}] {type(e).__name__}: {e}"
+                    if not slot.finished:
+                        slot.finished = True
+                        slot.out_q.put({"error": self.last_error})
+                        slot.out_q.put(None)
+                    continue
+                if ids:
+                    slot.out_q.put({"tick": slot.ticks, "ids": ids})
+            for slot in done_slots:
+                if not slot.finished:
+                    slot.finished = True
+                    slot.out_q.put(None)
 
     def stats(self) -> dict:
         with self._slot_lock:
             used = sum(s is not None for s in self.slots)
         avg = self._lat_total / self._tick_count if self._tick_count else 0.0
         return {
-            "ok": True,
+            "ok": self.last_error is None,
+            "last_error": self.last_error,
             "slots_total": self.runner.n_streams,
             "slots_active": used,
             "chunk_samples": self.chunk,
@@ -238,9 +275,20 @@ def make_stream_http_server(server: StreamingServer, host="127.0.0.1", port=0):
 
         def _read_chunk(self) -> bytes | None:
             """One chunked-transfer frame from the request body; None = end."""
-            line = self.rfile.readline(64)
-            if not line:
-                return None
+            # The size line can exceed any fixed readline cap (RFC 9112
+            # chunk extensions); a truncated read would leak the remainder
+            # into the PCM body and desync the framing. Accumulate to the
+            # CRLF with a hard 16 KiB bound.
+            line = b""
+            while not line.endswith(b"\n"):
+                part = self.rfile.readline(16384 - len(line))
+                if not part:
+                    if line:  # connection closed mid-size-line
+                        raise ValueError("truncated chunk-size line")
+                    return None
+                line += part
+                if len(line) >= 16384 and not line.endswith(b"\n"):
+                    raise ValueError("chunk-size line exceeds 16 KiB")
             size = int(line.strip().split(b";")[0], 16)
             if size == 0:
                 self.rfile.readline()  # trailing CRLF
@@ -299,12 +347,32 @@ def make_stream_http_server(server: StreamingServer, host="127.0.0.1", port=0):
                         pcm = np.frombuffer(data[:usable], "<i2").astype(np.float32)
                         server.feed(slot, pcm * server.pcm_gain)
                 server.finish_input(slot)
-                wt.join(timeout=60)
+                # Drain until the ticker finishes the slot. A fixed join cap
+                # would silently truncate fully-buffered uploads whose drain
+                # outlasts it (hours of audio arrive faster than real time);
+                # instead wait as long as ticks keep PROGRESSING, and only
+                # give up — loudly — after 60 s of zero tick progress.
+                truncated = False
+                last_ticks, idle_t0 = sl.ticks, time.monotonic()
+                while wt.is_alive():
+                    wt.join(timeout=0.5)
+                    if not wt.is_alive():
+                        break
+                    if sl.ticks != last_ticks:
+                        last_ticks, idle_t0 = sl.ticks, time.monotonic()
+                    elif time.monotonic() - idle_t0 > 60:
+                        truncated = True  # ticker stalled — do not hang forever
+                        break
                 # release BEFORE emitting done: a client acting on the done
                 # event (health checks, immediate reconnect) must observe the
                 # slot as free — the finally-release below is then a no-op
                 server.release(slot)
-                emit({"done": True, "ticks": sl.ticks})
+                if truncated:
+                    wt.join(timeout=5)  # release() queued the sentinel
+                    emit({"done": True, "ticks": sl.ticks, "truncated": True,
+                          "error": "drain stalled: no tick progress for 60 s"})
+                else:
+                    emit({"done": True, "ticks": sl.ticks})
                 with wlock:
                     self.wfile.write(b"0\r\n\r\n")
                     self.wfile.flush()

@@ -125,11 +125,11 @@ class QwenAsrSession:
             # Batch-DP over ``data`` + Megatron TP of the LLM decoder over
             # ``model`` (qwen3_param_specs); the audio tower replicates —
             # it is ~2% of the weights and its windows batch well.
-            from asr_tpu.parallel.mesh import qwen3_param_specs
+            from asr_tpu.parallel.mesh import qwen3_param_specs, replicated
             from asr_tpu.parallel.serve import DataParallelRunner
 
             self.runner = DataParallelRunner(mesh, param_specs=qwen3_param_specs)
-            tower_params = DataParallelRunner(mesh).shard_params(tower_params)
+            tower_params = jax.device_put(tower_params, replicated(mesh))
             llm_params = self.runner.shard_params(llm_params)
         self.tower_params = tower_params
         self.llm_params = llm_params
@@ -321,11 +321,11 @@ class FunAsrNanoLlmSession:
         if mesh is not None:
             # Same DPxTP layout as QwenAsrSession: the Qwen3 LLM shards by
             # qwen3_param_specs, the SANM encoder replicates.
-            from asr_tpu.parallel.mesh import qwen3_param_specs
+            from asr_tpu.parallel.mesh import qwen3_param_specs, replicated
             from asr_tpu.parallel.serve import DataParallelRunner
 
             self.runner = DataParallelRunner(mesh, param_specs=qwen3_param_specs)
-            params = DataParallelRunner(mesh).shard_params(params)
+            params = jax.device_put(params, replicated(mesh))
             llm_params = self.runner.shard_params(llm_params)
         self.params = params
         self.llm_params = llm_params

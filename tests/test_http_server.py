@@ -309,3 +309,17 @@ def test_session_server_forwards_language_to_qwen():
     with pytest.raises(KeyError):
         SessionServer(sess2, max_batch=1, warmup=True, language="zh")
     server.batcher.close()
+
+
+def test_join_window_texts_boundaries():
+    """Multi-window LLM transcripts: space inserted between ASCII word
+    boundaries, never inside CJK text, never doubled around punctuation."""
+    from asr_tpu.parallel.http_server import _join_window_texts
+
+    assert _join_window_texts(["meeting today", "The next item"]) == \
+        "meeting today The next item"
+    assert _join_window_texts(["你好世界", "今天天气"]) == "你好世界今天天气"
+    assert _join_window_texts(["ends here.", "Next"]) == "ends here.Next"
+    assert _join_window_texts(["", "only"]) == "only"
+    assert _join_window_texts(["mixed 中文", "tail"]) == "mixed 中文tail"
+    assert _join_window_texts(["abc", "123"]) == "abc 123"

@@ -177,3 +177,93 @@ def test_overlapped_windows_match_session_geometry():
         assert runner.resets == [0]  # reset applied by the ticker exactly once
     finally:
         srv.close()
+
+
+def test_ticker_survives_extract_exception():
+    """A failing extract callback must not silently kill the ticker: the
+    affected stream receives an {"error": ...} event and end-of-stream,
+    /healthz flips ok=false with the error recorded, and a NEW stream
+    still works afterwards (the ticker thread stays alive)."""
+    params = pf.init_params(TINY_BASE, jax.random.PRNGKey(0))
+    runner = ms.paraformer_multistream(params, TINY, 2)
+    boom = {"armed": True}
+
+    def extract(outs, i, st):
+        if boom["armed"]:
+            raise RuntimeError("synthetic extract failure")
+        return [int(t) for t in np.asarray(outs["ids"][i])[
+            : int(np.asarray(outs["count"][i]))]]
+
+    httpd, srv, _ = start_stream_background(runner, TINY.chunk_samples,
+                                            extract=extract, tick_wait_ms=10.0)
+    port = httpd.server_address[1]
+    try:
+        evs = stream_pcm_over_http("127.0.0.1", port, _pcm(0), send_chunk=4096)
+        assert any("error" in e for e in evs), evs
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz",
+                                    timeout=10) as r:
+            health = json.loads(r.read())
+        assert health["ok"] is False
+        assert "synthetic extract failure" in health["last_error"]
+
+        boom["armed"] = False  # device/callback recovered
+        evs2 = stream_pcm_over_http("127.0.0.1", port, _pcm(1), send_chunk=4096)
+        assert evs2 and evs2[-1].get("done"), evs2
+        assert any("ids" in e for e in evs2)
+    finally:
+        httpd.shutdown()
+        srv.close()
+
+
+def test_chunk_extension_size_line():
+    """RFC 9112 chunk extensions can push the size line past any small
+    readline cap; the server must still parse the frame correctly."""
+    import socket as _socket
+
+    params = pf.init_params(TINY_BASE, jax.random.PRNGKey(0))
+    runner = ms.paraformer_multistream(params, TINY, 2)
+    httpd, srv, _ = start_stream_background(runner, TINY.chunk_samples,
+                                            tick_wait_ms=10.0)
+    port = httpd.server_address[1]
+    try:
+        pcm = _pcm(0, chunks=1)
+        want = _sequential_ids(pf.init_params(TINY_BASE, jax.random.PRNGKey(0)), pcm)
+        data = np.asarray(pcm, "<i2").tobytes()
+        sock = _socket.create_connection(("127.0.0.1", port), timeout=60)
+        try:
+            sock.sendall(b"POST /stream HTTP/1.1\r\nHost: x\r\n"
+                         b"Transfer-Encoding: chunked\r\n\r\n")
+            ext = b";name=" + b"v" * 100  # 100+-byte extension
+            sock.sendall(f"{len(data):x}".encode() + ext + b"\r\n" + data + b"\r\n")
+            sock.sendall(b"0\r\n\r\n")
+            buf = b""
+            while b"\r\n0\r\n\r\n" not in buf:
+                piece = sock.recv(65536)
+                if not piece:
+                    break
+                buf += piece
+        finally:
+            sock.close()
+        text = buf.split(b"\r\n\r\n", 1)[1]
+        assert b'"done"' in text
+        got = [json.loads(ln)["ids"] for ln in
+               _dechunk(text).decode().splitlines() if '"ids"' in ln]
+        assert got == want, (got, want)
+    finally:
+        httpd.shutdown()
+        srv.close()
+
+
+def _dechunk(body: bytes) -> bytes:
+    out = b""
+    while body:
+        line, _, rest = body.partition(b"\r\n")
+        try:
+            size = int(line.strip().split(b";")[0], 16)
+        except ValueError:
+            break
+        if size == 0:
+            break
+        out += rest[:size]
+        body = rest[size + 2:]
+    return out
