@@ -142,9 +142,10 @@ def _fused_dispatch(audio: jnp.ndarray, cfg: KaldiFbankConfig, n_frames: int):
     """Optional Pallas fused-fbank path (audio DMA'd span-by-span from HBM,
     frame/DFT/mel/log all in VMEM — no materialized (B, T, win) frames
     tensor). Hardware-validated on v5e (KERNELS_TPU.json: max abs err
-    5.2e-5 vs the unfused path, within noise of its wall time); stays
-    opt-in because XLA's fused matmul path is equally fast at these
-    shapes — the kernel's value is the lower HBM footprint:
+    5.2e-5 vs the unfused path; ~0.7x its wall time at the bench window —
+    XLA's fused framed-matmul path wins on raw speed at these shapes);
+    stays opt-in because the kernel's value is the lower HBM footprint
+    (no (B, n_frames, win) frames tensor), not wall time:
 
       ASR_TPU_FUSED_FBANK=1          use on the TPU backend
       ASR_TPU_FUSED_FBANK=interpret  use everywhere in interpret mode (tests)

@@ -217,6 +217,30 @@ def bench_whisper_q8_bf16():
              0.073, "int8 block-128 weights + bf16 activations, forced 200 decode steps")
 
 
+def bench_whisper_batch1(tag="q8bf16", iters=3):
+    """Interactive single-stream Whisper-Turbo: batch 1, the shape the
+    reference's own headline number is measured at (its runtime is
+    strictly batch-1). Uses the fastest serving config (q8 weights + bf16
+    activations, per-shape kernel dispatch) — decode matvecs at M=1 ride
+    the Pallas bandwidth kernels, the encoder rides XLA."""
+    from asr_tpu.models import whisper as wh
+    from asr_tpu.decode.ar import DecodeConfig
+    from asr_tpu.quant.quantize import cast_pytree, quantize_pytree
+    cfg = wh.WhisperConfig()
+    params = cast_pytree(
+        quantize_pytree(wh.init_params(cfg, jax.random.PRNGKey(0)), bits=8), jnp.bfloat16)
+    audio, _ = _audio(1, 30.0, scale=0.1)
+    mel = wh.mel_for_audio(cfg, audio).astype(jnp.bfloat16)
+    prompt = jnp.asarray(
+        [[cfg.sot_id, -1, cfg.transcribe_id, cfg.no_timestamps_id]], jnp.int32)
+    dc = DecodeConfig(max_new_tokens=200, eot_id=-1)
+    fn = jax.jit(lambda p, m, pr: wh.transcribe_window(p, cfg, m, pr, dc))
+    _measure("whisper_large_v3_turbo_q8bf16_batch1", fn, (params, mel, prompt),
+             1, 30.0, iters,
+             0.073, "SINGLE-STREAM latency row: batch 1, int8 block-128 weights "
+             "+ bf16 activations, forced 200 decode steps; ref README.md:55")
+
+
 def bench_qwen_asr_q4():
     """q4f32 Qwen3-ASR (reference README.md:62: 0.12 on i7-1165G7).
 
@@ -651,6 +675,7 @@ BENCHES = {
     "whisper": bench_whisper,
     "whisper_q8": bench_whisper_q8,
     "whisper_q8_bf16": bench_whisper_q8_bf16,
+    "whisper_batch1": bench_whisper_batch1,
     "qwen_asr_q4": bench_qwen_asr_q4,
     "qwen_asr_q4_qembed": bench_qwen_asr_q4_qembed,
     "qwen_asr_q4_batch8": bench_qwen_asr_q4_batch8,
