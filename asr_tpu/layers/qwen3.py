@@ -314,3 +314,94 @@ def left_step_bias(shift: jnp.ndarray, pos: jnp.ndarray, t_max: int) -> jnp.ndar
     kpos = jnp.arange(t_max, dtype=jnp.int32)[None, :]
     keep = (kpos >= shift[:, None]) & (kpos <= pos)
     return jnp.where(keep, 0.0, NEG_INF)[:, None, None].astype(jnp.float32)
+
+
+def rowwise_step_bias(pos: jnp.ndarray, t_max: int) -> jnp.ndarray:
+    """(B,1,1,T_max) step bias for COMPACT per-row cache layouts (every
+    row's prompt starts at cache slot 0 — continuous batching): key slot
+    ``t`` attends iff ``t <= pos_b``. NEG_INF is the finite -1e30; rows
+    with ``pos_b >= 0`` always keep at least slot 0 attendable."""
+    kpos = jnp.arange(t_max, dtype=jnp.int32)[None, :]
+    keep = kpos <= pos[:, None]
+    return jnp.where(keep, 0.0, NEG_INF)[:, None, None].astype(jnp.float32)
+
+
+def decoder_step_rowwise(
+    params: dict,
+    cfg: Qwen3Config,
+    x: jnp.ndarray,
+    state: dict,
+    pos: jnp.ndarray,
+    active: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, dict]:
+    """One decode token through all layers with PER-ROW cache positions.
+
+    The lockstep decoder (:func:`decoder_pass`) writes every row's KV at
+    one scalar slot — rows must share a global step counter, which forces
+    whole-batch barriers. Continuous batching (requests joining/leaving a
+    running decode batch, ``parallel/llm_batcher.py``) instead gives each
+    slot its own compact cache: row ``b``'s prompt occupies slots
+    ``[0, L_b)`` and generation continues at ``pos_b`` independently.
+    Writes become a per-row scatter (``mode="drop"``: inactive rows are
+    parked at index ``t_max`` and write nowhere), RoPE phases index the
+    per-row position directly (cache slot == logical position), and the
+    bias is :func:`rowwise_step_bias`.
+
+    Per-row math is IDENTICAL to running that row alone through
+    :func:`decoder_pass` — masked slots contribute exactly-zero attention
+    probability and zero v-rows, so reductions agree bitwise (tested in
+    ``tests/test_llm_batcher.py``).
+
+    Args:
+      x: (B, 1, H) current-token embeddings.
+      pos: (B,) int32 cache slot to write (== tokens so far in the row).
+      active: optional (B,) bool; inactive rows neither write KV nor
+        advance (their returned hidden is garbage — callers mask it).
+
+    Returns (hidden (B, 1, H), new state).
+    """
+    t_max = state["layers"][0]["k"].shape[1]
+    cs = jnp.asarray(rope_tables(t_max, cfg.head_dim, cfg.rope_theta))
+    logical = jnp.clip(pos, 0, t_max - 1)
+    cos = jnp.take(cs[0], logical, axis=0)[:, None]  # (B, 1, D)
+    sin = jnp.take(cs[1], logical, axis=0)[:, None]
+    bias = rowwise_step_bias(pos, t_max)
+    b = x.shape[0]
+    bidx = jnp.arange(b, dtype=jnp.int32)
+    # parked index t_max + mode="drop" => no write for inactive rows
+    wpos = logical if active is None else jnp.where(active, logical, t_max)
+    groups = cfg.num_heads // cfg.num_kv_heads
+    qd = cfg.num_heads * cfg.head_dim
+    kd = cfg.num_kv_heads * cfg.head_dim
+    new_layers = []
+    for p, lstate in zip(params["layers"], state["layers"]):
+        y = rms_norm(x, p["input_norm"]["scale"], cfg.rms_eps)
+        if "qkv" in p["attn"]:
+            qkv = dense(y, p["attn"]["qkv"])
+            q = qkv[..., :qd].reshape(b, 1, cfg.num_heads, cfg.head_dim)
+            k = qkv[..., qd:qd + kd].reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
+            v = qkv[..., qd + kd:].reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
+        else:
+            q = dense(y, p["attn"]["q"]).reshape(b, 1, cfg.num_heads, cfg.head_dim)
+            k = dense(y, p["attn"]["k"]).reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
+            v = dense(y, p["attn"]["v"]).reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
+        if cfg.qk_norm:
+            q = rms_norm(q, p["attn"]["q_norm"]["scale"], cfg.rms_eps)
+            k = rms_norm(k, p["attn"]["k_norm"]["scale"], cfg.rms_eps)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        k_cache = lstate["k"].at[bidx, wpos].set(
+            k[:, 0].astype(lstate["k"].dtype), mode="drop")
+        v_cache = lstate["v"].at[bidx, wpos].set(
+            v[:, 0].astype(lstate["v"].dtype), mode="drop")
+        attn = _attention(q, k_cache, v_cache, bias, groups)
+        x = x + dense(attn, p["attn"]["o"])
+        y = rms_norm(x, p["post_norm"]["scale"], cfg.rms_eps)
+        if "gateup" in p["mlp"]:
+            gu = dense(y, p["mlp"]["gateup"])
+            h = jax.nn.silu(gu[..., : cfg.ffn_dim]) * gu[..., cfg.ffn_dim:]
+        else:
+            h = jax.nn.silu(dense(y, p["mlp"]["gate"])) * dense(y, p["mlp"]["up"])
+        x = x + dense(h, p["mlp"]["down"])
+        new_layers.append({"k": k_cache, "v": v_cache})
+    return x, {"layers": tuple(new_layers)}

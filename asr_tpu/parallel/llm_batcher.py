@@ -1,0 +1,241 @@
+"""Continuous batching for the LLM-decoder ASR families (Qwen3-ASR /
+Fun-ASR-Nano LLM head).
+
+The reference's LLM runtime decodes one request at a time — one ONNX
+launch per token, batch 1 (``Qwen_ASR/Inference_Qwen_ASR_ONNX.py``). This
+repo's lockstep batch decode (``models/qwen_asr.transcribe_embeds``)
+already amortizes the weight streaming over 8 concurrent utterances, but
+it is a BARRIER: all 8 must arrive together and the batch runs to
+completion before the next one starts. Under live traffic that leaves the
+chip idle between batches and adds head-of-line latency.
+
+Continuous batching removes the barrier the TPU-native way — fixed shapes
+plus masks, never a recompile:
+
+- The decode state is a fixed (n_slots, t_max) KV cache pytree plus
+  per-slot position/count/active vectors; ONE jitted step advances every
+  active slot by one token (``layers/qwen3.decoder_step_rowwise`` — each
+  slot has its own compact cache and position, so slots are mutually
+  invisible).
+- A new request PREFILLS alone (its prompt length bucketed to a power of
+  two so prefill executables are reused) and its KV rows are inserted
+  into a free slot of the running batch; it starts decoding on the very
+  next step, mid-flight of everyone else.
+- A finished slot (EOT or token budget) frees immediately; the step
+  masks it (``mode="drop"`` scatter: parked rows write nowhere).
+
+Per-slot output is mathematically IDENTICAL to running that request
+alone through ``transcribe_embeds`` (greedy/penalty: bitwise — masked
+slots contribute exactly-zero attention; sampling: identical given the
+same per-slot PRNG key), tested in ``tests/test_llm_batcher.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from asr_tpu.decode.ar import DecodeConfig, select_token
+from asr_tpu.decode.strategies import suppress_tokens
+from asr_tpu.layers import qwen3
+
+
+def _bucket(n: int, lo: int = 32) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+class ContinuousLlmBatcher:
+    """Slot-based continuous decode over one Qwen3 decoder.
+
+    Thread model: all methods must be called from ONE driver thread (the
+    server's ticker); HTTP handlers talk to the driver through queues.
+
+    Args:
+      llm_params: (fused) Qwen3 params pytree — same object the sessions
+        hold; weights are shared, only the KV state is per-batcher.
+      cfg: ``qwen3.Qwen3Config``.
+      decode_cfg: strategy/penalty/sampling and ``max_new_tokens`` —
+        identical semantics to the lockstep path (the per-slot generated
+        budget is ``max_new_tokens + 1`` ids including EOT, matching
+        ``ar_decode``).
+      n_slots: concurrent requests riding one step dispatch.
+      t_max: cache length per slot (>= longest prompt + budget).
+    """
+
+    def __init__(self, llm_params: dict, cfg: qwen3.Qwen3Config,
+                 decode_cfg: DecodeConfig, n_slots: int = 8,
+                 t_max: int = 1024, rng: jax.Array | None = None):
+        self.params = llm_params
+        self.cfg = cfg
+        self.dc = decode_cfg
+        self.n_slots = int(n_slots)
+        self.t_max = int(t_max)
+        self.gen_cap = decode_cfg.max_new_tokens + 1
+        self.state = qwen3.make_kv_state(cfg, self.n_slots, self.t_max)
+        self.gen_buf = jnp.zeros((self.n_slots, self.gen_cap), jnp.int32)
+        self.pos = jnp.zeros((self.n_slots,), jnp.int32)
+        self.last = jnp.zeros((self.n_slots,), jnp.int32)
+        self.count = jnp.zeros((self.n_slots,), jnp.int32)
+        self.active = jnp.zeros((self.n_slots,), bool)
+        # independent PRNG stream per slot: a slot's sample sequence does
+        # not depend on which other slots are live (reproducible per request)
+        self.keys = jax.random.split(
+            rng if rng is not None else jax.random.PRNGKey(0), self.n_slots)
+        self._free = list(range(self.n_slots))
+        self._lock = threading.Lock()
+        # jitted executables (shape-specialized per prefill bucket)
+        self._prefill = jax.jit(self._prefill_impl)
+        self._insert = jax.jit(self._insert_impl, donate_argnums=(0, 1, 2, 3, 4, 5))
+        self._step = jax.jit(self._step_impl, donate_argnums=(0, 1, 2, 3, 4, 5, 6))
+
+    # ── jitted impls ────────────────────────────────────────────────────────
+    def _prefill_impl(self, params, embeds, valid):
+        """(1, Lb, H) right-compacted prompt embeds -> (batch-1 kv state,
+        first token, per-slot key advanced). Positions are cache slots
+        (compact layout), exactly the solo path's logical positions."""
+        cfg, dc = self.cfg, self.dc
+        state = qwen3.make_kv_state(cfg, 1, self.t_max, embeds.dtype)
+        bias = qwen3.causal_prefill_bias(valid, embeds.shape[1], self.t_max)
+        hidden, state = qwen3.decoder_pass(
+            params, cfg, embeds, state, jnp.asarray(0, jnp.int32), bias)
+        h_last = jnp.take_along_axis(
+            hidden, (valid - 1)[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+        logits0 = qwen3.logits_from_hidden(params, cfg, h_last)
+        logits0 = suppress_tokens(logits0.astype(jnp.float32), dc.suppress_ids)
+        empty = jnp.zeros((1, self.gen_cap), jnp.int32)
+        first, _ = select_token(logits0, empty, jnp.zeros((1,), jnp.int32),
+                                dc, jax.random.PRNGKey(0), history_start=0)
+        return state, first[0]
+
+    def _insert_impl(self, state, gen_buf, pos, last, count, active,
+                     small, slot, first, valid):
+        state = jax.tree.map(lambda big, sm: big.at[slot].set(sm[0]),
+                             state, small)
+        row = jnp.zeros((self.gen_cap,), jnp.int32).at[0].set(first)
+        gen_buf = gen_buf.at[slot].set(row)
+        pos = pos.at[slot].set(valid)
+        last = last.at[slot].set(first)
+        count = count.at[slot].set(1)
+        active = active.at[slot].set(
+            (first != self.dc.eot_id) & (self.gen_cap > 1))
+        return state, gen_buf, pos, last, count, active
+
+    def _step_impl(self, state, gen_buf, pos, last, count, active, keys, params):
+        cfg, dc = self.cfg, self.dc
+        emb = params["embed"][last][:, None].astype(jnp.float32)
+        hidden, state = qwen3.decoder_step_rowwise(
+            params, cfg, emb, state, pos, active)
+        logits = qwen3.logits_from_hidden(params, cfg, hidden[:, -1])
+        logits = suppress_tokens(logits.astype(jnp.float32), dc.suppress_ids)
+        stepped = jax.vmap(jax.random.split)(keys)  # (B, 2, key)
+        if dc.strategy == "sampling":
+            # per-slot keys (a slot's sample stream is independent of which
+            # other slots happen to be live): vmap the sampling path
+            from asr_tpu.decode.strategies import (
+                apply_repetition_penalty, top_k_top_p_sample)
+            lg = logits
+            if dc.penalty != 1.0:
+                lg = apply_repetition_penalty(
+                    lg, gen_buf, count, dc.penalty, dc.penalty_range,
+                    hist_start=0)
+            tok = jax.vmap(
+                lambda l, k: top_k_top_p_sample(
+                    l[None], k, dc.temperature, dc.top_k, dc.top_p)[0]
+            )(lg, stepped[:, 0])
+        else:
+            # greedy / penalty: deterministic — the key arg is unused
+            tok, _ = select_token(logits, gen_buf, count, dc,
+                                  jax.random.PRNGKey(0), history_start=0)
+        keys = stepped[:, 1]
+        tok = jnp.where(active, tok, jnp.int32(dc.eot_id)).astype(jnp.int32)
+        wslot = jnp.where(active, jnp.minimum(count, self.gen_cap - 1),
+                          self.gen_cap)  # parked rows write nowhere
+        gen_buf = gen_buf.at[jnp.arange(self.n_slots), wslot].set(
+            tok, mode="drop")
+        count = count + active.astype(jnp.int32)
+        pos = pos + active.astype(jnp.int32)
+        still = active & (tok != dc.eot_id) & (count < self.gen_cap)
+        finished_now = active & ~still
+        return (state, gen_buf, pos, tok, count, still, keys,
+                tok, finished_now)
+
+    # ── driver API ──────────────────────────────────────────────────────────
+    def try_submit(self, embeds: jnp.ndarray, valid_len: int) -> int | None:
+        """Prefill one request and join the running batch.
+
+        Args:
+          embeds: (L, H) or (1, L, H) prompt embeds, valid prefix FIRST
+            (``assemble_prompt``'s right-padded layout, or exactly L valid).
+          valid_len: number of valid leading positions.
+
+        Returns the slot id, or None when all slots are busy. The first
+        generated token is available immediately via :meth:`snapshot`.
+        """
+        with self._lock:
+            if not self._free:
+                return None
+            slot = self._free.pop(0)
+        if embeds.ndim == 2:
+            embeds = embeds[None]
+        lb = _bucket(embeds.shape[1])
+        if lb + self.gen_cap > self.t_max:
+            with self._lock:
+                self._free.insert(0, slot)
+            raise ValueError(
+                f"prompt bucket {lb} + budget {self.gen_cap} exceeds t_max "
+                f"{self.t_max}")
+        if embeds.shape[1] != lb:
+            embeds = jnp.pad(embeds, ((0, 0), (0, lb - embeds.shape[1]), (0, 0)))
+        small, first = self._prefill(
+            self.params, embeds, jnp.asarray([valid_len], jnp.int32))
+        (self.state, self.gen_buf, self.pos, self.last, self.count,
+         self.active) = self._insert(
+            self.state, self.gen_buf, self.pos, self.last, self.count,
+            self.active, small, jnp.asarray(slot, jnp.int32), first,
+            jnp.asarray(valid_len, jnp.int32))
+        return slot
+
+    def step(self) -> list[tuple[int, int, bool]]:
+        """Advance every active slot one token.
+
+        Returns ``[(slot, token, finished), ...]`` for slots that were
+        active this step; a finished slot is freed AFTER the caller drains
+        it with :meth:`take_result`.
+        """
+        was_active = np.asarray(self.active)
+        if not was_active.any():
+            return []
+        (self.state, self.gen_buf, self.pos, self.last, self.count,
+         self.active, self.keys, tok, fin) = self._step(
+            self.state, self.gen_buf, self.pos, self.last, self.count,
+            self.active, self.keys, self.params)
+        tok_h = np.asarray(tok)
+        fin_h = np.asarray(fin)
+        return [(i, int(tok_h[i]), bool(fin_h[i]))
+                for i in range(self.n_slots) if was_active[i]]
+
+    def take_result(self, slot: int) -> list[int]:
+        """Generated ids of a finished slot (EOT included when produced);
+        frees the slot for the next request."""
+        count = int(np.asarray(self.count[slot]))
+        ids = [int(t) for t in np.asarray(self.gen_buf[slot])[:count]]
+        with self._lock:
+            if slot not in self._free:
+                self._free.append(slot)
+        return ids
+
+    def snapshot(self, slot: int) -> list[int]:
+        """Generated ids so far (incremental reads while decoding)."""
+        count = int(np.asarray(self.count[slot]))
+        return [int(t) for t in np.asarray(self.gen_buf[slot])[:count]]
+
+    @property
+    def n_active(self) -> int:
+        return int(np.asarray(self.active).sum())
