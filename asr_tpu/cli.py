@@ -515,6 +515,21 @@ def cmd_serve(args) -> int:
     mesh, tp = _mesh_from_args(args)
     sess = _build_session(Path(args.model_dir), language=args.language, mesh=mesh,
                           tensor_parallel=tp)
+    if getattr(args, "continuous", False):
+        if not hasattr(sess, "prompt_embeds"):
+            raise SystemExit(
+                f"--continuous serves the LLM families (qwen_asr, "
+                f"fun_asr_nano --head llm); {type(sess).__name__} has no "
+                "prompt_embeds surface — rerun without --continuous")
+        if mesh is not None:
+            raise SystemExit("--continuous is a single-chip engine; drop "
+                             "--data-parallel/--tensor-parallel")
+        from asr_tpu.parallel.llm_server import serve_continuous
+
+        serve_continuous(sess, host=args.host, port=args.port,
+                         n_slots=args.slots, language=args.language,
+                         context=args.context)
+        return 0
     if not hasattr(sess, "_forward"):
         raise SystemExit(f"family {type(sess).__name__} has no batchable "
                          "window forward; serve supports the offline (windowed) "
@@ -721,6 +736,15 @@ def main(argv=None) -> int:
     p.add_argument("--data-parallel", type=int, default=0, metavar="N")
     p.add_argument("--tensor-parallel", type=int, default=1, metavar="T",
                    help="Megatron TP over T devices (see transcribe)")
+    p.add_argument("--continuous", action="store_true",
+                   help="continuous batching for the LLM families: requests "
+                        "join/leave one running decode batch mid-flight "
+                        "(parallel/llm_server.py) instead of lockstep "
+                        "micro-batches")
+    p.add_argument("--slots", type=int, default=8,
+                   help="concurrent decode slots for --continuous")
+    p.add_argument("--context", default="",
+                   help="fixed hot-word/context prompt for --continuous")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("serve-stream",

@@ -209,6 +209,26 @@ def audio_embeds(params: dict, cfg: FunAsrNanoConfig, audio: jnp.ndarray, valid_
     return x, speech_tokens.astype(jnp.int32)
 
 
+def prompt_embeds_llm(
+    params: dict,
+    llm_params: dict,
+    cfg: FunAsrNanoConfig,
+    audio: jnp.ndarray,
+    valid_samples: jnp.ndarray,
+    prompt_ids: dict,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Front half of :func:`forward_llm`: audio + prompt ids -> compacted
+    prompt embeds (B, L, H) + valid lengths, for the continuous-batching
+    server (``parallel/llm_server.py``)."""
+    tokens, speech_len = audio_embeds(params, cfg, audio, valid_samples)
+    emb = lambda ids: llm_params["embed"][ids].astype(tokens.dtype)
+    empty = jnp.zeros((tokens.shape[0], 0, tokens.shape[-1]), tokens.dtype)
+    return assemble_prompt(
+        emb(prompt_ids["head"]), emb(prompt_ids["query"]), empty,
+        tokens, speech_len, emb(prompt_ids["tail"]),
+    )
+
+
 def forward_llm(
     params: dict,
     llm_params: dict,
@@ -228,13 +248,8 @@ def forward_llm(
     """
     from asr_tpu.models.qwen_asr import QwenAsrConfig
 
-    tokens, speech_len = audio_embeds(params, cfg, audio, valid_samples)
-    emb = lambda ids: llm_params["embed"][ids].astype(tokens.dtype)
-    empty = jnp.zeros((tokens.shape[0], 0, tokens.shape[-1]), tokens.dtype)
-    embeds, valid_len = assemble_prompt(
-        emb(prompt_ids["head"]), emb(prompt_ids["query"]), empty,
-        tokens, speech_len, emb(prompt_ids["tail"]),
-    )
+    embeds, valid_len = prompt_embeds_llm(
+        params, llm_params, cfg, audio, valid_samples, prompt_ids)
     qcfg = QwenAsrConfig(llm=cfg.llm, eot_id=cfg.eot_id)
     return transcribe_embeds(llm_params, qcfg, embeds, valid_len, decode_cfg, rng,
                              stacked=stacked)

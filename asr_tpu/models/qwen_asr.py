@@ -314,6 +314,38 @@ def transcribe_embeds(
     return tokens, counts, jnp.full((b,), lf, jnp.int32)
 
 
+def prompt_embeds(
+    tower_params: dict,
+    llm_params: dict,
+    cfg: QwenAsrConfig,
+    audio: jnp.ndarray,
+    valid_samples: jnp.ndarray,
+    prompt_ids: dict,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Front half of :func:`forward`: raw audio (B, S) [-1,1] + prompt id
+    arrays -> compacted prompt embeds (B, L, H) + valid lengths (B,) in the
+    :func:`assemble_prompt` layout (valid prefix, END padding).
+
+    Split out so the continuous-batching server
+    (``parallel/llm_server.py``) can prefill one request independently of
+    everyone else's decode steps."""
+    mel_cfg = cfg.mel_config()
+    mel = log_mel_spectrogram(audio, mel_cfg)
+    window_frames = cfg.chunk_frames * cfg.chunks_per_window
+    t = mel.shape[1]
+    pad = (-t) % window_frames
+    if pad:
+        mel = jnp.pad(mel, ((0, 0), (0, pad), (0, 0)))
+    valid_frames = (valid_samples // mel_cfg.hop_length).astype(jnp.int32)
+    audio_tokens, audio_valid = encode_audio(tower_params, cfg, mel, valid_frames)
+
+    emb = lambda ids: llm_params["embed"][ids].astype(audio_tokens.dtype)
+    return assemble_prompt(
+        emb(prompt_ids["head"]), emb(prompt_ids["query"]), emb(prompt_ids["suffix"]),
+        audio_tokens, audio_valid, emb(prompt_ids["tail"]),
+    )
+
+
 def forward(
     tower_params: dict,
     llm_params: dict,
@@ -332,20 +364,7 @@ def forward(
     ``Inference_Qwen_ASR_ONNX.py:106-127``; the reference is batch-1 —
     batching is a TPU-native addition for throughput serving).
     """
-    mel_cfg = cfg.mel_config()
-    mel = log_mel_spectrogram(audio, mel_cfg)
-    window_frames = cfg.chunk_frames * cfg.chunks_per_window
-    t = mel.shape[1]
-    pad = (-t) % window_frames
-    if pad:
-        mel = jnp.pad(mel, ((0, 0), (0, pad), (0, 0)))
-    valid_frames = (valid_samples // mel_cfg.hop_length).astype(jnp.int32)
-    audio_tokens, audio_valid = encode_audio(tower_params, cfg, mel, valid_frames)
-
-    emb = lambda ids: llm_params["embed"][ids].astype(audio_tokens.dtype)
-    embeds, valid_len = assemble_prompt(
-        emb(prompt_ids["head"]), emb(prompt_ids["query"]), emb(prompt_ids["suffix"]),
-        audio_tokens, audio_valid, emb(prompt_ids["tail"]),
-    )
+    embeds, valid_len = prompt_embeds(
+        tower_params, llm_params, cfg, audio, valid_samples, prompt_ids)
     return transcribe_embeds(llm_params, cfg, embeds, valid_len, decode_cfg, rng,
                              stacked=stacked)

@@ -231,6 +231,20 @@ class ContinuousLlmBatcher:
                 self._free.append(slot)
         return ids
 
+    def cancel(self, slot: int) -> None:
+        """Deactivate a slot without draining its result (warmup, or the
+        client went away); the slot is free for the next request."""
+        self.active = self.active.at[slot].set(False)
+        with self._lock:
+            if slot not in self._free:
+                self._free.append(slot)
+
+    def is_active(self, slot: int) -> bool:
+        """Whether the slot is still generating (False right after submit
+        means the FIRST token already ended the request — EOT or a budget
+        of one — and :meth:`step` will never report it: drain it now)."""
+        return bool(np.asarray(self.active[slot]))
+
     def snapshot(self, slot: int) -> list[int]:
         """Generated ids so far (incremental reads while decoding)."""
         count = int(np.asarray(self.count[slot]))

@@ -1,0 +1,280 @@
+"""Continuous-batching HTTP serving for the LLM-decoder families.
+
+The micro-batched ``SessionServer`` (``http_server.py``) coalesces
+same-instant requests into one lockstep decode, but the lockstep call is a
+BARRIER: late arrivals wait for the whole running batch to finish. This
+server keeps ONE :class:`~asr_tpu.parallel.llm_batcher.ContinuousLlmBatcher`
+running and lets requests join and leave it mid-flight — the serving shape
+of every production LLM runtime (the reference's
+``Qwen_ASR/Inference_Qwen_ASR_ONNX.py`` loop is strictly batch-1 and
+offline; continuous batching is a TPU-native addition).
+
+Design: all device work happens on ONE driver thread (prefill via
+``session.prompt_embeds`` + the batcher's step), so executables never race;
+HTTP handler threads only enqueue requests and wait on per-request events.
+Every admitted request starts decoding on the very next step; a finished
+slot frees immediately for the next queued request.
+
+Endpoints are identical to ``http_server.py`` (``POST /transcribe`` with a
+WAV/FLAC/MP3 body, ``GET /healthz``) so clients don't care which engine a
+deployment runs; ``/healthz`` additionally reports slot occupancy and
+decode-step latency. Run via
+``python -m asr_tpu serve --model-dir M --continuous [--slots 8]``.
+"""
+
+from __future__ import annotations
+
+import collections
+import threading
+import time
+
+import numpy as np
+
+from asr_tpu.parallel.http_server import decode_audio_bytes, _join_window_texts
+from asr_tpu.parallel.llm_batcher import ContinuousLlmBatcher, _bucket
+from asr_tpu.runtime import audio as audio_io
+
+
+class _Req:
+    __slots__ = ("samples", "event", "ids", "error", "t_enqueue", "t_admit")
+
+    def __init__(self, samples: np.ndarray):
+        self.samples = samples
+        self.event = threading.Event()
+        self.ids: list[int] | None = None
+        self.error: Exception | None = None
+        self.t_enqueue = time.perf_counter()
+        self.t_admit = 0.0
+
+
+class ContinuousSessionServer:
+    """One continuous decode batch behind an HTTP front end.
+
+    ``session`` must expose the continuous-batching surface
+    (``prompt_embeds``, ``llm_params``, ``llm_cfg``, ``decode_cfg``,
+    ``window_samples`` — :class:`QwenAsrSession` and
+    :class:`FunAsrNanoLlmSession`). Single-chip serving: a ``mesh=``
+    session shards its params for the lockstep path; run this engine on
+    an unsharded session.
+    """
+
+    def __init__(self, session, n_slots: int = 8, language: str | None = None,
+                 context: str = "", warmup: bool = True):
+        if not hasattr(session, "prompt_embeds"):
+            raise TypeError(
+                f"{type(session).__name__} has no prompt_embeds surface; "
+                "continuous batching serves the LLM families "
+                "(qwen_asr, fun_asr_nano --head llm)")
+        self.session = session
+        self._language = language
+        self._context = context
+        self.sample_rate = getattr(session, "sample_rate", 16000)
+        self.pcm_scale = getattr(session, "pcm_scale", 32768.0)
+        self.window = session.window_samples
+        dc = session.decode_cfg
+
+        # Probe the static prompt length L (audio pads to max_samples, so
+        # L is the same for every request) and size the cache to one
+        # prefill bucket + the generation budget.
+        probe, _ = session.prompt_embeds(
+            np.zeros(16, np.float32), context=context, language=language)
+        t_max = _bucket(int(probe.shape[0])) + dc.max_new_tokens + 1
+        self.batcher = ContinuousLlmBatcher(
+            session.llm_params, session.llm_cfg, dc,
+            n_slots=n_slots, t_max=t_max)
+
+        self._cv = threading.Condition()
+        self._pending: collections.deque[_Req] = collections.deque()
+        self._slot_req: dict[int, _Req] = {}
+        self._stop = False
+        self._stats_lock = threading.Lock()
+        self._requests_served = 0
+        self._tokens_generated = 0
+        self._steps = 0
+        self._step_time = 0.0
+        self._queue_wait_total = 0.0
+
+        if warmup:
+            # Compile prefill + insert + one decode step before the first
+            # real request (first jit is 5-40 s on TPU).
+            slot = self.batcher.try_submit(probe, 1)
+            if self.batcher.is_active(slot):
+                self.batcher.step()
+                self.batcher.cancel(slot)
+            else:
+                self.batcher.take_result(slot)
+
+        self._thread = threading.Thread(target=self._drive, daemon=True)
+        self._thread.start()
+
+    # ── driver thread: the ONLY thread touching the device ─────────────────
+    def _drive(self) -> None:
+        while True:
+            with self._cv:
+                while (not self._stop and not self._pending
+                       and not self._slot_req):
+                    self._cv.wait(timeout=0.2)
+                if self._stop:
+                    for req in self._pending:
+                        req.error = RuntimeError("server shut down")
+                        req.event.set()
+                    self._pending.clear()
+                    return
+                admit = []
+                while (self._pending
+                       and len(admit) + len(self._slot_req) < self.batcher.n_slots):
+                    admit.append(self._pending.popleft())
+            for req in admit:
+                self._admit(req)
+            t0 = time.perf_counter()
+            events = self.batcher.step()
+            if events:
+                dt = time.perf_counter() - t0
+                with self._stats_lock:
+                    self._steps += 1
+                    self._step_time += dt
+                    self._tokens_generated += len(events)
+            for slot, _tok, fin in events:
+                if fin:
+                    self._finish(slot)
+
+    def _admit(self, req: _Req) -> None:
+        try:
+            embeds, valid = self.session.prompt_embeds(
+                req.samples, context=self._context, language=self._language)
+            slot = self.batcher.try_submit(embeds, max(valid, 1))
+        except Exception as exc:  # bad audio shape etc. — fail THIS request
+            req.error = exc
+            req.event.set()
+            return
+        if slot is None:  # raced a slot we accounted as free; retry next tick
+            with self._cv:
+                self._pending.appendleft(req)
+            return
+        req.t_admit = time.perf_counter()
+        with self._stats_lock:
+            self._queue_wait_total += req.t_admit - req.t_enqueue
+        if not self.batcher.is_active(slot):
+            # first token was already EOT (or a budget of one): step() will
+            # never report this slot — drain it here
+            req.ids = self.batcher.take_result(slot)
+            self._complete(req)
+        else:
+            self._slot_req[slot] = req
+
+    def _finish(self, slot: int) -> None:
+        ids = self.batcher.take_result(slot)
+        req = self._slot_req.pop(slot, None)
+        if req is None:  # cancelled (warmup / client gone)
+            return
+        req.ids = ids
+        self._complete(req)
+
+    def _complete(self, req: _Req) -> None:
+        eot = self.session.decode_cfg.eot_id
+        req.ids = [t for t in req.ids if t != eot]
+        with self._stats_lock:
+            self._requests_served += 1
+        req.event.set()
+
+    # ── handler-thread API ──────────────────────────────────────────────────
+    def submit(self, samples: np.ndarray) -> _Req:
+        req = _Req(np.ascontiguousarray(samples, np.float32))
+        with self._cv:
+            if self._stop:
+                raise RuntimeError("server shut down")
+            self._pending.append(req)
+            self._cv.notify()
+        return req
+
+    def transcribe_bytes(self, data: bytes) -> dict:
+        samples = decode_audio_bytes(data, self.sample_rate)
+        if self.pcm_scale != 32768.0:
+            samples = samples * np.float32(self.pcm_scale / 32768.0)
+        n = len(samples)
+        w = self.window
+        starts = audio_io.iter_windows(n, w, w)
+        reqs = [self.submit(samples[s: s + w]) for s in starts]
+        ids: list[int] = []
+        texts: list[str] = []
+        tok = self.session.tokenizer
+        per_window = bool(getattr(self.session, "postprocess_per_window", False))
+        post = getattr(self.session, "_postprocess", lambda s: s)
+        for req in reqs:
+            req.event.wait()
+            if req.error is not None:
+                raise req.error
+            ids.extend(req.ids)
+            if tok and per_window:
+                texts.append(post(tok.decode(req.ids)))
+        if tok and not per_window:
+            texts = [post(tok.decode(ids))]
+        resp = {
+            "text": _join_window_texts(texts),
+            "token_ids": ids,
+            "audio_seconds": n / self.sample_rate,
+            "engine": "continuous",
+        }
+        if len(starts) > 1:
+            resp["windows"] = len(starts)
+        return resp
+
+    def stats(self) -> dict:
+        with self._stats_lock:
+            served = self._requests_served
+            steps = self._steps
+            avg_step = self._step_time / steps if steps else 0.0
+            toks = self._tokens_generated
+            qwait = (self._queue_wait_total / served) if served else 0.0
+        return {
+            "ok": True,
+            "engine": "continuous",
+            "slots": self.batcher.n_slots,
+            "slots_active": len(self._slot_req),
+            "queue_depth": len(self._pending),
+            "requests_served": served,
+            "decode_steps": steps,
+            "tokens_generated": toks,
+            "step_latency_avg_s": round(avg_step, 5),
+            "queue_wait_avg_s": round(qwait, 5),
+            "window_samples": self.window,
+            "sample_rate": self.sample_rate,
+        }
+
+    def close(self) -> None:
+        with self._cv:
+            self._stop = True
+            self._cv.notify()
+        self._thread.join(timeout=10)
+
+
+def serve_continuous(session, host: str = "127.0.0.1", port: int = 8000,
+                     n_slots: int = 8, language: str | None = None,
+                     context: str = "", warmup: bool = True):
+    """Blocking entry point used by ``serve --continuous``."""
+    from asr_tpu.parallel.http_server import make_http_server
+
+    srv = ContinuousSessionServer(session, n_slots=n_slots, language=language,
+                                  context=context, warmup=warmup)
+    httpd = make_http_server(srv, host, port)
+    print(f"serving on http://{host}:{httpd.server_address[1]} "
+          f"(engine=continuous, slots={n_slots})")
+    try:
+        httpd.serve_forever()
+    finally:
+        srv.close()
+
+
+def start_background_continuous(session, host: str = "127.0.0.1", port: int = 0,
+                                n_slots: int = 8, language: str | None = None,
+                                context: str = "", warmup: bool = True):
+    """Non-blocking start (tests / embedding): returns (httpd, server,
+    thread); actual port in ``httpd.server_address[1]``."""
+    from asr_tpu.parallel.http_server import make_http_server
+
+    srv = ContinuousSessionServer(session, n_slots=n_slots, language=language,
+                                  context=context, warmup=warmup)
+    httpd = make_http_server(srv, host, port)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    return httpd, srv, thread

@@ -239,6 +239,31 @@ class QwenAsrSession:
         self.last_languages = langs
         return out
 
+    # ---- continuous-batching serving surface (parallel/llm_server.py) ----
+
+    _embed_jit = None
+
+    def prompt_embeds(self, samples, context: str = "", language: str | None = None):
+        """One request's prompt embeds for continuous batching: (L, H)
+        device array (valid prefix + END padding) + valid length. The
+        audio pads to ``max_samples`` so every request shares ONE compiled
+        tower executable."""
+        if self._embed_jit is None:
+            self._embed_jit = jax.jit(qa.prompt_embeds, static_argnames=("cfg",))
+        s = np.asarray(samples, np.float32)[: self.max_samples]
+        buf = np.zeros((1, self.max_samples), np.float32)
+        buf[: , : len(s)] = s
+        prompt = self._prompt_ids(context, language)
+        embeds, valid = self._embed_jit(
+            self.tower_params, self.llm_params, cfg=self.cfg,
+            audio=jnp.asarray(buf),
+            valid_samples=jnp.asarray([len(s)], jnp.int32), prompt_ids=prompt)
+        return embeds[0], int(valid[0])
+
+    @property
+    def llm_cfg(self):
+        return self.cfg.llm
+
     # ---- micro-batched HTTP serving surface (parallel/http_server.py) ----
 
     @property
@@ -348,6 +373,44 @@ class FunAsrNanoLlmSession:
             "query": mk(tuple(query) + tuple(self.template.suffix_ids)),
             "tail": mk(tuple(self.template.tail_ids)),
         }
+
+    # ---- continuous-batching serving surface (parallel/llm_server.py) ----
+
+    _embed_jit = None
+    pcm_scale = 32768.0  # SANM front-end consumes int16-range PCM
+
+    @property
+    def window_samples(self) -> int:
+        return self.max_samples
+
+    @property
+    def sample_rate(self) -> int:
+        return self.cfg.sample_rate
+
+    @property
+    def llm_cfg(self):
+        return self.cfg.llm
+
+    def prompt_embeds(self, samples, context: str = "", language: str | None = None):
+        """One request's prompt embeds for continuous batching — same
+        contract as :meth:`QwenAsrSession.prompt_embeds` (``language`` is
+        accepted for interface parity; this family has no language
+        prompt)."""
+        from asr_tpu.models import fun_asr_nano as fn
+
+        if language:
+            raise KeyError("Fun-ASR-Nano has no language prompt catalog")
+        if self._embed_jit is None:
+            self._embed_jit = jax.jit(fn.prompt_embeds_llm, static_argnames=("cfg",))
+        s = np.asarray(samples, np.float32)[: self.max_samples]
+        buf = np.zeros((1, self.max_samples), np.float32)
+        buf[:, : len(s)] = s
+        prompt = self._prompt_ids(context)
+        embeds, valid = self._embed_jit(
+            self.params, self.llm_params, cfg=self.cfg,
+            audio=jnp.asarray(buf),
+            valid_samples=jnp.asarray([len(s)], jnp.int32), prompt_ids=prompt)
+        return embeds[0], int(valid[0])
 
     def transcribe(self, audio, context: str = "", rng=None) -> TranscribeResult:
         return self.transcribe_batch([audio], context=context, rng=rng)[0]
