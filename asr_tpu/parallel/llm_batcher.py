@@ -67,18 +67,27 @@ class ContinuousLlmBatcher:
         ``ar_decode``).
       n_slots: concurrent requests riding one step dispatch.
       t_max: cache length per slot (>= longest prompt + budget).
+      kv_dtype: cache storage dtype. The steady-state decode step is
+        bounded by HBM reads of the KV cache (+ weights); ``bfloat16``
+        halves the KV bytes (~35% faster steps measured at 0.6B
+        geometry) at ~2^-8 relative KV rounding — output is then
+        token-identical across slot layouts (the per-slot invariant)
+        but no longer bitwise vs the f32-cache solo path.
     """
 
     def __init__(self, llm_params: dict, cfg: qwen3.Qwen3Config,
                  decode_cfg: DecodeConfig, n_slots: int = 8,
-                 t_max: int = 1024, rng: jax.Array | None = None):
+                 t_max: int = 1024, rng: jax.Array | None = None,
+                 kv_dtype=jnp.float32):
         self.params = llm_params
         self.cfg = cfg
         self.dc = decode_cfg
         self.n_slots = int(n_slots)
         self.t_max = int(t_max)
+        self.kv_dtype = kv_dtype
         self.gen_cap = decode_cfg.max_new_tokens + 1
-        self.state = qwen3.make_kv_state(cfg, self.n_slots, self.t_max)
+        self.state = qwen3.make_kv_state(cfg, self.n_slots, self.t_max,
+                                         kv_dtype)
         self.gen_buf = jnp.zeros((self.n_slots, self.gen_cap), jnp.int32)
         self.pos = jnp.zeros((self.n_slots,), jnp.int32)
         self.last = jnp.zeros((self.n_slots,), jnp.int32)
@@ -101,7 +110,7 @@ class ContinuousLlmBatcher:
         first token, per-slot key advanced). Positions are cache slots
         (compact layout), exactly the solo path's logical positions."""
         cfg, dc = self.cfg, self.dc
-        state = qwen3.make_kv_state(cfg, 1, self.t_max, embeds.dtype)
+        state = qwen3.make_kv_state(cfg, 1, self.t_max, self.kv_dtype)
         bias = qwen3.causal_prefill_bias(valid, embeds.shape[1], self.t_max)
         hidden, state = qwen3.decoder_pass(
             params, cfg, embeds, state, jnp.asarray(0, jnp.int32), bias)

@@ -59,7 +59,8 @@ class ContinuousSessionServer:
     """
 
     def __init__(self, session, n_slots: int = 8, language: str | None = None,
-                 context: str = "", warmup: bool = True):
+                 context: str = "", warmup: bool = True,
+                 kv_dtype: str = "f32"):
         if not hasattr(session, "prompt_embeds"):
             raise TypeError(
                 f"{type(session).__name__} has no prompt_embeds surface; "
@@ -79,9 +80,14 @@ class ContinuousSessionServer:
         probe, _ = session.prompt_embeds(
             np.zeros(16, np.float32), context=context, language=language)
         t_max = _bucket(int(probe.shape[0])) + dc.max_new_tokens + 1
+        import jax.numpy as jnp
+
+        if kv_dtype not in ("f32", "bf16"):
+            raise ValueError(f"kv_dtype must be f32 or bf16, got {kv_dtype!r}")
         self.batcher = ContinuousLlmBatcher(
             session.llm_params, session.llm_cfg, dc,
-            n_slots=n_slots, t_max=t_max)
+            n_slots=n_slots, t_max=t_max,
+            kv_dtype=jnp.bfloat16 if kv_dtype == "bf16" else jnp.float32)
 
         self._cv = threading.Condition()
         self._pending: collections.deque[_Req] = collections.deque()
@@ -250,12 +256,14 @@ class ContinuousSessionServer:
 
 def serve_continuous(session, host: str = "127.0.0.1", port: int = 8000,
                      n_slots: int = 8, language: str | None = None,
-                     context: str = "", warmup: bool = True):
+                     context: str = "", warmup: bool = True,
+                     kv_dtype: str = "f32"):
     """Blocking entry point used by ``serve --continuous``."""
     from asr_tpu.parallel.http_server import make_http_server
 
     srv = ContinuousSessionServer(session, n_slots=n_slots, language=language,
-                                  context=context, warmup=warmup)
+                                  context=context, warmup=warmup,
+                                  kv_dtype=kv_dtype)
     httpd = make_http_server(srv, host, port)
     print(f"serving on http://{host}:{httpd.server_address[1]} "
           f"(engine=continuous, slots={n_slots})")
@@ -267,13 +275,15 @@ def serve_continuous(session, host: str = "127.0.0.1", port: int = 8000,
 
 def start_background_continuous(session, host: str = "127.0.0.1", port: int = 0,
                                 n_slots: int = 8, language: str | None = None,
-                                context: str = "", warmup: bool = True):
+                                context: str = "", warmup: bool = True,
+                                kv_dtype: str = "f32"):
     """Non-blocking start (tests / embedding): returns (httpd, server,
     thread); actual port in ``httpd.server_address[1]``."""
     from asr_tpu.parallel.http_server import make_http_server
 
     srv = ContinuousSessionServer(session, n_slots=n_slots, language=language,
-                                  context=context, warmup=warmup)
+                                  context=context, warmup=warmup,
+                                  kv_dtype=kv_dtype)
     httpd = make_http_server(srv, host, port)
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     thread.start()
