@@ -528,7 +528,7 @@ def cmd_serve(args) -> int:
 
         serve_continuous(sess, host=args.host, port=args.port,
                          n_slots=args.slots, language=args.language,
-                         context=args.context)
+                         context=args.context, kv_dtype=args.kv_dtype)
         return 0
     if not hasattr(sess, "_forward"):
         raise SystemExit(f"family {type(sess).__name__} has no batchable "
@@ -743,6 +743,11 @@ def main(argv=None) -> int:
                         "micro-batches")
     p.add_argument("--slots", type=int, default=8,
                    help="concurrent decode slots for --continuous")
+    p.add_argument("--kv-dtype", choices=("f32", "bf16"), default="f32",
+                   dest="kv_dtype",
+                   help="--continuous KV-cache storage dtype; bf16 halves "
+                   "per-step cache traffic (output stays token-identical "
+                   "across slot layouts, no longer bitwise vs f32 solo)")
     p.add_argument("--context", default="",
                    help="fixed hot-word/context prompt for --continuous")
     p.set_defaults(fn=cmd_serve)

@@ -93,6 +93,7 @@ class ContinuousSessionServer:
         self._pending: collections.deque[_Req] = collections.deque()
         self._slot_req: dict[int, _Req] = {}
         self._stop = False
+        self._fatal: Exception | None = None
         self._stats_lock = threading.Lock()
         self._requests_served = 0
         self._tokens_generated = 0
@@ -115,34 +116,51 @@ class ContinuousSessionServer:
 
     # ── driver thread: the ONLY thread touching the device ─────────────────
     def _drive(self) -> None:
-        while True:
+        try:
+            while True:
+                with self._cv:
+                    while (not self._stop and not self._pending
+                           and not self._slot_req):
+                        self._cv.wait(timeout=0.2)
+                    if self._stop:
+                        self._fail_all(RuntimeError("server shut down"))
+                        return
+                    admit = []
+                    while (self._pending
+                           and len(admit) + len(self._slot_req) < self.batcher.n_slots):
+                        admit.append(self._pending.popleft())
+                for req in admit:
+                    self._admit(req)
+                t0 = time.perf_counter()
+                events = self.batcher.step()
+                if events:
+                    dt = time.perf_counter() - t0
+                    with self._stats_lock:
+                        self._steps += 1
+                        self._step_time += dt
+                        self._tokens_generated += len(events)
+                for slot, _tok, fin in events:
+                    if fin:
+                        self._finish(slot)
+        except Exception as exc:  # device OOM / XLA error: the engine is dead
+            # Fail every pending AND in-flight request (their handler threads
+            # block on event.wait() with no timeout), refuse new submissions,
+            # and surface the failure via /healthz (stats() reports ok: false).
             with self._cv:
-                while (not self._stop and not self._pending
-                       and not self._slot_req):
-                    self._cv.wait(timeout=0.2)
-                if self._stop:
-                    for req in self._pending:
-                        req.error = RuntimeError("server shut down")
-                        req.event.set()
-                    self._pending.clear()
-                    return
-                admit = []
-                while (self._pending
-                       and len(admit) + len(self._slot_req) < self.batcher.n_slots):
-                    admit.append(self._pending.popleft())
-            for req in admit:
-                self._admit(req)
-            t0 = time.perf_counter()
-            events = self.batcher.step()
-            if events:
-                dt = time.perf_counter() - t0
-                with self._stats_lock:
-                    self._steps += 1
-                    self._step_time += dt
-                    self._tokens_generated += len(events)
-            for slot, _tok, fin in events:
-                if fin:
-                    self._finish(slot)
+                self._stop = True
+                self._fatal = exc
+                self._fail_all(exc)
+
+    def _fail_all(self, exc: Exception) -> None:
+        """Fail every queued and admitted request. Caller holds ``_cv``."""
+        for req in self._pending:
+            req.error = exc
+            req.event.set()
+        self._pending.clear()
+        for req in self._slot_req.values():
+            req.error = exc
+            req.event.set()
+        self._slot_req.clear()
 
     def _admit(self, req: _Req) -> None:
         try:
@@ -188,7 +206,7 @@ class ContinuousSessionServer:
         req = _Req(np.ascontiguousarray(samples, np.float32))
         with self._cv:
             if self._stop:
-                raise RuntimeError("server shut down")
+                raise (self._fatal or RuntimeError("server shut down"))
             self._pending.append(req)
             self._cv.notify()
         return req
@@ -232,8 +250,10 @@ class ContinuousSessionServer:
             avg_step = self._step_time / steps if steps else 0.0
             toks = self._tokens_generated
             qwait = (self._queue_wait_total / served) if served else 0.0
+        fatal = self._fatal
         return {
-            "ok": True,
+            "ok": fatal is None,
+            **({"error": f"{type(fatal).__name__}: {fatal}"} if fatal else {}),
             "engine": "continuous",
             "slots": self.batcher.n_slots,
             "slots_active": len(self._slot_req),

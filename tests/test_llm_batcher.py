@@ -169,6 +169,38 @@ def test_penalty_strategy_matches_solo():
         assert got[r] == want[r], (r, got[r], want[r])
 
 
+def test_bf16_cache_slot_layout_invariance():
+    """kv_dtype=bf16: a request's output must not depend on WHICH slot it
+    lands in or which other requests are live (the per-slot invariant the
+    docstring promises) — checked by running the same prompts solo-in-batcher
+    vs packed together. bf16 rounds the cache, so the reference here is the
+    bf16 batcher itself, not the f32 solo path."""
+    params = _params()
+    rng = np.random.default_rng(3)
+    prompts = [list(rng.integers(0, CFG.vocab_size, size=n)) for n in (5, 8, 3)]
+
+    def run_alone(p):
+        bat = ContinuousLlmBatcher(params, CFG, DC, n_slots=3, t_max=64,
+                                   kv_dtype=jnp.bfloat16)
+        slot = bat.try_submit(_embeds(params, p)[0], len(p))
+        slots = {slot: 0}
+        return _drain(bat, slots, [None])[0]
+
+    want = [run_alone(p) for p in prompts]
+
+    bat = ContinuousLlmBatcher(params, CFG, DC, n_slots=3, t_max=64,
+                               kv_dtype=jnp.bfloat16)
+    # occupy slot 0 first so request 0 lands in a DIFFERENT slot than solo
+    s_pad = bat.try_submit(_embeds(params, prompts[2])[0], len(prompts[2]))
+    slots = {s_pad: 2}
+    got = [None] * 3
+    for r in (0, 1):
+        slots[bat.try_submit(_embeds(params, prompts[r])[0], len(prompts[r]))] = r
+    got = _drain(bat, slots, got)
+    for r in range(3):
+        assert got[r] == want[r], (r, got[r], want[r])
+
+
 def test_incremental_snapshot_is_prefix():
     params = _params()
     prompt = [3, 14, 15, 92, 65]
