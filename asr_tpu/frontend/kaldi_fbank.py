@@ -123,9 +123,11 @@ def log_mel_fbank(audio: jnp.ndarray, cfg: KaldiFbankConfig, n_frames: int) -> j
       ``(..., n_frames, n_mels)`` float32 log-mel features,
       floored at log(FLT_EPSILON) like Kaldi.
     """
-    fused = _fused_dispatch(audio, cfg, n_frames)
-    if fused is not None:
-        return fused
+    # XLA owns this chain. A fused Pallas variant (audio spans DMA'd from
+    # HBM, frame/DFT/mel/log in VMEM) was built and hardware-validated in
+    # r2/r3 but measured 0.59-0.7x the XLA path at the bench window both
+    # rounds — the chain is dispatch-bound at these sizes and XLA already
+    # fuses square/sum/log into the matmuls — so it was deleted (r4).
     basis_np, mel_np = _kaldi_constants(cfg)
     basis, mel = jnp.asarray(basis_np), jnp.asarray(mel_np)
     frames = framing.frame_signal(
@@ -138,30 +140,3 @@ def log_mel_fbank(audio: jnp.ndarray, cfg: KaldiFbankConfig, n_frames: int) -> j
     return jnp.log(jnp.maximum(mel_feat, _F32_EPS))
 
 
-def _fused_dispatch(audio: jnp.ndarray, cfg: KaldiFbankConfig, n_frames: int):
-    """Optional Pallas fused-fbank path (audio DMA'd span-by-span from HBM,
-    frame/DFT/mel/log all in VMEM — no materialized (B, T, win) frames
-    tensor). Hardware-validated on v5e (KERNELS_TPU.json: max abs err
-    5.2e-5 vs the unfused path; ~0.7x its wall time at the bench window —
-    XLA's fused framed-matmul path wins on raw speed at these shapes);
-    stays opt-in because the kernel's value is the lower HBM footprint
-    (no (B, n_frames, win) frames tensor), not wall time:
-
-      ASR_TPU_FUSED_FBANK=1          use on the TPU backend
-      ASR_TPU_FUSED_FBANK=interpret  use everywhere in interpret mode (tests)
-    """
-    import os
-
-    mode = os.environ.get("ASR_TPU_FUSED_FBANK", "0")
-    if mode == "0" or (mode != "interpret" and jax.default_backend() != "tpu"):
-        return None
-    from asr_tpu.ops.fused_fbank import fused_log_mel_fbank
-
-    lead = audio.shape[:-1]
-    flat = audio.reshape((-1, audio.shape[-1])) if audio.ndim != 2 else audio
-    tile = 256 if n_frames >= 256 else 64
-    padded = -(-n_frames // tile) * tile
-    out = fused_log_mel_fbank(flat, cfg, padded, tile_frames=tile,
-                              interpret=(mode == "interpret"))
-    out = out[:, :n_frames]
-    return out.reshape(*lead, n_frames, out.shape[-1])

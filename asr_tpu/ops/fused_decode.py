@@ -237,6 +237,54 @@ def _rot_half(x):
     return jnp.concatenate([-x[:, 64:], x[:, :64]], axis=1)
 
 
+def _strip_dots(pool, slot, sem, s_ref, zs_ref, x_row, rows, width,
+                nb_strip, kblk0, col0, x_lo0, x_hi0, block):
+    """Wait for the strip in ``pool[slot]`` and return its dequantized
+    matvec contribution WITHOUT materializing weights: per quant block
+    ``x @ ((q - z) s) = (x @ q) s - (sum x)(z s)`` — raw nibbles feed
+    the MXU in bf16 (0..15 are exact) and the affine lands as a rank-1
+    correction on the (rows(x), width) partial. VPU cost per weight drops
+    to unpack + one convert (a full dequant was ~3x slower end-to-end:
+    this kernel's first cut ran 0.83x the per-weight path).
+
+    ``x_row`` may carry ANY number of sublane rows (1 for the batch-1
+    megakernel, n_slots for the continuous-batching one) — the dots and
+    the rank-1 fixup are rowwise.
+
+    kblk0: first quant-block row of this strip inside the scale array;
+    col0: first output column (N-strips) — scale columns slice there.
+    x_lo0/x_hi0: lane offsets of the strip's K rows in ``x_row``."""
+    pltpu.make_async_copy(pool.at[slot], pool.at[slot], sem.at[slot]).wait()
+    # int32 unpack, measured optimal. Tried and rejected on hardware
+    # (r3): (a) int8-native masks with the shift-free high-nibble
+    # identity hi = ((u & 0xF0) - 2*(u & 0x80)) / 16 — exact but 1.14
+    # ms/step vs 0.71 (the int8->bf16 converts cost more than the int32
+    # ops they replace; Mosaic legalizes NO 8-bit shift, shrsi or
+    # shrui); (b) a 3-deep strip pool — no change (the path is bounded
+    # by per-strip VPU convert throughput, not DMA).
+    u = pool[slot][:rows, :width].astype(jnp.int32) & 0xFF
+    acc = None
+    for plane, vals in ((0, u & 0xF), (1, (u >> 4) & 0xF)):
+        v16 = vals.astype(jnp.bfloat16)
+        xoff = x_lo0 if plane == 0 else x_hi0
+        xv = x_row[:, xoff:xoff + rows].astype(jnp.bfloat16)
+        for b in range(nb_strip):
+            rs = slice(b * block, (b + 1) * block)
+            s = s_ref[0, plane, kblk0 + b, pl.ds(col0, width)][None, :]
+            zs = zs_ref[0, plane, kblk0 + b, pl.ds(col0, width)][None, :]
+            # precision pinned to DEFAULT: a global HIGHEST (parity
+            # runs, bench harnesses) would request fp32 contract on
+            # bf16 operands, which Mosaic rejects ("Bad lhs type")
+            p = jnp.dot(xv[:, rs], v16[rs, :],
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT)
+            xs = jnp.sum(xv[:, rs].astype(jnp.float32), axis=1,
+                         keepdims=True)
+            term = p * s - xs * zs
+            acc = term if acc is None else acc + term
+    return acc
+
+
 def _kernel(cfg_static, smem_ref, x_ref, cos_ref, sin_ref,
             in_s_ref, post_s_ref, qn_s_ref, kn_s_ref, fn_s_ref,
             wq_ref, wo_ref, wgu_ref, wd_ref,
@@ -372,46 +420,8 @@ def _kernel_impl(cfg_static, smem_ref, x_ref, cos_ref, sin_ref,
     # ---- strip consumption: raw nibbles -> MXU, rank-1 affine fixup ----
     def strip_dots(pool, slot, sem, s_ref, zs_ref, x_row, rows, width,
                    nb_strip, kblk0, col0, x_lo0, x_hi0):
-        """Wait for the strip in ``pool[slot]`` and return its dequantized
-        matvec contribution WITHOUT materializing weights: per quant block
-        ``x @ ((q - z) s) = (x @ q) s - (sum x)(z s)`` — raw nibbles feed
-        the MXU in bf16 (0..15 are exact) and the affine lands as a rank-1
-        correction on the (1, width) partial. VPU cost per weight drops to
-        unpack + one convert (a full dequant was ~3x slower end-to-end:
-        this kernel's first cut ran 0.83x the per-weight path).
-
-        kblk0: first quant-block row of this strip inside the scale array;
-        col0: first output column (N-strips) — scale columns slice there.
-        x_lo0/x_hi0: lane offsets of the strip's K rows in ``x_row``."""
-        pltpu.make_async_copy(pool.at[slot], pool.at[slot], sem.at[slot]).wait()
-        # int32 unpack, measured optimal. Tried and rejected on hardware
-        # (r3): (a) int8-native masks with the shift-free high-nibble
-        # identity hi = ((u & 0xF0) - 2*(u & 0x80)) / 16 — exact but 1.14
-        # ms/step vs 0.71 (the int8->bf16 converts cost more than the int32
-        # ops they replace; Mosaic legalizes NO 8-bit shift, shrsi or
-        # shrui); (b) a 3-deep strip pool — no change (the path is bounded
-        # by per-strip VPU convert throughput, not DMA).
-        u = pool[slot][:rows, :width].astype(jnp.int32) & 0xFF
-        acc = None
-        for plane, vals in ((0, u & 0xF), (1, (u >> 4) & 0xF)):
-            v16 = vals.astype(jnp.bfloat16)
-            xoff = x_lo0 if plane == 0 else x_hi0
-            xv = x_row[:, xoff:xoff + rows].astype(jnp.bfloat16)
-            for b in range(nb_strip):
-                rs = slice(b * block, (b + 1) * block)
-                s = s_ref[0, plane, kblk0 + b, pl.ds(col0, width)][None, :]
-                zs = zs_ref[0, plane, kblk0 + b, pl.ds(col0, width)][None, :]
-                # precision pinned to DEFAULT: a global HIGHEST (parity
-                # runs, bench harnesses) would request fp32 contract on
-                # bf16 operands, which Mosaic rejects ("Bad lhs type")
-                p = jnp.dot(xv[:, rs], v16[rs, :],
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.DEFAULT)
-                xs = jnp.sum(xv[:, rs].astype(jnp.float32), axis=1,
-                             keepdims=True)
-                term = p * s - xs * zs
-                acc = term if acc is None else acc + term
-        return acc
+        return _strip_dots(pool, slot, sem, s_ref, zs_ref, x_row, rows,
+                           width, nb_strip, kblk0, col0, x_lo0, x_hi0, block)
 
     def head_body():
         # ---- fused tied LM head: one pool-A strip of (D/2, wa) nibbles

@@ -73,21 +73,48 @@ class ContinuousLlmBatcher:
         geometry) at ~2^-8 relative KV rounding — output is then
         token-identical across slot layouts (the per-slot invariant)
         but no longer bitwise vs the f32-cache solo path.
+      stacked: stacked q4-packed megakernel weights from
+        ``ops.fused_decode.stack_decode_params`` (the same dict the
+        sessions hold for batch-1 decode). When supplied — and the
+        geometry fits the multi-slot kernel's VMEM plan — the step
+        routes through ``ops.fused_decode_multi.fused_decode_step_multi``:
+        ONE pallas_call advances every slot (r3's rowwise XLA step was
+        4x slower than the lockstep path; the megakernel removes the
+        per-row scatter/gather overhead and amortizes the weight
+        streaming over all slots). Per-slot outputs remain independent
+        of slot layout; numerics are the megakernel's (bf16 MXU dots,
+        f32 accumulation) instead of the rowwise path's f32 dequant.
+      fused_interpret: run the megakernel in interpret mode (CPU tests).
     """
 
     def __init__(self, llm_params: dict, cfg: qwen3.Qwen3Config,
                  decode_cfg: DecodeConfig, n_slots: int = 8,
                  t_max: int = 1024, rng: jax.Array | None = None,
-                 kv_dtype=jnp.float32):
+                 kv_dtype=jnp.float32, stacked: dict | None = None,
+                 fused_interpret: bool = False):
         self.params = llm_params
         self.cfg = cfg
         self.dc = decode_cfg
         self.n_slots = int(n_slots)
-        self.t_max = int(t_max)
+        # the megakernel writes 8-row aligned cache patches; padded slots
+        # are beyond every reachable position, so rounding is free for the
+        # rowwise path too
+        self.t_max = -(-int(t_max) // 8) * 8
         self.kv_dtype = kv_dtype
         self.gen_cap = decode_cfg.max_new_tokens + 1
-        self.state = qwen3.make_kv_state(cfg, self.n_slots, self.t_max,
-                                         kv_dtype)
+        self._fused_interpret = bool(fused_interpret)
+        self.stacked = self._fused_stacked(stacked)
+        if self.stacked is not None:
+            kvw = cfg.num_kv_heads * cfg.head_dim
+            self.state = {
+                "k": jnp.zeros((cfg.num_layers, self.n_slots, self.t_max,
+                                kvw), kv_dtype),
+                "v": jnp.zeros((cfg.num_layers, self.n_slots, self.t_max,
+                                kvw), kv_dtype),
+            }
+        else:
+            self.state = qwen3.make_kv_state(cfg, self.n_slots, self.t_max,
+                                             kv_dtype)
         self.gen_buf = jnp.zeros((self.n_slots, self.gen_cap), jnp.int32)
         self.pos = jnp.zeros((self.n_slots,), jnp.int32)
         self.last = jnp.zeros((self.n_slots,), jnp.int32)
@@ -103,6 +130,33 @@ class ContinuousLlmBatcher:
         self._prefill = jax.jit(self._prefill_impl)
         self._insert = jax.jit(self._insert_impl, donate_argnums=(0, 1, 2, 3, 4, 5))
         self._step = jax.jit(self._step_impl, donate_argnums=(0, 1, 2, 3, 4, 5, 6))
+
+    def _fused_stacked(self, stacked: dict | None) -> dict | None:
+        """Gate the multi-slot megakernel: stacked q4 weights supplied, a
+        TPU backend (or interpret-mode tests), no strict-parity / forced-
+        XLA quant routing, and a geometry whose VMEM plan fits."""
+        if stacked is None:
+            return None
+        if not (jax.default_backend() == "tpu" or self._fused_interpret):
+            return None
+        from asr_tpu.ops.fused_decode_multi import fused_fits_multi
+        from asr_tpu.ops.quant_matmul import _resolve_kernel, _resolve_mm
+
+        if _resolve_mm(None) != "bf16" or _resolve_kernel() == "xla":
+            return None
+        blk = (self.cfg.hidden // 2) // stacked["qkv_s"].shape[2]
+        cb = jnp.dtype(self.kv_dtype).itemsize
+        head_cols = stacked["wh"].shape[1] if "wh" in stacked else 0
+        if fused_fits_multi(self.cfg, self.n_slots, self.t_max, block=blk,
+                            cache_bytes=cb, head_cols=head_cols):
+            return stacked
+        if head_cols and fused_fits_multi(self.cfg, self.n_slots, self.t_max,
+                                          block=blk, cache_bytes=cb):
+            # fused tied head alone overflows VMEM at this cache length:
+            # keep the layer megakernel, run the head as a separate matvec
+            return {k: v for k, v in stacked.items()
+                    if k not in ("wh", "h_s", "h_zs")}
+        return None
 
     # ── jitted impls ────────────────────────────────────────────────────────
     def _prefill_impl(self, params, embeds, valid):
@@ -125,8 +179,21 @@ class ContinuousLlmBatcher:
 
     def _insert_impl(self, state, gen_buf, pos, last, count, active,
                      small, slot, first, valid):
-        state = jax.tree.map(lambda big, sm: big.at[slot].set(sm[0]),
-                             state, small)
+        if self.stacked is not None:
+            # prefill's per-layer dict state -> this slot's (NL, T, kvw)
+            # planes of the megakernel cache layout
+            kvw = self.cfg.num_kv_heads * self.cfg.head_dim
+            k_sm = jnp.stack([ls["k"][0].reshape(self.t_max, kvw)
+                              for ls in small["layers"]])
+            v_sm = jnp.stack([ls["v"][0].reshape(self.t_max, kvw)
+                              for ls in small["layers"]])
+            state = {
+                "k": state["k"].at[:, slot].set(k_sm.astype(state["k"].dtype)),
+                "v": state["v"].at[:, slot].set(v_sm.astype(state["v"].dtype)),
+            }
+        else:
+            state = jax.tree.map(lambda big, sm: big.at[slot].set(sm[0]),
+                                 state, small)
         row = jnp.zeros((self.gen_cap,), jnp.int32).at[0].set(first)
         gen_buf = gen_buf.at[slot].set(row)
         pos = pos.at[slot].set(valid)
@@ -138,10 +205,30 @@ class ContinuousLlmBatcher:
 
     def _step_impl(self, state, gen_buf, pos, last, count, active, keys, params):
         cfg, dc = self.cfg, self.dc
-        emb = params["embed"][last][:, None].astype(jnp.float32)
-        hidden, state = qwen3.decoder_step_rowwise(
-            params, cfg, emb, state, pos, active)
-        logits = qwen3.logits_from_hidden(params, cfg, hidden[:, -1])
+        if self.stacked is not None:
+            from asr_tpu.layers.rope import rope_tables
+            from asr_tpu.ops.fused_decode_multi import fused_decode_step_multi
+
+            emb = params["embed"][last].astype(jnp.float32)  # (B, H)
+            cs = jnp.asarray(rope_tables(self.t_max, cfg.head_dim,
+                                         cfg.rope_theta))
+            logical = jnp.clip(pos, 0, self.t_max - 1)
+            posf = jnp.where(active, pos, -1)  # parked slots write nowhere
+            hn, lg, kc, vc = fused_decode_step_multi(
+                self.stacked, cfg, emb, state["k"], state["v"], posf,
+                jnp.take(cs[0], logical, axis=0),
+                jnp.take(cs[1], logical, axis=0),
+                interpret=self._fused_interpret)
+            state = {"k": kc, "v": vc}
+            if lg is not None:  # in-kernel tied head; pad columns are 0
+                logits = lg[:, : cfg.vocab_size]
+            else:  # hn is already final-normalized in-kernel
+                logits = qwen3.logits_from_normalized(params, cfg, hn)
+        else:
+            emb = params["embed"][last][:, None].astype(jnp.float32)
+            hidden, state = qwen3.decoder_step_rowwise(
+                params, cfg, emb, state, pos, active)
+            logits = qwen3.logits_from_hidden(params, cfg, hidden[:, -1])
         logits = suppress_tokens(logits.astype(jnp.float32), dc.suppress_ids)
         stepped = jax.vmap(jax.random.split)(keys)  # (B, 2, key)
         if dc.strategy == "sampling":

@@ -87,7 +87,10 @@ class ContinuousSessionServer:
         self.batcher = ContinuousLlmBatcher(
             session.llm_params, session.llm_cfg, dc,
             n_slots=n_slots, t_max=t_max,
-            kv_dtype=jnp.bfloat16 if kv_dtype == "bf16" else jnp.float32)
+            kv_dtype=jnp.bfloat16 if kv_dtype == "bf16" else jnp.float32,
+            # q4-packed sessions carry stacked megakernel weights: the
+            # decode step then runs as ONE pallas_call over all slots
+            stacked=getattr(session, "stacked", None))
 
         self._cv = threading.Condition()
         self._pending: collections.deque[_Req] = collections.deque()
@@ -255,6 +258,8 @@ class ContinuousSessionServer:
             "ok": fatal is None,
             **({"error": f"{type(fatal).__name__}: {fatal}"} if fatal else {}),
             "engine": "continuous",
+            "step_kernel": "fused" if self.batcher.stacked is not None
+            else "rowwise",
             "slots": self.batcher.n_slots,
             "slots_active": len(self._slot_req),
             "queue_depth": len(self._pending),

@@ -183,41 +183,6 @@ def _auto_route_is_pallas(bits: int, m: int, pack: bool) -> bool:
                 os.environ[k] = v
 
 
-def validate_fused_fbank(results: dict) -> None:
-    from asr_tpu.frontend.kaldi_fbank import KaldiFbankConfig, log_mel_fbank
-    from asr_tpu.ops.fused_fbank import fused_log_mel_fbank, fused_frames_for
-
-    cfg = KaldiFbankConfig()
-    rng = np.random.default_rng(0)
-    b, s = 8, 128000  # bench window: batch 8 x 8 s
-    audio = jnp.asarray((rng.standard_normal((b, s)) * 2000).astype(np.float32))
-    n_frames = fused_frames_for(cfg, s)
-
-    fused_fn = lambda a: fused_log_mel_fbank(a, cfg, n_frames)
-    env = os.environ.pop("ASR_TPU_FUSED_FBANK", None)
-    try:
-        unfused_fn = lambda a: log_mel_fbank(a, cfg, n_frames)
-        got = jax.jit(fused_fn)(audio)
-        want = jax.jit(unfused_fn)(audio)
-        real = cfg.num_frames(s)  # padded tail frames differ by design
-        err = float(jnp.max(jnp.abs(got[:, :real] - want[:, :real])))
-        f_ms = _time_loop(lambda a, bump: fused_fn(a + bump), (audio,), iters=100)
-        u_ms = _time_loop(lambda a, bump: unfused_fn(a + bump), (audio,), iters=100)
-    finally:
-        if env is not None:
-            os.environ["ASR_TPU_FUSED_FBANK"] = env
-    results["fused_fbank"] = {
-        "shape": [b, s],
-        "n_frames": int(real),
-        "max_abs_err_vs_unfused": round(err, 8),
-        "ok": bool(err < 2e-3),  # log-domain; values are O(10-20)
-        "pallas_ms": round(f_ms, 4),
-        "xla_unfused_ms": round(u_ms, 4),
-        "speedup_vs_xla": round(u_ms / f_ms, 3),
-    }
-    print("fused_fbank", results["fused_fbank"], flush=True)
-
-
 def main() -> None:
     dev = jax.devices()[0]
     if dev.platform != "tpu":
@@ -228,7 +193,6 @@ def main() -> None:
         validate_quant_matmul(8, False, m, results)
         validate_quant_matmul(4, True, m, results)
         validate_quant_matmul(2, True, m, results)
-    validate_fused_fbank(results)
     import datetime
 
     record = {
