@@ -213,7 +213,8 @@ def no_speech_prob(logits_sot: jnp.ndarray, cfg: WhisperConfig) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "decode_cfg", "begin_suppress_ids")
+    jax.jit,
+    static_argnames=("cfg", "decode_cfg", "begin_suppress_ids", "fused_interpret"),
 )
 def transcribe_window(
     params: dict,
@@ -223,6 +224,8 @@ def transcribe_window(
     decode_cfg: DecodeConfig,
     begin_suppress_ids: tuple[int, ...] = (),
     rng: jax.Array | None = None,
+    stacked: dict | None = None,
+    fused_interpret: bool = False,
 ) -> dict[str, jnp.ndarray]:
     """Full window pipeline: encode -> probe(SOT) -> prefill -> decode loop.
 
@@ -230,6 +233,10 @@ def transcribe_window(
       mel: (B, T, n_mels) log-mel features.
       prompt: (B, P) int32 full prompt, e.g. [SOT, lang, task, notimestamps];
         a lang slot of -1 is replaced by the detected language.
+      stacked: q8 megakernel weights from
+        ``ops.fused_whisper_step.stack_whisper_step_params`` — batch-1
+        decode then runs each step as ONE pallas_call (4 turbo layers +
+        tied head); other shapes/layouts keep the per-weight path.
 
     Returns dict: tokens (B, T_total), counts (B,), language (B,),
     no_speech_prob (B,).
@@ -258,6 +265,51 @@ def transcribe_window(
         rng = jax.random.PRNGKey(0)
     first, rng = select_token(logits0, buf, jnp.asarray(p_len, jnp.int32), decode_cfg, rng,
                               history_start=p_len)
+
+    use_fused = stacked is not None and b == 1 and (
+        jax.default_backend() == "tpu" or fused_interpret)
+    if use_fused:
+        from asr_tpu.ops.fused_whisper_step import (
+            fused_whisper_step, whisper_fused_fits)
+        from asr_tpu.ops.quant_matmul import _resolve_kernel, _resolve_mm
+
+        d = cfg.d_model
+        t_max = state["layers"][0]["self_k"].shape[1]
+        tc = state["layers"][0]["cross_k"].shape[1]
+        tc_pad = -(-tc // 8) * 8
+        cdt = state["layers"][0]["self_k"].dtype
+        use_fused = (
+            _resolve_mm(None) == "bf16" and _resolve_kernel() != "xla"
+            and whisper_fused_fits(cfg, t_max, tc_pad,
+                                   cache_bytes=jnp.dtype(cdt).itemsize))
+    if use_fused:
+        kc = jnp.stack([ls["self_k"][0].reshape(t_max, d)
+                        for ls in state["layers"]])
+        vc = jnp.stack([ls["self_v"][0].reshape(t_max, d)
+                        for ls in state["layers"]])
+        ck = jnp.stack([ls["cross_k"][0].reshape(tc, d)
+                        for ls in state["layers"]])
+        cv = jnp.stack([ls["cross_v"][0].reshape(tc, d)
+                        for ls in state["layers"]])
+        if tc_pad != tc:
+            ck = jnp.pad(ck, ((0, 0), (0, tc_pad - tc), (0, 0)))
+            cv = jnp.pad(cv, ((0, 0), (0, tc_pad - tc), (0, 0)))
+        dec = params["decoder"]
+
+        def fused_step_fn(st, token, pos):
+            kcc, vcc = st
+            x = (dec["embed"][token[:, 0]]
+                 + jax.lax.dynamic_slice(dec["pos"], (pos, 0), (1, d)))
+            lg, kcc, vcc = fused_whisper_step(
+                stacked, cfg, x.astype(jnp.float32), kcc, vcc, ck, cv, pos,
+                tc_valid=tc, interpret=fused_interpret)
+            return lg[:, : cfg.vocab_size], (kcc, vcc)
+
+        tokens, counts = ar_decode(
+            fused_step_fn, (kc, vc), jnp.asarray(p_len, jnp.int32), first,
+            buf, decode_cfg, rng)
+        return {"tokens": tokens, "counts": counts, "language": language,
+                "no_speech_prob": nsp}
 
     def step_fn(state, token, pos):
         return step(params, cfg, state, token, pos)

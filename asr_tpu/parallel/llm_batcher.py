@@ -203,9 +203,13 @@ class ContinuousLlmBatcher:
             (first != self.dc.eot_id) & (self.gen_cap > 1))
         return state, gen_buf, pos, last, count, active
 
-    def _step_impl(self, state, gen_buf, pos, last, count, active, keys, params):
+    def _step_impl(self, state, gen_buf, pos, last, count, active, keys,
+                   params, stacked=None):
+        # ``stacked`` rides as an ARGUMENT, never a closure: closed-over
+        # device pytrees become trace-time HLO constants, and ~0.3 GB of
+        # inlined weights overflows the remote-compile tunnel (HTTP 413)
         cfg, dc = self.cfg, self.dc
-        if self.stacked is not None:
+        if stacked is not None:
             from asr_tpu.layers.rope import rope_tables
             from asr_tpu.ops.fused_decode_multi import fused_decode_step_multi
 
@@ -215,7 +219,7 @@ class ContinuousLlmBatcher:
             logical = jnp.clip(pos, 0, self.t_max - 1)
             posf = jnp.where(active, pos, -1)  # parked slots write nowhere
             hn, lg, kc, vc = fused_decode_step_multi(
-                self.stacked, cfg, emb, state["k"], state["v"], posf,
+                stacked, cfg, emb, state["k"], state["v"], posf,
                 jnp.take(cs[0], logical, axis=0),
                 jnp.take(cs[1], logical, axis=0),
                 interpret=self._fused_interpret)
@@ -311,7 +315,7 @@ class ContinuousLlmBatcher:
         (self.state, self.gen_buf, self.pos, self.last, self.count,
          self.active, self.keys, tok, fin) = self._step(
             self.state, self.gen_buf, self.pos, self.last, self.count,
-            self.active, self.keys, self.params)
+            self.active, self.keys, self.params, self.stacked)
         tok_h = np.asarray(tok)
         fin_h = np.asarray(fin)
         return [(i, int(tok_h[i]), bool(fin_h[i]))

@@ -82,6 +82,14 @@ class WhisperSession:
             self.runner = DataParallelRunner(mesh, param_specs=param_specs)
             params = self.runner.shard_params(params)
         self.params = params
+        # Single-window (batch-1) decode rides the step megakernel when the
+        # artifact is unpacked-q8 (the reference's published Whisper config):
+        # ops/fused_whisper_step.py — one pallas_call per decode step.
+        self.stacked = None
+        if self.runner is None:
+            from asr_tpu.ops.fused_whisper_step import stack_whisper_step_params
+
+            self.stacked = stack_whisper_step_params(params, cfg)
 
     def _decode_cfg(self) -> DecodeConfig:
         s = self.scfg
@@ -154,6 +162,7 @@ class WhisperSession:
                 decode_cfg,
                 begin_suppress_ids=begin_suppress,
                 rng=rng,
+                stacked=self.stacked if padded == 1 else None,
             )
         tokens = np.asarray(jax.block_until_ready(out["tokens"]))
         counts = np.asarray(out["counts"])

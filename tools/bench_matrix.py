@@ -223,25 +223,31 @@ def bench_whisper_q8_bf16():
 def bench_whisper_batch1(tag="q8bf16", iters=3):
     """Interactive single-stream Whisper-Turbo: batch 1, the shape the
     reference's own headline number is measured at (its runtime is
-    strictly batch-1). Uses the fastest serving config (q8 weights + bf16
-    activations, per-shape kernel dispatch) — decode matvecs at M=1 ride
-    the Pallas bandwidth kernels, the encoder rides XLA."""
+    strictly batch-1). q8 weights + bf16 activations; every decode step
+    runs as ONE pallas_call (4 layers + q8 tied head,
+    ops/fused_whisper_step.py), the encoder rides XLA."""
     from asr_tpu.models import whisper as wh
     from asr_tpu.decode.ar import DecodeConfig
+    from asr_tpu.ops.fused_whisper_step import stack_whisper_step_params
     from asr_tpu.quant.quantize import cast_pytree, quantize_pytree
     cfg = wh.WhisperConfig()
     params = cast_pytree(
-        quantize_pytree(wh.init_params(cfg, jax.random.PRNGKey(0)), bits=8), jnp.bfloat16)
+        quantize_pytree(wh.init_params(cfg, jax.random.PRNGKey(0)), bits=8,
+                        quantize_embeddings=True), jnp.bfloat16)
+    stk = stack_whisper_step_params(params, cfg)
     audio, _ = _audio(1, 30.0, scale=0.1)
     mel = wh.mel_for_audio(cfg, audio).astype(jnp.bfloat16)
     prompt = jnp.asarray(
         [[cfg.sot_id, -1, cfg.transcribe_id, cfg.no_timestamps_id]], jnp.int32)
     dc = DecodeConfig(max_new_tokens=200, eot_id=-1)
-    fn = jax.jit(lambda p, m, pr: wh.transcribe_window(p, cfg, m, pr, dc))
-    _measure("whisper_large_v3_turbo_q8bf16_batch1", fn, (params, mel, prompt),
-             1, 30.0, iters,
+    kern = "fused step megakernel" if stk is not None else "per-weight"
+    fn = jax.jit(lambda p, m, pr, s: wh.transcribe_window(p, cfg, m, pr, dc,
+                                                          stacked=s))
+    _measure("whisper_large_v3_turbo_q8bf16_batch1", fn,
+             (params, mel, prompt, stk), 1, 30.0, iters,
              0.073, "SINGLE-STREAM latency row: batch 1, int8 block-128 weights "
-             "+ bf16 activations, forced 200 decode steps; ref README.md:55")
+             f"+ bf16 activations, {kern} decode (incl. q8 tied head), "
+             "forced 200 decode steps; ref README.md:55")
 
 
 def bench_qwen_asr_q4():
@@ -363,6 +369,41 @@ def bench_dolphin_q8():
              0.14, "int8 block-128 weights, forced 60 decode steps; ref README.md:60")
 
 
+def bench_firered_q8_batch1():
+    """SINGLE-STREAM FireRed-AED-L latency: batch 1, q8 weights — the
+    shape the reference's own published number is measured at (its
+    runtime is strictly batch-1, ``FireRedASR/Inference_FireRedASR_AED_ONNX.py``)."""
+    from asr_tpu.models import firered as fr
+    from asr_tpu.decode.ar import DecodeConfig
+    from asr_tpu.quant.quantize import quantize_pytree
+    cfg = fr.FireRedConfig()
+    params = quantize_pytree(fr.init_params(cfg, jax.random.PRNGKey(0)), bits=8)
+    audio, valid = _audio(1, 8.0)
+    dc = DecodeConfig(max_new_tokens=60, eot_id=-1)
+    fn = jax.jit(lambda p, a, v: fr.transcribe(p, cfg, a, v, dc))
+    _measure("firered_aed_l_q8f32_batch1", fn, (params, audio, valid), 1, 8.0, 5,
+             0.17, "SINGLE-STREAM latency row: batch 1, int8 block-128 weights, "
+             "forced 60 decode steps; ref README.md:59")
+
+
+def bench_dolphin_q8_batch1():
+    """SINGLE-STREAM Dolphin-Small latency: batch 1, q8 weights (reference
+    README.md:60 config; its runtime is strictly batch-1)."""
+    from asr_tpu.models import dolphin as dp
+    from asr_tpu.decode.ar import DecodeConfig
+    from asr_tpu.quant.quantize import quantize_pytree
+    cfg = dp.DolphinConfig()
+    params = quantize_pytree(dp.init_params(cfg, jax.random.PRNGKey(0)), bits=8)
+    audio, valid = _audio(1, 8.0)
+    prompt = jnp.asarray([[cfg.sos_id, -1, -2, 5, 6]], jnp.int32)
+    dc = DecodeConfig(max_new_tokens=60, eot_id=-1)
+    fn = jax.jit(lambda p, a, v, pr: dp.transcribe(p, cfg, a, v, pr, dc))
+    _measure("dolphin_small_q8f32_batch1", fn, (params, audio, valid, prompt),
+             1, 8.0, 5,
+             0.14, "SINGLE-STREAM latency row: batch 1, int8 block-128 weights, "
+             "forced 60 decode steps; ref README.md:60")
+
+
 def bench_fun_asr_nano_ctc():
     from asr_tpu.models import fun_asr_nano as fn_
     cfg = fn_.FunAsrNanoConfig()
@@ -428,16 +469,19 @@ def bench_qwen_asr_q4_batch8():
 
 def bench_qwen_asr_continuous():
     """Continuous-batching steady state (parallel/llm_batcher.py): 8 live
-    slots, ONE rowwise decode step advances all of them. Timed as 50
-    steps chained inside one jit (tunnel-immune, like the streaming
-    rows); the row's RTF is chip-level throughput (divided by the 8
-    concurrent requests) for 100-token / 8 s utterances — multiply by 8
-    for the per-request latency RTF. Joins cost one bucketed prefill
+    slots advanced by ONE multi-slot megakernel dispatch per token
+    (ops/fused_decode_multi.py — all 28 layers + fused tied head in one
+    pallas_call, bf16 KV planes; the serving default for q4 artifacts).
+    Timed as 50 steps chained inside one jit (tunnel-immune, like the
+    streaming rows); the row's RTF is chip-level throughput (divided by
+    the 8 concurrent requests) for 100-token / 8 s utterances — multiply
+    by 8 for the per-request latency RTF. Joins cost one bucketed prefill
     dispatch and do not stall the running slots."""
     from jax import lax
     from asr_tpu.decode.ar import DecodeConfig
     from asr_tpu.layers import qwen3
     from asr_tpu.models import qwen_asr as qa
+    from asr_tpu.ops.fused_decode import stack_decode_params
     from asr_tpu.parallel.llm_batcher import ContinuousLlmBatcher
     from asr_tpu.quant.quantize import quantize_pytree
 
@@ -446,7 +490,10 @@ def bench_qwen_asr_continuous():
         quantize_pytree(qwen3.init_params(cfg.llm, jax.random.PRNGKey(1)),
                         bits=4, pack=True, quantize_embeddings=True), cfg.llm)
     dc = DecodeConfig(max_new_tokens=100, eot_id=-1)
-    bat = ContinuousLlmBatcher(llm, cfg.llm, dc, n_slots=8, t_max=512)
+    stacked = stack_decode_params(llm, cfg.llm)
+    bat = ContinuousLlmBatcher(llm, cfg.llm, dc, n_slots=8, t_max=512,
+                               kv_dtype=jnp.bfloat16, stacked=stacked)
+    kernel = "fused megakernel" if bat.stacked is not None else "rowwise"
     # Seed the steady state directly: 8 slots mid-decode at a realistic
     # position (prompt ~230 tokens for an 8 s window). KV contents don't
     # affect the timing — shapes are fixed.
@@ -455,20 +502,22 @@ def bench_qwen_asr_continuous():
     count = jnp.ones((8,), jnp.int32)
     active = jnp.ones((8,), bool)
 
-    def loop(state, gen, pos, last, count, active, keys, params):
+    def loop(state, gen, pos, last, count, active, keys, params, stk):
         def body(_, carry):
-            return bat._step_impl(*carry, params)[:7]
+            return bat._step_impl(*carry, params, stk)[:7]
         return lax.fori_loop(
             0, 50, body, (state, gen, pos, last, count, active, keys))
 
     fn = jax.jit(loop)
-    args = (bat.state, bat.gen_buf, pos, last, count, active, bat.keys, llm)
+    args = (bat.state, bat.gen_buf, pos, last, count, active, bat.keys, llm,
+            bat.stacked)
     # 50 steps = half a 100-step request over 8 slots -> batch 8 x 4 s of
     # audio per timed call (same chip-level-throughput convention as the
     # lockstep batch8 row).
     _measure("qwen3_asr_0.6b_q4_continuous8", fn, args, 8, 4.0, 5,
-             0.12, "continuous batching steady state: 8 slots, rowwise step, "
-             "packed-int4 + int4 tied head; per-request latency RTF = 8x this row")
+             0.12, f"continuous batching steady state: 8 slots, {kernel} "
+             "step, packed-int4 + int4 tied head, bf16 KV planes; "
+             "per-request latency RTF = 8x this row")
 
 
 def bench_fun_asr_nano_llm_q4():
@@ -716,6 +765,71 @@ def bench_dolphin_streaming():
                     "E-Branchformer chunk + in-graph CTC ids; ref README.md:60 (offline row)")
 
 
+def bench_zipformer_multistream(n_streams: int = 8):
+    """N concurrent X-ASR Zipformer streaming sessions as ONE vmapped step:
+    the single-stream step is dispatch/latency-bound (19 small layers), so
+    vmapping N streams amortizes exactly that overhead — the reference
+    runs one process per stream (`X-ASR/Inference_X_ASR_ONNX.py:399-433`)."""
+    from asr_tpu.models import zipformer as zf
+    from asr_tpu.streaming import multistream as ms
+    cfg = zf.ZipformerConfig()
+    params = zf.init_params(cfg, jax.random.PRNGKey(0))
+    runner = ms.zipformer_multistream(params, cfg, n_streams)
+    rng = np.random.default_rng(0)
+    windows = jnp.asarray(
+        (rng.standard_normal((n_streams, cfg.window_samples)) * 2000)
+        .astype(np.float32))
+    _measure_stream(f"zipformer_multistream_x{n_streams}_f32", runner._step,
+                    (runner.params, runner.states, windows),
+                    cfg.chunk_size * 0.04, None,
+                    f"{n_streams} concurrent streams, one vmapped dispatch/tick; "
+                    "aggregate RTF (per-stream latency = chunk_ms)",
+                    batch=n_streams)
+
+
+def bench_nemotron_multistream(n_streams: int = 8):
+    """N concurrent cache-aware Nemotron streams, one vmapped dispatch."""
+    from asr_tpu.models import nemotron as nm
+    from asr_tpu.streaming import multistream as ms
+    from asr_tpu.streaming import nemotron_stream as ns
+    cfg = ns.NemotronStreamConfig(base=nm.NemotronConfig())
+    params = nm.init_params(cfg.base, jax.random.PRNGKey(0))
+    runner = ms.nemotron_multistream(params, cfg, n_streams)
+    rng = np.random.default_rng(0)
+    windows = jnp.asarray(
+        (rng.standard_normal((n_streams, cfg.window_samples)) * 0.05)
+        .astype(np.float32))
+    chunk_seconds = cfg.mel_chunk * cfg.base.mel.hop_length / 16000.0
+    _measure_stream(f"nemotron_multistream_x{n_streams}_f32", runner._step,
+                    (runner.params, runner.states, windows),
+                    chunk_seconds, 0.1,
+                    f"{n_streams} concurrent streams, one vmapped dispatch/tick; "
+                    "ref README.md:63 (offline row)",
+                    batch=n_streams)
+
+
+def bench_dolphin_multistream(n_streams: int = 8):
+    """N concurrent Dolphin CN-Dialect-Streaming encoders, one vmapped
+    dispatch (streaming CTC ids per chunk)."""
+    from asr_tpu.models import dolphin as dp
+    from asr_tpu.streaming import dolphin_stream as ds
+    from asr_tpu.streaming import multistream as ms
+    cfg = ds.DolphinStreamConfig(base=dp.DolphinConfig())
+    params = dp.init_params(cfg.base, jax.random.PRNGKey(0))
+    runner = ms.dolphin_multistream(params, cfg, n_streams)
+    rng = np.random.default_rng(0)
+    windows = jnp.asarray(
+        (rng.standard_normal((n_streams, cfg.window_samples)) * 2000)
+        .astype(np.float32))
+    chunk_seconds = cfg.advance_samples / 16000.0
+    _measure_stream(f"dolphin_multistream_x{n_streams}_f32", runner._step,
+                    (runner.params, runner.states, windows),
+                    chunk_seconds, 0.14,
+                    f"{n_streams} concurrent streams, one vmapped dispatch/tick; "
+                    "ref README.md:60 (offline row)",
+                    batch=n_streams)
+
+
 BENCHES = {
     "sensevoice": bench_sensevoice,
     "sensevoice_bf16": bench_sensevoice_bf16,
@@ -734,8 +848,10 @@ BENCHES = {
     "nemotron": bench_nemotron,
     "firered": bench_firered,
     "firered_q8": bench_firered_q8,
+    "firered_q8_batch1": bench_firered_q8_batch1,
     "dolphin": bench_dolphin,
     "dolphin_q8": bench_dolphin_q8,
+    "dolphin_q8_batch1": bench_dolphin_q8_batch1,
     "fun_asr_nano": bench_fun_asr_nano_ctc,
     "fun_asr_nano_llm_q4": bench_fun_asr_nano_llm_q4,
     "fun_asr_llm_batch8": bench_fun_asr_llm_batch8,
@@ -743,8 +859,11 @@ BENCHES = {
     "paraformer_streaming": bench_paraformer_streaming,
     "paraformer_multistream": bench_paraformer_multistream,
     "zipformer_streaming": bench_zipformer_streaming,
+    "zipformer_multistream": bench_zipformer_multistream,
     "nemotron_streaming": bench_nemotron_streaming,
+    "nemotron_multistream": bench_nemotron_multistream,
     "dolphin_streaming": bench_dolphin_streaming,
+    "dolphin_multistream": bench_dolphin_multistream,
 }
 
 
