@@ -93,6 +93,11 @@ def test_cli_parity_harness(tmp_path):
                  "--save-golden", str(golden)]) == 0
     data = json.loads(golden.read_text())
     assert "zh-Shanghai.wav" in data
+    # Stage probes captured alongside the transcripts (runtime/probe.py):
+    # front-end, encoder and first-step logits snapshots.
+    probe = data["zh-Shanghai.wav"]["probe"]
+    assert set(probe) == {"frontend", "encoder", "logits"}
+    assert probe["encoder"]["head"] and probe["logits"]["shape"]
 
     # Same run -> OK; perturbed golden -> drift detected.
     assert main(["--platform", "cpu", "parity", "--model-dir", str(art),
@@ -102,6 +107,86 @@ def test_cli_parity_harness(tmp_path):
     golden.write_text(json.dumps(data))
     assert main(["--platform", "cpu", "parity", "--model-dir", str(art),
                  "--golden", str(golden)]) == 1
+
+
+def test_cli_parity_probe_localizes_stage(tmp_path, capsys):
+    """A drifting probe names the FIRST drifting stage (encoder here, not
+    the downstream logits), localizing a future checkpoint mismatch to
+    encoder vs decode; transcript-only goldens still compare clean."""
+    import torch
+
+    from asr_tpu.cli import main
+    from tests.test_firered import TINY, _firered_sd
+
+    rng = np.random.default_rng(3)
+    src = tmp_path / "ckpt"
+    src.mkdir()
+    torch.save({"args": {}, "model_state_dict": _firered_sd(TINY, rng)},
+               src / "model.pth.tar")
+    (src / "dict.txt").write_text("\n".join(f"t{i} {i}" for i in range(TINY.vocab_size)))
+    art = tmp_path / "artifact"
+    assert main(["--platform", "cpu", "build", "--family", "firered",
+                 "--checkpoint", str(src), "--out", str(art)]) == 0
+
+    golden = tmp_path / "golden.json"
+    assert main(["--platform", "cpu", "parity", "--model-dir", str(art),
+                 "--save-golden", str(golden)]) == 0
+    data = json.loads(golden.read_text())
+    name = next(iter(data))
+    # Perturb the ENCODER snapshot; logits stay as captured -> the report
+    # must blame the encoder stage (pipeline-ordered first drift).
+    data[name]["probe"]["encoder"]["head"][0] += 1.0
+    golden.write_text(json.dumps(data))
+    capsys.readouterr()
+    assert main(["--platform", "cpu", "parity", "--model-dir", str(art),
+                 "--golden", str(golden)]) == 1
+    out = capsys.readouterr().out
+    assert "first drift at stage 'encoder'" in out
+
+    # Transcript-only golden (pre-probe format) still works.
+    for v in data.values():
+        v.pop("probe", None)
+        v["token_ids"] = []  # fall back to text compare
+    golden.write_text(json.dumps(data))
+    assert main(["--platform", "cpu", "parity", "--model-dir", str(art),
+                 "--golden", str(golden)]) == 0
+
+
+def test_capture_probe_sensevoice_and_whisper():
+    """capture_probe covers the CTC (sensevoice) and AED (whisper) session
+    shapes; unsupported sessions return None (transcript-only goldens)."""
+    from asr_tpu.models import whisper as wh
+    from asr_tpu.runtime.probe import capture_probe, compare_probes
+    from asr_tpu.runtime.session import SenseVoiceSession
+    from asr_tpu.runtime.whisper_session import WhisperSession
+
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(8000) * 2000).astype(np.float32)
+
+    sv_params = sv.init_params(TINY, jax.random.PRNGKey(0))
+    sv_sess = SenseVoiceSession(sv_params, TINY, window_seconds=0.5)
+    p = capture_probe(sv_sess, audio)
+    assert set(p) == {"frontend", "logits"}
+    assert compare_probes(p, p) == []
+
+    wcfg = wh.WhisperConfig(
+        vocab_size=96, d_model=32, encoder_layers=1, decoder_layers=1,
+        num_heads=4, n_mels=16, max_source_positions=40,
+        max_target_positions=24, sot_id=1, eot_id=2, first_language_id=10,
+        num_languages=4, no_speech_id=30,
+    )
+    w_sess = WhisperSession(wh.init_params(wcfg, jax.random.PRNGKey(1)), wcfg,
+                            window_seconds=0.8)
+    pw = capture_probe(w_sess, (rng.standard_normal(6400) * 0.05).astype(np.float32))
+    assert set(pw) == {"frontend", "encoder", "logits"}
+    assert compare_probes(pw, pw) == []
+    # drift in the front-end is blamed on the front-end, not downstream
+    bad = {**pw, "frontend": {**pw["frontend"],
+                              "head": [v + 1 for v in pw["frontend"]["head"]]}}
+    msgs = compare_probes(bad, pw)
+    assert msgs and "stage 'frontend'" in msgs[0]
+
+    assert capture_probe(object(), audio) is None
 
 
 def test_serve_stream_rejects_non_streaming_family(tmp_path):
