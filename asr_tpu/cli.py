@@ -443,6 +443,7 @@ def cmd_parity(args) -> int:
     """
     from asr_tpu.runtime.examples import model_audio_cases
     from asr_tpu.runtime.metadata import ModelMetadata
+    from asr_tpu.runtime.probe import capture_probe, compare_probes
 
     # Token-for-token gate: quantized artifacts must run the kernels'
     # bit-exact f32 mode, not the bf16 serving default (env is read at
@@ -457,6 +458,12 @@ def cmd_parity(args) -> int:
                               Path(args.examples) if args.examples else None)
     if not cases:
         raise SystemExit(f"no registered fixtures for family {meta.family!r}")
+    golden = json.loads(Path(args.golden).read_text()) if args.golden else None
+    # Stage probes (runtime/probe.py) ride the goldens: captured with
+    # --save-golden, recomputed on compare only when the golden carries
+    # them, so old transcript-only goldens keep working.
+    want_probes = args.save_golden or (
+        golden is not None and any("probe" in w for w in golden.values()))
     results = {}
     for lang, path in cases:
         kwargs = {}
@@ -465,19 +472,27 @@ def cmd_parity(args) -> int:
         res = sess.transcribe(str(path), **kwargs)
         results[path.name] = {"language": lang, "text": res.text,
                               "token_ids": res.token_ids}
+        if want_probes:
+            probe = capture_probe(sess, str(path))
+            if probe is not None:
+                results[path.name]["probe"] = probe
         print(f"{path.name}\t[{lang}]\tRTF {res.rtf:.4f}\t{res.text}")
     if args.save_golden:
         Path(args.save_golden).write_text(json.dumps(results, ensure_ascii=False, indent=2))
         print(f"goldens captured -> {args.save_golden}")
         return 0
-    if args.golden:
-        golden = json.loads(Path(args.golden).read_text())
+    if golden is not None:
         failures = []
         for name, want in golden.items():
             got = results.get(name)
             if got is None:
                 failures.append(f"{name}: fixture missing from run")
-            elif want.get("token_ids") and got["token_ids"] != want["token_ids"]:
+                continue
+            # Probe drift first: it names the first drifting STAGE, which
+            # localizes any transcript mismatch to front-end/encoder/decode.
+            for msg in compare_probes(got.get("probe"), want.get("probe")):
+                failures.append(f"{name}: {msg}")
+            if want.get("token_ids") and got["token_ids"] != want["token_ids"]:
                 failures.append(f"{name}: token ids drifted")
             elif got["text"] != want["text"]:
                 failures.append(f"{name}: text {got['text']!r} != {want['text']!r}")
@@ -512,23 +527,32 @@ def cmd_bench(args) -> int:
 def cmd_serve(args) -> int:
     """HTTP serving: micro-batched transcription endpoint (the production
     counterpart of the reference's per-file script loop)."""
-    mesh, tp = _mesh_from_args(args)
+    continuous = getattr(args, "continuous", False)
+    if continuous:
+        # --continuous scales out replica-per-device (llm_server.py): the
+        # session itself stays unsharded; --data-parallel N builds N
+        # batcher replicas behind one admission queue.
+        if getattr(args, "tensor_parallel", 1) > 1:
+            raise SystemExit("--continuous does not compose with "
+                             "--tensor-parallel; use --data-parallel N "
+                             "(replica-per-device scale-out)")
+        mesh, tp = None, 1
+    else:
+        mesh, tp = _mesh_from_args(args)
     sess = _build_session(Path(args.model_dir), language=args.language, mesh=mesh,
                           tensor_parallel=tp)
-    if getattr(args, "continuous", False):
+    if continuous:
         if not hasattr(sess, "prompt_embeds"):
             raise SystemExit(
                 f"--continuous serves the LLM families (qwen_asr, "
                 f"fun_asr_nano --head llm); {type(sess).__name__} has no "
                 "prompt_embeds surface — rerun without --continuous")
-        if mesh is not None:
-            raise SystemExit("--continuous is a single-chip engine; drop "
-                             "--data-parallel/--tensor-parallel")
         from asr_tpu.parallel.llm_server import serve_continuous
 
         serve_continuous(sess, host=args.host, port=args.port,
                          n_slots=args.slots, language=args.language,
-                         context=args.context, kv_dtype=args.kv_dtype)
+                         context=args.context, kv_dtype=args.kv_dtype,
+                         data_parallel=max(getattr(args, "data_parallel", 0) or 1, 1))
         return 0
     if not hasattr(sess, "_forward"):
         raise SystemExit(f"family {type(sess).__name__} has no batchable "

@@ -47,20 +47,45 @@ class _Req:
         self.t_admit = 0.0
 
 
+class _Replica:
+    """One continuous decode engine pinned to one device: its own batcher,
+    its own in-flight-request map, its own driver thread (the batcher's
+    single-driver-thread contract holds per replica)."""
+
+    __slots__ = ("index", "device", "batcher", "slot_req", "thread")
+
+    def __init__(self, index, device, batcher):
+        self.index = index
+        self.device = device
+        self.batcher = batcher
+        self.slot_req: dict[int, _Req] = {}
+        self.thread: threading.Thread | None = None
+
+
 class ContinuousSessionServer:
-    """One continuous decode batch behind an HTTP front end.
+    """Continuous decode batches behind an HTTP front end.
 
     ``session`` must expose the continuous-batching surface
     (``prompt_embeds``, ``llm_params``, ``llm_cfg``, ``decode_cfg``,
     ``window_samples`` — :class:`QwenAsrSession` and
-    :class:`FunAsrNanoLlmSession`). Single-chip serving: a ``mesh=``
-    session shards its params for the lockstep path; run this engine on
-    an unsharded session.
+    :class:`FunAsrNanoLlmSession`).
+
+    Scale-out (``data_parallel=N``) is replica-per-device — the TPU-native
+    shape for a latency engine whose requests are independent: the LLM
+    weights are copied to N devices, each device runs its own
+    :class:`ContinuousLlmBatcher` (the exact single-chip engine, megakernel
+    included) behind ONE shared admission queue, and replicas never
+    communicate — linear throughput with zero collectives, unlike the
+    lockstep path's sharded batches. Prompt embeds (audio tower) compute on
+    the session's device and hop to the owning replica as one small
+    host-staged copy per request (~L x H floats). Run the session itself
+    UNSHARDED (no ``mesh=``); ``--tensor-parallel`` does not compose with
+    this engine.
     """
 
     def __init__(self, session, n_slots: int = 8, language: str | None = None,
                  context: str = "", warmup: bool = True,
-                 kv_dtype: str = "f32"):
+                 kv_dtype: str = "f32", data_parallel: int = 1):
         if not hasattr(session, "prompt_embeds"):
             raise TypeError(
                 f"{type(session).__name__} has no prompt_embeds surface; "
@@ -80,62 +105,91 @@ class ContinuousSessionServer:
         probe, _ = session.prompt_embeds(
             np.zeros(16, np.float32), context=context, language=language)
         t_max = _bucket(int(probe.shape[0])) + dc.max_new_tokens + 1
+        import jax
         import jax.numpy as jnp
 
         if kv_dtype not in ("f32", "bf16"):
             raise ValueError(f"kv_dtype must be f32 or bf16, got {kv_dtype!r}")
-        self.batcher = ContinuousLlmBatcher(
-            session.llm_params, session.llm_cfg, dc,
-            n_slots=n_slots, t_max=t_max,
-            kv_dtype=jnp.bfloat16 if kv_dtype == "bf16" else jnp.float32,
-            # q4-packed sessions carry stacked megakernel weights: the
-            # decode step then runs as ONE pallas_call over all slots
-            stacked=getattr(session, "stacked", None))
+        kvd = jnp.bfloat16 if kv_dtype == "bf16" else jnp.float32
+        dp = max(int(data_parallel), 1)
+        devices = jax.devices()
+        if dp > len(devices):
+            raise ValueError(
+                f"data_parallel={dp} but only {len(devices)} device(s)")
+        stacked0 = getattr(session, "stacked", None)
+        self.replicas: list[_Replica] = []
+        for i in range(dp):
+            dev = devices[i]
+            if i == 0:
+                params, stacked = session.llm_params, stacked0
+            else:  # replicate the weights: plain dp, one full copy per chip
+                params = jax.device_put(session.llm_params, dev)
+                stacked = (jax.device_put(stacked0, dev)
+                           if stacked0 is not None else None)
+            with jax.default_device(dev):
+                batcher = ContinuousLlmBatcher(
+                    params, session.llm_cfg, dc, n_slots=n_slots, t_max=t_max,
+                    kv_dtype=kvd,
+                    # q4-packed sessions carry stacked megakernel weights: the
+                    # decode step then runs as ONE pallas_call over all slots
+                    stacked=stacked)
+            self.replicas.append(_Replica(i, dev, batcher))
+        self.batcher = self.replicas[0].batcher  # single-chip alias
 
         self._cv = threading.Condition()
         self._pending: collections.deque[_Req] = collections.deque()
-        self._slot_req: dict[int, _Req] = {}
         self._stop = False
         self._fatal: Exception | None = None
+        self._pending_failed = False
         self._stats_lock = threading.Lock()
         self._requests_served = 0
         self._tokens_generated = 0
         self._steps = 0
         self._step_time = 0.0
         self._queue_wait_total = 0.0
+        # prompt_embeds runs the session's jit from every replica driver;
+        # serialize it (one audio tower, shared executable cache)
+        self._embed_lock = threading.Lock()
 
         if warmup:
-            # Compile prefill + insert + one decode step before the first
-            # real request (first jit is 5-40 s on TPU).
-            slot = self.batcher.try_submit(probe, 1)
-            if self.batcher.is_active(slot):
-                self.batcher.step()
-                self.batcher.cancel(slot)
-            else:
-                self.batcher.take_result(slot)
+            # Compile prefill + insert + one decode step on EVERY replica
+            # before the first real request (first jit is 5-40 s on TPU).
+            for rep in self.replicas:
+                emb = probe if rep.index == 0 else jax.device_put(
+                    np.asarray(probe), rep.device)
+                slot = rep.batcher.try_submit(emb, 1)
+                if rep.batcher.is_active(slot):
+                    rep.batcher.step()
+                    rep.batcher.cancel(slot)
+                else:
+                    rep.batcher.take_result(slot)
 
-        self._thread = threading.Thread(target=self._drive, daemon=True)
-        self._thread.start()
+        for rep in self.replicas:
+            rep.thread = threading.Thread(target=self._drive, args=(rep,),
+                                          daemon=True)
+            rep.thread.start()
 
-    # ── driver thread: the ONLY thread touching the device ─────────────────
-    def _drive(self) -> None:
+    # ── driver threads: ONE per replica (the only thread touching its
+    #    device state) ───────────────────────────────────────────────────────
+    def _drive(self, rep: _Replica) -> None:
         try:
             while True:
                 with self._cv:
                     while (not self._stop and not self._pending
-                           and not self._slot_req):
+                           and not rep.slot_req):
                         self._cv.wait(timeout=0.2)
                     if self._stop:
-                        self._fail_all(RuntimeError("server shut down"))
+                        self._fail_replica(rep,
+                                           RuntimeError("server shut down"))
                         return
                     admit = []
                     while (self._pending
-                           and len(admit) + len(self._slot_req) < self.batcher.n_slots):
+                           and len(admit) + len(rep.slot_req) < rep.batcher.n_slots):
                         admit.append(self._pending.popleft())
                 for req in admit:
-                    self._admit(req)
+                    self._admit(rep, req)
                 t0 = time.perf_counter()
-                events = self.batcher.step()
+                events = rep.batcher.step()
                 if events:
                     dt = time.perf_counter() - t0
                     with self._stats_lock:
@@ -144,7 +198,7 @@ class ContinuousSessionServer:
                         self._tokens_generated += len(events)
                 for slot, _tok, fin in events:
                     if fin:
-                        self._finish(slot)
+                        self._finish(rep, slot)
         except Exception as exc:  # device OOM / XLA error: the engine is dead
             # Fail every pending AND in-flight request (their handler threads
             # block on event.wait() with no timeout), refuse new submissions,
@@ -152,24 +206,35 @@ class ContinuousSessionServer:
             with self._cv:
                 self._stop = True
                 self._fatal = exc
-                self._fail_all(exc)
+                self._fail_replica(rep, exc)
+                self._cv.notify_all()  # wake sibling drivers to fail theirs
 
-    def _fail_all(self, exc: Exception) -> None:
-        """Fail every queued and admitted request. Caller holds ``_cv``."""
-        for req in self._pending:
+    def _fail_replica(self, rep: _Replica, exc: Exception) -> None:
+        """Fail the shared queue (once) and THIS replica's admitted
+        requests; sibling replicas fail their own when they observe
+        ``_stop``. Caller holds ``_cv``."""
+        if not self._pending_failed:
+            self._pending_failed = True
+            for req in self._pending:
+                req.error = exc
+                req.event.set()
+            self._pending.clear()
+        for req in rep.slot_req.values():
             req.error = exc
             req.event.set()
-        self._pending.clear()
-        for req in self._slot_req.values():
-            req.error = exc
-            req.event.set()
-        self._slot_req.clear()
+        rep.slot_req.clear()
 
-    def _admit(self, req: _Req) -> None:
+    def _admit(self, rep: _Replica, req: _Req) -> None:
         try:
-            embeds, valid = self.session.prompt_embeds(
-                req.samples, context=self._context, language=self._language)
-            slot = self.batcher.try_submit(embeds, max(valid, 1))
+            with self._embed_lock:
+                embeds, valid = self.session.prompt_embeds(
+                    req.samples, context=self._context,
+                    language=self._language)
+            if rep.index != 0:
+                import jax
+
+                embeds = jax.device_put(np.asarray(embeds), rep.device)
+            slot = rep.batcher.try_submit(embeds, max(valid, 1))
         except Exception as exc:  # bad audio shape etc. — fail THIS request
             req.error = exc
             req.event.set()
@@ -181,17 +246,17 @@ class ContinuousSessionServer:
         req.t_admit = time.perf_counter()
         with self._stats_lock:
             self._queue_wait_total += req.t_admit - req.t_enqueue
-        if not self.batcher.is_active(slot):
+        if not rep.batcher.is_active(slot):
             # first token was already EOT (or a budget of one): step() will
             # never report this slot — drain it here
-            req.ids = self.batcher.take_result(slot)
+            req.ids = rep.batcher.take_result(slot)
             self._complete(req)
         else:
-            self._slot_req[slot] = req
+            rep.slot_req[slot] = req
 
-    def _finish(self, slot: int) -> None:
-        ids = self.batcher.take_result(slot)
-        req = self._slot_req.pop(slot, None)
+    def _finish(self, rep: _Replica, slot: int) -> None:
+        ids = rep.batcher.take_result(slot)
+        req = rep.slot_req.pop(slot, None)
         if req is None:  # cancelled (warmup / client gone)
             return
         req.ids = ids
@@ -260,8 +325,9 @@ class ContinuousSessionServer:
             "engine": "continuous",
             "step_kernel": "fused" if self.batcher.stacked is not None
             else "rowwise",
-            "slots": self.batcher.n_slots,
-            "slots_active": len(self._slot_req),
+            "replicas": len(self.replicas),
+            "slots": sum(r.batcher.n_slots for r in self.replicas),
+            "slots_active": sum(len(r.slot_req) for r in self.replicas),
             "queue_depth": len(self._pending),
             "requests_served": served,
             "decode_steps": steps,
@@ -275,23 +341,28 @@ class ContinuousSessionServer:
     def close(self) -> None:
         with self._cv:
             self._stop = True
-            self._cv.notify()
-        self._thread.join(timeout=10)
+            self._cv.notify_all()
+        for rep in self.replicas:
+            if rep.thread is not None:
+                rep.thread.join(timeout=10)
 
 
 def serve_continuous(session, host: str = "127.0.0.1", port: int = 8000,
                      n_slots: int = 8, language: str | None = None,
                      context: str = "", warmup: bool = True,
-                     kv_dtype: str = "f32"):
+                     kv_dtype: str = "f32", data_parallel: int = 1):
     """Blocking entry point used by ``serve --continuous``."""
     from asr_tpu.parallel.http_server import make_http_server
 
     srv = ContinuousSessionServer(session, n_slots=n_slots, language=language,
                                   context=context, warmup=warmup,
-                                  kv_dtype=kv_dtype)
+                                  kv_dtype=kv_dtype,
+                                  data_parallel=data_parallel)
     httpd = make_http_server(srv, host, port)
     print(f"serving on http://{host}:{httpd.server_address[1]} "
-          f"(engine=continuous, slots={n_slots})")
+          f"(engine=continuous, slots={n_slots}"
+          + (f" x {data_parallel} replicas" if data_parallel > 1 else "")
+          + ")")
     try:
         httpd.serve_forever()
     finally:
@@ -301,14 +372,15 @@ def serve_continuous(session, host: str = "127.0.0.1", port: int = 8000,
 def start_background_continuous(session, host: str = "127.0.0.1", port: int = 0,
                                 n_slots: int = 8, language: str | None = None,
                                 context: str = "", warmup: bool = True,
-                                kv_dtype: str = "f32"):
+                                kv_dtype: str = "f32", data_parallel: int = 1):
     """Non-blocking start (tests / embedding): returns (httpd, server,
     thread); actual port in ``httpd.server_address[1]``."""
     from asr_tpu.parallel.http_server import make_http_server
 
     srv = ContinuousSessionServer(session, n_slots=n_slots, language=language,
                                   context=context, warmup=warmup,
-                                  kv_dtype=kv_dtype)
+                                  kv_dtype=kv_dtype,
+                                  data_parallel=data_parallel)
     httpd = make_http_server(srv, host, port)
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     thread.start()
