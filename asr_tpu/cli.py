@@ -441,15 +441,29 @@ def cmd_parity(args) -> int:
     them from the reference's Inference_*.py output (text match) or a prior
     run of this framework (regression match).
     """
-    from asr_tpu.runtime.examples import model_audio_cases
-    from asr_tpu.runtime.metadata import ModelMetadata
-    from asr_tpu.runtime.probe import capture_probe, compare_probes
-
     # Token-for-token gate: quantized artifacts must run the kernels'
     # bit-exact f32 mode, not the bf16 serving default (env is read at
     # trace time, so set it before the session's first jit). Overrides any
     # inherited serving value — parity is meaningless in bf16 mode.
+    # Restored on exit: a lingering f32 override would silently disable
+    # bf16-gated kernel routing for the rest of the process (bit us in
+    # same-process test runs).
+    prior_mm = os.environ.get("ASR_TPU_QUANT_MM")
     os.environ["ASR_TPU_QUANT_MM"] = "f32"
+    try:
+        return _cmd_parity_impl(args)
+    finally:
+        if prior_mm is None:
+            os.environ.pop("ASR_TPU_QUANT_MM", None)
+        else:
+            os.environ["ASR_TPU_QUANT_MM"] = prior_mm
+
+
+def _cmd_parity_impl(args) -> int:
+    from asr_tpu.runtime.examples import model_audio_cases
+    from asr_tpu.runtime.metadata import ModelMetadata
+    from asr_tpu.runtime.probe import capture_probe, compare_probes
+
     meta = ModelMetadata.load(Path(args.model_dir))
     sess = _build_session(Path(args.model_dir))
     import inspect

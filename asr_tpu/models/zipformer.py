@@ -268,11 +268,13 @@ def _attn_weights(p: dict, g: dict, src: jnp.ndarray, cached_key: jnp.ndarray, k
     ph = pos_q.reshape(seq, h, phd).transpose(1, 0, 2)
     scores = jnp.einsum("hsd,hdk->hsk", qh, kh)
     pos_scores_full = jnp.einsum("hsd,hdp->hsp", ph, p["pos_table"])  # (h, seq, seq_len2)
-    # rel->abs gather: index[t, c] = (seq - 1 - t) + c
-    t_idx = jnp.arange(seq)[:, None]
-    c_idx = jnp.arange(k_len)[None, :]
-    gidx = (seq - 1 - t_idx) + c_idx
-    pos_scores = jnp.take_along_axis(pos_scores_full, jnp.broadcast_to(gidx[None], (h, seq, k_len)), axis=2)
+    # rel->abs shift: row t wants columns [seq-1-t, seq-1-t+k_len) — a
+    # CONTIGUOUS slice per row, so seq static slices (copies, fused by
+    # XLA) instead of a general gather; gathers on small tensors are
+    # latency-poison on TPU and this runs once per layer per chunk.
+    pos_scores = jnp.stack(
+        [pos_scores_full[:, t, seq - 1 - t: seq - 1 - t + k_len]
+         for t in range(seq)], axis=1)
     scores = scores + pos_scores
     scores = jnp.where(kpm[None, None, :], -1000.0, scores)
     return jax.nn.softmax(scores, axis=-1), new_key

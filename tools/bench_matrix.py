@@ -632,14 +632,21 @@ def _measure_stream(name, step, args, chunk_seconds, ref_cpu_rtf, note="",
     # the MINIMUM of several repeats per loop length — min(t) converges to
     # device + min-RTT, and the subtraction cancels min-RTT. A 5-sample
     # median difference went NEGATIVE for the fastest chunks under tunnel
-    # weather; minima are robust.
-    t1s, t2s = [], []
-    for _ in range(7):
-        t0 = time.perf_counter(); _fetch(run(iters, state0, pre, post))
-        t1s.append(time.perf_counter() - t0)
-        t0 = time.perf_counter(); _fetch(run(2 * iters, state0, pre, post))
-        t2s.append(time.perf_counter() - t0)
-    per_chunk = (min(t2s) - min(t1s)) / iters
+    # weather; minima are robust — but only once the loop's device time
+    # exceeds the residual RTT jitter, so on a non-positive difference the
+    # loop length doubles and the pair is re-measured (seen at 25×1.5 ms
+    # chunks under a ~3.2 s-RTT tunnel day).
+    while True:
+        t1s, t2s = [], []
+        for _ in range(7):
+            t0 = time.perf_counter(); _fetch(run(iters, state0, pre, post))
+            t1s.append(time.perf_counter() - t0)
+            t0 = time.perf_counter(); _fetch(run(2 * iters, state0, pre, post))
+            t2s.append(time.perf_counter() - t0)
+        per_chunk = (min(t2s) - min(t1s)) / iters
+        if per_chunk > 0 or iters >= 400:
+            break
+        iters *= 2
 
     # secondary: one dispatch per chunk, completion fetched each tick —
     # includes Python dispatch + tunnel round trip (varies with tunnel load)
