@@ -189,7 +189,7 @@ def _decoder_pass(params, cfg, state, tokens, pos, cross_bias):
     return embedding_logits(dec["embed"], x), {"layers": tuple(new_layers)}
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "decode_cfg"))
+@functools.partial(jax.jit, static_argnames=("cfg", "decode_cfg", "fused_interpret"))
 def transcribe(
     params: dict,
     cfg: DolphinConfig,
@@ -198,8 +198,15 @@ def transcribe(
     prompt: jnp.ndarray,
     decode_cfg: DecodeConfig,
     rng: jax.Array | None = None,
+    stacked: dict | None = None,
+    fused_interpret: bool = False,
 ) -> dict:
     """Raw audio + prompt -> generated ids, with lang/region auto-detect.
+
+    ``stacked``: q8 AED-megakernel weights
+    (``ops.fused_aed_step.stack_aed_step_params``) — batch-1 generation
+    then runs each decode step as ONE pallas_call; probes/prefill keep
+    the per-weight path.
 
     ``prompt`` (B, P) int32: [sos, lang, region, ...]; slots holding -1/-2
     are replaced by the probed language/region token (reference probe-aware
@@ -244,6 +251,15 @@ def transcribe(
         rng = jax.random.PRNGKey(0)
     first, rng = select_token(logits0, buf, jnp.asarray(p_len, jnp.int32), decode_cfg, rng,
                               history_start=p_len)
+
+    from asr_tpu.ops.fused_aed_step import fused_ar_decode
+
+    fused = fused_ar_decode(params, cfg, state, enc, enc_valid, first, buf,
+                            decode_cfg, rng, stacked, fused_interpret,
+                            start_pos=p_len)
+    if fused is not None:
+        out.update({"tokens": fused[0], "counts": fused[1]})
+        return out
 
     def step(state, token, pos):
         lg, state = _decoder_pass(params, cfg, state, token, pos, cross_bias)

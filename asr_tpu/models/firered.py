@@ -252,7 +252,7 @@ def _decoder_pass(params, cfg, state, tokens, pos, cross_bias):
     return logits, {"layers": tuple(new_layers)}
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "decode_cfg"))
+@functools.partial(jax.jit, static_argnames=("cfg", "decode_cfg", "fused_interpret"))
 def transcribe(
     params: dict,
     cfg: FireRedConfig,
@@ -260,8 +260,16 @@ def transcribe(
     valid_samples: jnp.ndarray,
     decode_cfg: DecodeConfig,
     rng: jax.Array | None = None,
+    stacked: dict | None = None,
+    fused_interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Raw audio -> (tokens (B, 1 + max_new + 1), counts) starting from [SOS]."""
+    """Raw audio -> (tokens (B, 1 + max_new + 1), counts) starting from [SOS].
+
+    ``stacked``: q8 megakernel weights from
+    ``ops.fused_aed_step.stack_aed_step_params`` — batch-1 decode then
+    runs each step as ONE pallas_call (all layers + tied head); other
+    shapes/layouts keep the per-weight path.
+    """
     enc, enc_valid = encode(params, cfg, audio, valid_samples)
     cross_bias = jnp.where(length_mask(enc_valid, enc.shape[1]), 0.0, NEG_INF)[
         :, None, None, :
@@ -277,6 +285,14 @@ def transcribe(
         rng = jax.random.PRNGKey(0)
     first, rng = select_token(logits0, buf, jnp.asarray(1, jnp.int32), decode_cfg, rng,
                               history_start=1)
+
+    from asr_tpu.ops.fused_aed_step import fused_ar_decode
+
+    fused = fused_ar_decode(params, cfg, state, enc, enc_valid, first, buf,
+                            decode_cfg, rng, stacked, fused_interpret,
+                            start_pos=1)
+    if fused is not None:
+        return fused
 
     def step(state, token, pos):
         lg, state = _decoder_pass(params, cfg, state, token, pos, cross_bias)

@@ -269,7 +269,7 @@ def transcribe_window(
     use_fused = stacked is not None and b == 1 and (
         jax.default_backend() == "tpu" or fused_interpret)
     if use_fused:
-        from asr_tpu.ops.fused_whisper_step import (
+        from asr_tpu.ops.fused_aed_step import (
             fused_whisper_step, whisper_fused_fits)
         from asr_tpu.ops.quant_matmul import _resolve_kernel, _resolve_mm
 

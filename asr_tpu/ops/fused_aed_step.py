@@ -1,14 +1,21 @@
-"""Single-pallas_call Whisper decode step: 4 turbo layers + tied head.
+"""Single-pallas_call AED decode step: all decoder layers + tied head.
 
-Batch-1 AR Whisper decode (the shape the reference's own headline RTF is
-measured at — its runtime is strictly batch-1,
-``Whisper/Inference_Whisper_ONNX.py:584-663``) is HBM-bound on the
-quantized weight bytes plus the tied LM head, but the per-weight path
-splits one decode step into ~60 dispatches. This kernel runs the ENTIRE
-step — per layer: LN + fused self-qkv, cached self-attention with an
-8-row aligned cache patch, o-proj, LN + cross-q, cross-attention over
-precomputed (chunk-streamed) cross-KV, cross-o, LN + GELU MLP — plus the
-final LN and the q8 tied embedding head as ONE ``pallas_call`` with
+Batch-1 AR decode of the pre-LN encoder–decoder families — Whisper
+(``Whisper/Inference_Whisper_ONNX.py:584-663``), FireRedASR-AED
+(``FireRedASR/Inference_FireRedASR_AED_ONNX.py``) and Dolphin
+(``Dolphin/Inference_Dolphin_ONNX.py``); every one of the reference's
+published numbers is measured at exactly this shape, its runtimes are
+strictly batch-1 — is HBM-bound on the quantized weight bytes plus the
+tied LM head, but the per-weight path splits one decode step into ~60
+dispatches. All three families share ONE decoder block
+(``layers/transformer.decoder_block``: pre-LN self-attention with KV
+cache, cross-attention over precomputed cross-KV, exact-GELU MLP; they
+differ only in which linears carry biases — absent biases stack as
+zeros), so one kernel serves them all. It runs the ENTIRE step — per
+layer: LN + fused self-qkv, cached self-attention with an 8-row aligned
+cache patch, o-proj, LN + cross-q, cross-attention over (chunk-streamed)
+cross-KV, cross-o, LN + GELU MLP — plus the final LN and the q8 tied
+embedding head as ONE ``pallas_call`` with
 ``grid=(num_layers + head_strips,)``, reusing the strip-pool DMA
 architecture of the Qwen megakernel (``ops/fused_decode.py``):
 
@@ -31,17 +38,22 @@ architecture of the Qwen megakernel (``ops/fused_decode.py``):
 
 Reference semantics matched: ``Whisper/Export_Whisper.py:497-664``
 (decoder graph: pre-LN blocks, d^-0.25-style scaling folded as one
-d^-0.5 on scores here, biased q/v/o, bias-free k, exact GELU) and the
-merged-graph decode loop of ``Whisper/Inference_Whisper_ONNX.py``.
+d^-0.5 on scores here, exact GELU) and the merged-graph decode loops of
+``Whisper/Inference_Whisper_ONNX.py`` /
+``FireRedASR/Inference_FireRedASR_AED_ONNX.py`` /
+``Dolphin/Inference_Dolphin_ONNX.py``. The number of VALID cross rows
+rides SMEM (``tc_valid``) so per-utterance encoder lengths never
+retrace.
 
 Numerics: bf16 MXU dots with f32 accumulation; LayerNorms, softmax and
 residuals in f32. q8-block-quantized-only (the reference's published
-Whisper config is q8f32, ``README.md:54-55``); other layouts keep the
-per-weight path.
+configs for these families are q8f32, ``README.md:54-60``); other
+layouts keep the per-weight path.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -54,7 +66,20 @@ from asr_tpu.ops.fused_decode import _NEG
 _SLOTS = 2
 
 
-def _whisper_plan(d: int, ffn: int, heads: int, block: int):
+@dataclasses.dataclass(frozen=True)
+class AedGeom:
+    """Decoder geometry (hashable — rides jit static args)."""
+
+    d_model: int
+    ffn_dim: int
+    num_heads: int
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.num_heads
+
+
+def _aed_plan(d: int, ffn: int, heads: int, block: int):
     """Static strip plan. None when the geometry doesn't tile."""
     if d % block or ffn % block or d % 256 or heads % 2:
         return None
@@ -83,33 +108,39 @@ def _whisper_plan(d: int, ffn: int, heads: int, block: int):
     }
 
 
-def stack_whisper_step_params(params: dict, cfg) -> dict | None:
-    """Whisper q8 decoder params -> stacked arrays for the step megakernel.
+def stack_aed_step_params(dec: dict, geom: AedGeom) -> dict | None:
+    """q8 AED decoder params -> stacked arrays for the step megakernel.
 
-    Requires every decoder linear to be an UNPACKED 8-bit QuantizedLinear
-    with one common block size, and ``decoder.embed`` to be a
-    :class:`QuantizedEmbedding` (bits=8) carrying the (D, V_pad) tied-head
-    copy. Returns None when the structure doesn't match — callers fall
+    ``dec`` is the family's decoder dict (``params["decoder"]`` — blocks
+    built by ``layers/transformer.decoder_block``'s layout, shared by
+    Whisper/FireRed/Dolphin). Requires every decoder linear to be an
+    UNPACKED 8-bit QuantizedLinear with one common block size, and the
+    tied head (``dec["out"]`` when untied, else ``dec["embed"]``) to be a
+    :class:`QuantizedEmbedding` (bits=8) carrying the (D, V_pad)
+    transposed copy. Absent biases (Whisper's k, FireRed's o) stack as
+    zeros. Returns None when the structure doesn't match — callers fall
     back to the per-weight path. The head copy is re-padded to a multiple
     of the pool strip width (zero scale -> exactly-0 pad logits)."""
     from asr_tpu.quant.quantize import QuantizedEmbedding, QuantizedLinear
 
-    if not isinstance(params, dict) or "decoder" not in params:
+    if not isinstance(dec, dict):
         return None
-    dec = params["decoder"]
-    d = cfg.d_model
-    plan = _whisper_plan(d, cfg.ffn_dim, cfg.num_heads, 128)
+    d = geom.d_model
+    plan = _aed_plan(d, geom.ffn_dim, geom.num_heads, 128)
     if plan is None:
         return None
 
-    def leaf(p, need_bias):
+    def leaf(p):
         w = p.get("w")
         if not (isinstance(w, QuantizedLinear) and not w.packed
                 and w.bits == 8 and not w.dynamic):
             return None
-        if need_bias is not None and (("b" in p) != need_bias):
-            return None
         return w
+
+    def bias(p, n):
+        b = p.get("b")
+        return (jnp.zeros((n,), jnp.float32) if b is None
+                else jnp.asarray(b, jnp.float32))
 
     block = None
     wa_rows, a_s, a_zs, ba = [], [], [], []
@@ -117,10 +148,10 @@ def stack_whisper_step_params(params: dict, cfg) -> dict | None:
     lns = {k: [] for k in ("ln1_s", "ln1_b", "lnc_s", "lnc_b", "ln2_s", "ln2_b")}
     for p in dec.get("blocks", []):
         ws = {
-            "q": leaf(p["attn"]["q"], True), "k": leaf(p["attn"]["k"], False),
-            "v": leaf(p["attn"]["v"], True), "o": leaf(p["attn"]["o"], True),
-            "cq": leaf(p["cross"]["q"], True), "co": leaf(p["cross"]["o"], True),
-            "fc1": leaf(p["mlp"]["fc1"], True), "fc2": leaf(p["mlp"]["fc2"], True),
+            "q": leaf(p["attn"]["q"]), "k": leaf(p["attn"]["k"]),
+            "v": leaf(p["attn"]["v"]), "o": leaf(p["attn"]["o"]),
+            "cq": leaf(p["cross"]["q"]), "co": leaf(p["cross"]["o"]),
+            "fc1": leaf(p["mlp"]["fc1"]), "fc2": leaf(p["mlp"]["fc2"]),
         }
         if any(w is None for w in ws.values()):
             return None
@@ -141,21 +172,22 @@ def stack_whisper_step_params(params: dict, cfg) -> dict | None:
         a_s.append(sa.astype(jnp.float32))
         a_zs.append(za.astype(jnp.float32))
         bias_a = jnp.concatenate([
-            p["attn"]["q"]["b"], jnp.zeros((d,), jnp.float32),
-            p["attn"]["v"]["b"], p["attn"]["o"]["b"], p["cross"]["q"]["b"],
-            p["cross"]["o"]["b"], p["mlp"]["fc1"]["b"]]).astype(jnp.float32)
+            bias(p["attn"]["q"], d), bias(p["attn"]["k"], d),
+            bias(p["attn"]["v"], d), bias(p["attn"]["o"], d),
+            bias(p["cross"]["q"], d), bias(p["cross"]["o"], d),
+            bias(p["mlp"]["fc1"], geom.ffn_dim)])
         ba.append(bias_a)
         wb_rows.append(ws["fc2"].q)
         b_s.append(ws["fc2"].scale.astype(jnp.float32))
         b_zs.append((ws["fc2"].zero * ws["fc2"].scale).astype(jnp.float32))
-        bb.append(p["mlp"]["fc2"]["b"].astype(jnp.float32))
+        bb.append(bias(p["mlp"]["fc2"], d))
         for key, src in (("ln1", "ln1"), ("lnc", "ln_cross"), ("ln2", "ln2")):
             lns[key + "_s"].append(p[src]["scale"].astype(jnp.float32))
             lns[key + "_b"].append(p[src]["bias"].astype(jnp.float32))
 
     if not wa_rows:
         return None
-    emb = dec.get("embed")
+    emb = dec.get("out", dec.get("embed"))
     if not (isinstance(emb, QuantizedEmbedding) and emb.q_t is not None
             and not emb.q_t_packed and emb.bits == 8 and emb.block == block):
         return None
@@ -187,19 +219,27 @@ def stack_whisper_step_params(params: dict, cfg) -> dict | None:
     return out
 
 
-def whisper_fused_fits(cfg, t_self: int, t_cross: int, block: int = 128,
-                       budget: int = 14 << 20, cache_bytes: int = 2) -> bool:
+def stack_whisper_step_params(params: dict, cfg) -> dict | None:
+    """Whisper adapter: ``params["decoder"]`` through the generic stacker."""
+    if not isinstance(params, dict) or "decoder" not in params:
+        return None
+    return stack_aed_step_params(
+        params["decoder"], AedGeom(cfg.d_model, cfg.ffn_dim, cfg.num_heads))
+
+
+def aed_fused_fits(geom: AedGeom, t_self: int, t_cross: int, block: int = 128,
+                   budget: int = 14 << 20, cache_bytes: int = 2) -> bool:
     """Whether the step kernel's VMEM plan fits (see module docstring)."""
-    p = _whisper_plan(cfg.d_model, cfg.ffn_dim, cfg.num_heads, block)
-    if p is None or t_self % 8 or cfg.head_dim != 64:
+    p = _aed_plan(geom.d_model, geom.ffn_dim, geom.num_heads, block)
+    if p is None or t_self % 8 or geom.head_dim != 64:
         return False
-    d = cfg.d_model
+    d = geom.d_model
     tc_chunk = t_cross if t_cross <= 768 else -(-t_cross // 2 // 8) * 8
     if t_cross % tc_chunk:
         return False
     rows = max(t_self, tc_chunk)
     smax = max(t_self, t_cross)
-    pairs = cfg.num_heads // 2
+    pairs = geom.num_heads // 2
     fixed = (
         _SLOTS * d * p["wa"]               # pool_a (int8)
         + _SLOTS * p["rb"] * d             # pool_b (int8)
@@ -211,10 +251,16 @@ def whisper_fused_fits(cfg, t_self: int, t_cross: int, block: int = 128,
         + 8 * d * 4                        # xs/xo/xn + ln rows
     )
     scales = 2 * 2 * 4 * (d // block) * p["na_cols"] \
-        + 2 * 2 * 4 * (cfg.ffn_dim // block) * d
+        + 2 * 2 * 4 * (geom.ffn_dim // block) * d
     biases = 2 * 4 * (p["na_cols"] + d)
     head = 2 * p["wa"] * 4 + 2 * 2 * 4 * (d // block) * p["wa"]
     return fixed + scales + biases + head <= budget
+
+
+def whisper_fused_fits(cfg, t_self: int, t_cross: int, block: int = 128,
+                       budget: int = 14 << 20, cache_bytes: int = 2) -> bool:
+    return aed_fused_fits(AedGeom(cfg.d_model, cfg.ffn_dim, cfg.num_heads),
+                          t_self, t_cross, block, budget, cache_bytes)
 
 
 def _strip8(pool, slot, sem, s_ref, zs_ref, x_row, rows, width,
@@ -249,13 +295,14 @@ def _kernel(cfg_static, smem_ref, x_ref,
             xs, pool_a, pool_b, tiles, kpatch, vpatch,
             scores, ctx, xo, xn,
             sem_a, sem_b, sem_t, sem_wk, sem_wv):
-    (nl, d, heads, ffn, block, t_self, t_cross, tc_chunk, tc_valid, eps,
+    (nl, d, heads, ffn, block, t_self, t_cross, tc_chunk, eps,
      wa, rb, na, nb, n_head, off_o, off_cq, off_co, off_fc1) = cfg_static
     l = pl.program_id(0)
     pairs = heads // 2
     n_cc = t_cross // tc_chunk
     n_tiles = 2 + 2 * n_cc  # self-k, self-v, cross-k chunks, cross-v chunks
     pos = smem_ref[0]
+    tc_valid = smem_ref[1]  # VALID cross rows — dynamic, no per-length retrace
     scale = jnp.float32(64) ** -0.5
 
     # half-lane pair masks: row 0 keeps lanes [0,64), row 1 keeps [64,128)
@@ -531,22 +578,25 @@ def _kernel(cfg_static, smem_ref, x_ref,
         head_body()
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tc_valid", "interpret"))
-def fused_whisper_step(stacked: dict, cfg, x: jnp.ndarray,
-                       k_self: jnp.ndarray, v_self: jnp.ndarray,
-                       cross_k: jnp.ndarray, cross_v: jnp.ndarray,
-                       pos: jnp.ndarray, tc_valid: int | None = None,
-                       interpret: bool = False):
-    """One batch-1 Whisper decode step through the megakernel.
+@functools.partial(jax.jit, static_argnames=("geom", "interpret"))
+def fused_aed_step(stacked: dict, geom: AedGeom, x: jnp.ndarray,
+                   k_self: jnp.ndarray, v_self: jnp.ndarray,
+                   cross_k: jnp.ndarray, cross_v: jnp.ndarray,
+                   pos: jnp.ndarray, tc_valid=None,
+                   interpret: bool = False):
+    """One batch-1 AED decode step through the megakernel.
 
     Args:
-      stacked: from :func:`stack_whisper_step_params`.
+      stacked: from :func:`stack_aed_step_params`.
+      geom: decoder geometry (static).
       x: (1, D) f32 input row (token embed + positional embed at ``pos``).
       k_self/v_self: (NL, T, D) head-major self caches (f32 or bf16).
       cross_k/cross_v: (NL, Tc, D) precomputed cross KV (Tc a multiple of
         the chunk size the VMEM plan picked; pad rows are masked).
       pos: scalar int32 — cache slot of this token.
-      tc_valid: number of REAL cross rows (< Tc when padded); defaults Tc.
+      tc_valid: number of REAL cross rows (< Tc when padded) — int or
+        traced scalar (rides SMEM, so per-utterance encoder lengths share
+        one executable); defaults Tc.
 
     Returns ``(logits (1, V_pad) f32, k_self', v_self')`` (caches aliased
     in-place on TPU); pad logits columns are exactly 0.
@@ -554,18 +604,19 @@ def fused_whisper_step(stacked: dict, cfg, x: jnp.ndarray,
     nl, t_self = k_self.shape[0], k_self.shape[1]
     t_cross = cross_k.shape[1]
     assert t_self % 8 == 0
-    d, ffn = cfg.d_model, cfg.ffn_dim
-    plan = _whisper_plan(d, ffn, cfg.num_heads, 128)
+    d, ffn = geom.d_model, geom.ffn_dim
+    plan = _aed_plan(d, ffn, geom.num_heads, 128)
     tc_chunk = t_cross if t_cross <= 768 else -(-t_cross // 2 // 8) * 8
     assert t_cross % tc_chunk == 0, (t_cross, tc_chunk)
     n_head = stacked["wh"].shape[1] // plan["wa"]
     if tc_valid is None:
         tc_valid = t_cross
-    cfg_static = (nl, d, cfg.num_heads, ffn, 128, t_self, t_cross, tc_chunk,
-                  int(tc_valid), 1e-5, plan["wa"], plan["rb"], plan["na"],
+    cfg_static = (nl, d, geom.num_heads, ffn, 128, t_self, t_cross, tc_chunk,
+                  1e-5, plan["wa"], plan["rb"], plan["na"],
                   plan["nb"], n_head, plan["off_o"], plan["off_cq"],
                   plan["off_co"], plan["off_fc1"])
-    smem = pos.astype(jnp.int32)[None]
+    smem = jnp.stack([pos.astype(jnp.int32),
+                      jnp.asarray(tc_valid, jnp.int32)])
 
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     anyspec = lambda: pl.BlockSpec(memory_space=pl.ANY)
@@ -606,7 +657,7 @@ def fused_whisper_step(stacked: dict, cfg, x: jnp.ndarray,
     ]
     cdt = k_self.dtype
     rows = max(t_self, tc_chunk)
-    pairs = cfg.num_heads // 2
+    pairs = geom.num_heads // 2
     smax = max(t_self, t_cross)
     scratch = [
         pltpu.VMEM((1, d), jnp.float32),                 # xs
@@ -648,3 +699,71 @@ def fused_whisper_step(stacked: dict, cfg, x: jnp.ndarray,
         ),
     )(*args)
     return logits, kc, vc
+
+
+def fused_whisper_step(stacked: dict, cfg, x, k_self, v_self, cross_k,
+                       cross_v, pos, tc_valid=None, interpret: bool = False):
+    """Whisper adapter for :func:`fused_aed_step` (geometry from cfg)."""
+    return fused_aed_step(
+        stacked, AedGeom(cfg.d_model, cfg.ffn_dim, cfg.num_heads), x,
+        k_self, v_self, cross_k, cross_v, pos, tc_valid=tc_valid,
+        interpret=interpret)
+
+
+def fused_ar_decode(params, cfg, state, enc, enc_valid, first, buf,
+                    decode_cfg, rng, stacked, fused_interpret,
+                    start_pos=1):
+    """Shared batch-1 AR decode loop for the sqrt(d)-scaled-embedding AED
+    families (FireRed / Dolphin — ``models/*._decoder_pass`` input math:
+    ``embed[token] * sqrt(d) + reversed-relative-PE[pos]``, tied head).
+
+    Routes through :func:`fused_aed_step` when the megakernel applies
+    (batch 1, TPU-or-interpret, bf16 serving mode, geometry fits);
+    returns ``ar_decode``'s (tokens, counts), or None for the caller's
+    per-weight fallback. Whisper keeps its own branch
+    (``models/whisper.transcribe_window``) — its input math differs
+    (unscaled embed + learned positions).
+    """
+    from asr_tpu.decode.ar import ar_decode
+    from asr_tpu.layers.conformer import relative_position_embedding
+    from asr_tpu.ops.quant_matmul import _resolve_kernel, _resolve_mm
+
+    b = enc.shape[0]
+    if stacked is None or b != 1:
+        return None
+    if not (jax.default_backend() == "tpu" or fused_interpret):
+        return None
+    d = cfg.d_model
+    geom = AedGeom(d, cfg.dec_ffn, cfg.dec_heads)
+    t_max = state["layers"][0]["self_k"].shape[1]
+    tc = enc.shape[1]
+    tc_pad = -(-tc // 16) * 16  # 16: the >768 two-chunk split stays 8-aligned
+    cdt = state["layers"][0]["self_k"].dtype
+    if not (_resolve_mm(None) == "bf16" and _resolve_kernel() != "xla"
+            and aed_fused_fits(geom, t_max, tc_pad,
+                               cache_bytes=jnp.dtype(cdt).itemsize)):
+        return None
+    kc = jnp.stack([ls["self_k"][0].reshape(t_max, d) for ls in state["layers"]])
+    vc = jnp.stack([ls["self_v"][0].reshape(t_max, d) for ls in state["layers"]])
+    ck = jnp.stack([ls["cross_k"][0].reshape(tc, d) for ls in state["layers"]])
+    cv = jnp.stack([ls["cross_v"][0].reshape(tc, d) for ls in state["layers"]])
+    if tc_pad != tc:
+        ck = jnp.pad(ck, ((0, 0), (0, tc_pad - tc), (0, 0)))
+        cv = jnp.pad(cv, ((0, 0), (0, tc_pad - tc), (0, 0)))
+    dec = params["decoder"]
+    pe = jnp.asarray(relative_position_embedding(cfg.max_target_positions, d))
+    pos_table = pe[: cfg.max_target_positions][::-1]
+    tc_valid = enc_valid[0].astype(jnp.int32)
+
+    def fused_step_fn(st, token, pos):
+        kcc, vcc = st
+        x = (dec["embed"][token[:, 0]] * (d ** 0.5)
+             + jax.lax.dynamic_slice(pos_table, (pos, 0), (1, d)))
+        lg, kcc, vcc = fused_aed_step(
+            stacked, geom, x.astype(jnp.float32), kcc, vcc, ck, cv, pos,
+            tc_valid=tc_valid, interpret=fused_interpret)
+        return lg[:, : cfg.vocab_size], (kcc, vcc)
+
+    return ar_decode(fused_step_fn, (kc, vc),
+                     jnp.asarray(start_pos, jnp.int32), first, buf,
+                     decode_cfg, rng)

@@ -26,6 +26,19 @@ def strip_language_tags(text: str) -> str:
     return re.sub(r"<[a-z]{2}(-[A-Za-z]{2,4})?>", "", text).strip()
 
 
+def _aed_stacked(sess, cfg):
+    """Stacked AED step-megakernel weights for a q8 artifact
+    (``ops/fused_aed_step.py``) — None when the layout doesn't qualify or
+    the session is sharded (batch-1 single-chip latency route only)."""
+    if sess.runner is not None or not isinstance(sess.params, dict) \
+            or "decoder" not in sess.params:
+        return None
+    from asr_tpu.ops.fused_aed_step import AedGeom, stack_aed_step_params
+
+    return stack_aed_step_params(
+        sess.params["decoder"], AedGeom(cfg.d_model, cfg.dec_ffn, cfg.dec_heads))
+
+
 class _WindowedSession:
     """Shared machinery: pad/window audio, run forward per window batch."""
 
@@ -165,11 +178,14 @@ class FireRedSession(_WindowedSession):
         self.decode_cfg = decode_cfg or DecodeConfig(
             max_new_tokens=224, eot_id=cfg.eos_id, strategy="greedy"
         )
+        self.stacked = _aed_stacked(self, cfg)
 
     def _forward(self, params, audio, valid):
         from asr_tpu.models import firered as fr
 
-        toks, counts = fr.transcribe(params, self.cfg, audio, valid, self.decode_cfg)
+        toks, counts = fr.transcribe(
+            params, self.cfg, audio, valid, self.decode_cfg,
+            stacked=self.stacked if audio.shape[0] == 1 else None)
         return toks[:, 1:], counts  # drop the SOS slot
 
 
@@ -208,6 +224,7 @@ class DolphinSession(_WindowedSession):
         self.decode_cfg = decode_cfg or DecodeConfig(
             max_new_tokens=224, eot_id=cfg.eos_id, strategy="greedy"
         )
+        self.stacked = _aed_stacked(self, cfg)
         # ``language_catalog``: the artifact's 2-level token catalog
         # (export.dolphin_language_catalog). ``language`` accepts "ja",
         # "Japanese", "zh-SICHUAN" or "Chinese-Sichuan"-style names and
@@ -259,7 +276,8 @@ class DolphinSession(_WindowedSession):
             (b, 1),
         )
         out = dp.transcribe(params, self.cfg, audio, valid,
-                            jnp.asarray(prompt), self.decode_cfg)
+                            jnp.asarray(prompt), self.decode_cfg,
+                            stacked=self.stacked if b == 1 else None)
         if "language" in out:
             self.last_language = int(out["language"][0])
         if "region" in out:

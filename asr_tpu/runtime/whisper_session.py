@@ -87,7 +87,7 @@ class WhisperSession:
         # ops/fused_whisper_step.py — one pallas_call per decode step.
         self.stacked = None
         if self.runner is None:
-            from asr_tpu.ops.fused_whisper_step import stack_whisper_step_params
+            from asr_tpu.ops.fused_aed_step import stack_whisper_step_params
 
             self.stacked = stack_whisper_step_params(params, cfg)
 

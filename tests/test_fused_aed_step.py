@@ -1,4 +1,5 @@
-"""Correctness of the fused Whisper decode-step megakernel.
+"""Correctness of the fused AED decode-step megakernel (Whisper geometry here;
+FireRed/Dolphin coverage below).
 
 Compares ``fused_whisper_step`` (interpret mode) against the per-weight
 ``whisper.step`` reference (q8 weights dequantized to f32, HIGHEST matmuls
@@ -14,8 +15,8 @@ import numpy as np
 import pytest
 
 from asr_tpu.models import whisper as wh
-from asr_tpu.ops.fused_whisper_step import (
-    _whisper_plan,
+from asr_tpu.ops.fused_aed_step import (
+    _aed_plan,
     fused_whisper_step,
     stack_whisper_step_params,
     whisper_fused_fits,
@@ -66,9 +67,9 @@ def _stack_cross(state, t_cross, valid):
 
 
 def test_plan_and_fits():
-    assert _whisper_plan(CFG.d_model, CFG.ffn_dim, CFG.num_heads, 128) is not None
+    assert _aed_plan(CFG.d_model, CFG.ffn_dim, CFG.num_heads, 128) is not None
     turbo = wh.WhisperConfig()  # large-v3-turbo geometry
-    p = _whisper_plan(turbo.d_model, turbo.ffn_dim, turbo.num_heads, 128)
+    p = _aed_plan(turbo.d_model, turbo.ffn_dim, turbo.num_heads, 128)
     assert p is not None and p["na_cols"] == 6 * 1280 + 5120
     assert whisper_fused_fits(turbo, 448, 1504)
     assert not whisper_fused_fits(turbo, 444, 1504)  # unaligned cache
@@ -164,3 +165,71 @@ def test_transcribe_window_fused_routing():
                                   np.asarray(out_p["counts"]))
     np.testing.assert_array_equal(np.asarray(out_f["tokens"]),
                                   np.asarray(out_p["tokens"]))
+
+
+@pytest.mark.parametrize("family", ["firered", "dolphin"])
+def test_fused_ar_decode_matches_per_weight(family):
+    """FireRed / Dolphin batch-1 transcribe through the shared AED
+    megakernel route (interpret mode) must generate the same ids as the
+    per-weight path — same geometry constraints (head_dim 64, d%256==0),
+    biased k (both) and bias-free o (FireRed) exercise the zero-fill
+    bias stacking Whisper never does."""
+    from asr_tpu.decode.ar import DecodeConfig
+
+    if family == "firered":
+        from asr_tpu.models import firered as m
+
+        cfg = m.FireRedConfig(
+            vocab_size=96, d_model=256, enc_layers=1, enc_heads=4,
+            dec_layers=2, dec_heads=4, dec_ffn=768,
+            max_target_positions=16, sos_id=1, eos_id=2,
+        )
+        run = lambda p, a, v, dc, **kw: m.transcribe(p, cfg, a, v, dc, **kw)
+    else:
+        from asr_tpu.models import dolphin as m
+
+        cfg = m.DolphinConfig(
+            vocab_size=96, d_model=256, enc_layers=1, enc_heads=4, enc_ffn=320,
+            cgmlp_dim=320, csgu_kernel=7, fusion_kernel=3, dec_layers=2,
+            dec_heads=4, dec_ffn=768, sos_id=1, eos_id=2,
+            language_token_start=40, language_token_end=50,
+            region_token_start=50, region_token_end=60,
+            max_target_positions=16,
+        )
+        prompt = jnp.asarray([[cfg.sos_id, -1, -2]], jnp.int32)
+        run = lambda p, a, v, dc, **kw: m.transcribe(p, cfg, a, v, prompt,
+                                                     dc, **kw)
+
+    # quantize the DECODER only: min_size=0 on the whole tiny pytree would
+    # also hit encoder kernels that production min_size never touches
+    params = m.init_params(cfg, jax.random.PRNGKey(7))
+    params["decoder"] = quantize_pytree(
+        {"decoder": params["decoder"]}, bits=8, block=128, min_size=0,
+        refine_iters=0, quantize_embeddings=True)["decoder"]
+    from asr_tpu.ops.fused_aed_step import AedGeom, stack_aed_step_params
+
+    stacked = stack_aed_step_params(
+        params["decoder"], AedGeom(cfg.d_model, cfg.dec_ffn, cfg.dec_heads))
+    assert stacked is not None
+
+    rng = np.random.default_rng(1)
+    audio = jnp.asarray((rng.standard_normal((1, 8000)) * 2000)
+                        .astype(np.float32))
+    valid = jnp.asarray([8000], jnp.int32)
+    dc = DecodeConfig(max_new_tokens=5, eot_id=-1)
+
+    out_ref = run(params, audio, valid, dc)
+    out_fused = run(params, audio, valid, dc, stacked=stacked,
+                    fused_interpret=True)
+    if isinstance(out_ref, dict):
+        np.testing.assert_array_equal(np.asarray(out_fused["tokens"]),
+                                      np.asarray(out_ref["tokens"]))
+        np.testing.assert_array_equal(np.asarray(out_fused["counts"]),
+                                      np.asarray(out_ref["counts"]))
+        np.testing.assert_array_equal(np.asarray(out_fused["language"]),
+                                      np.asarray(out_ref["language"]))
+    else:
+        np.testing.assert_array_equal(np.asarray(out_fused[0]),
+                                      np.asarray(out_ref[0]))
+        np.testing.assert_array_equal(np.asarray(out_fused[1]),
+                                      np.asarray(out_ref[1]))

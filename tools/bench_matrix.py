@@ -228,7 +228,7 @@ def bench_whisper_batch1(tag="q8bf16", iters=3):
     ops/fused_whisper_step.py), the encoder rides XLA."""
     from asr_tpu.models import whisper as wh
     from asr_tpu.decode.ar import DecodeConfig
-    from asr_tpu.ops.fused_whisper_step import stack_whisper_step_params
+    from asr_tpu.ops.fused_aed_step import stack_whisper_step_params
     from asr_tpu.quant.quantize import cast_pytree, quantize_pytree
     cfg = wh.WhisperConfig()
     params = cast_pytree(
@@ -372,36 +372,51 @@ def bench_dolphin_q8():
 def bench_firered_q8_batch1():
     """SINGLE-STREAM FireRed-AED-L latency: batch 1, q8 weights — the
     shape the reference's own published number is measured at (its
-    runtime is strictly batch-1, ``FireRedASR/Inference_FireRedASR_AED_ONNX.py``)."""
+    runtime is strictly batch-1, ``FireRedASR/Inference_FireRedASR_AED_ONNX.py``);
+    every decode step is ONE pallas_call (16 layers + tied head,
+    ops/fused_aed_step.py)."""
     from asr_tpu.models import firered as fr
     from asr_tpu.decode.ar import DecodeConfig
+    from asr_tpu.ops.fused_aed_step import AedGeom, stack_aed_step_params
     from asr_tpu.quant.quantize import quantize_pytree
     cfg = fr.FireRedConfig()
-    params = quantize_pytree(fr.init_params(cfg, jax.random.PRNGKey(0)), bits=8)
+    params = quantize_pytree(fr.init_params(cfg, jax.random.PRNGKey(0)),
+                             bits=8, quantize_embeddings=True)
+    stk = stack_aed_step_params(
+        params["decoder"], AedGeom(cfg.d_model, cfg.dec_ffn, cfg.dec_heads))
+    kern = "fused step megakernel" if stk is not None else "per-weight"
     audio, valid = _audio(1, 8.0)
     dc = DecodeConfig(max_new_tokens=60, eot_id=-1)
-    fn = jax.jit(lambda p, a, v: fr.transcribe(p, cfg, a, v, dc))
-    _measure("firered_aed_l_q8f32_batch1", fn, (params, audio, valid), 1, 8.0, 5,
+    fn = jax.jit(lambda p, a, v, s: fr.transcribe(p, cfg, a, v, dc, stacked=s))
+    _measure("firered_aed_l_q8f32_batch1", fn, (params, audio, valid, stk),
+             1, 8.0, 5,
              0.17, "SINGLE-STREAM latency row: batch 1, int8 block-128 weights, "
-             "forced 60 decode steps; ref README.md:59")
+             f"{kern} decode, forced 60 decode steps; ref README.md:59")
 
 
 def bench_dolphin_q8_batch1():
     """SINGLE-STREAM Dolphin-Small latency: batch 1, q8 weights (reference
-    README.md:60 config; its runtime is strictly batch-1)."""
+    README.md:60 config; its runtime is strictly batch-1); generation
+    steps ride the AED megakernel (6 layers + tied head)."""
     from asr_tpu.models import dolphin as dp
     from asr_tpu.decode.ar import DecodeConfig
+    from asr_tpu.ops.fused_aed_step import AedGeom, stack_aed_step_params
     from asr_tpu.quant.quantize import quantize_pytree
     cfg = dp.DolphinConfig()
-    params = quantize_pytree(dp.init_params(cfg, jax.random.PRNGKey(0)), bits=8)
+    params = quantize_pytree(dp.init_params(cfg, jax.random.PRNGKey(0)),
+                             bits=8, quantize_embeddings=True)
+    stk = stack_aed_step_params(
+        params["decoder"], AedGeom(cfg.d_model, cfg.dec_ffn, cfg.dec_heads))
+    kern = "fused step megakernel" if stk is not None else "per-weight"
     audio, valid = _audio(1, 8.0)
     prompt = jnp.asarray([[cfg.sos_id, -1, -2, 5, 6]], jnp.int32)
     dc = DecodeConfig(max_new_tokens=60, eot_id=-1)
-    fn = jax.jit(lambda p, a, v, pr: dp.transcribe(p, cfg, a, v, pr, dc))
-    _measure("dolphin_small_q8f32_batch1", fn, (params, audio, valid, prompt),
-             1, 8.0, 5,
+    fn = jax.jit(lambda p, a, v, pr, s: dp.transcribe(p, cfg, a, v, pr, dc,
+                                                      stacked=s))
+    _measure("dolphin_small_q8f32_batch1", fn,
+             (params, audio, valid, prompt, stk), 1, 8.0, 5,
              0.14, "SINGLE-STREAM latency row: batch 1, int8 block-128 weights, "
-             "forced 60 decode steps; ref README.md:60")
+             f"{kern} decode, forced 60 decode steps; ref README.md:60")
 
 
 def bench_fun_asr_nano_ctc():
