@@ -566,7 +566,8 @@ def cmd_serve(args) -> int:
         serve_continuous(sess, host=args.host, port=args.port,
                          n_slots=args.slots, language=args.language,
                          context=args.context, kv_dtype=args.kv_dtype,
-                         data_parallel=max(getattr(args, "data_parallel", 0) or 1, 1))
+                         data_parallel=max(getattr(args, "data_parallel", 0) or 1, 1),
+                         steps_per_tick=args.steps_per_tick)
         return 0
     if not hasattr(sess, "_forward"):
         raise SystemExit(f"family {type(sess).__name__} has no batchable "
@@ -788,6 +789,12 @@ def main(argv=None) -> int:
                    "across slot layouts, no longer bitwise vs f32 solo)")
     p.add_argument("--context", default="",
                    help="fixed hot-word/context prompt for --continuous")
+    p.add_argument("--steps-per-tick", type=int, default=1,
+                   dest="steps_per_tick",
+                   help="--continuous decode steps fused per host dispatch "
+                   "(lax.scan): K tokens per host sync, token-identical; "
+                   "joins/frees land on tick boundaries. Raise when the "
+                   "host<->device link is slow relative to the ~1 ms step")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("serve-stream",

@@ -234,7 +234,7 @@ def transcribe_window(
       prompt: (B, P) int32 full prompt, e.g. [SOT, lang, task, notimestamps];
         a lang slot of -1 is replaced by the detected language.
       stacked: q8 megakernel weights from
-        ``ops.fused_whisper_step.stack_whisper_step_params`` — batch-1
+        ``ops.fused_aed_step.stack_whisper_step_params`` — batch-1
         decode then runs each step as ONE pallas_call (4 turbo layers +
         tied head); other shapes/layouts keep the per-weight path.
 

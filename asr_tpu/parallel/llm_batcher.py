@@ -73,6 +73,16 @@ class ContinuousLlmBatcher:
         geometry) at ~2^-8 relative KV rounding — output is then
         token-identical across slot layouts (the per-slot invariant)
         but no longer bitwise vs the f32-cache solo path.
+      steps_per_tick: decode steps fused into ONE host dispatch
+        (``lax.scan`` over the step body). Each :meth:`step_tick` then
+        returns up to ``steps_per_tick`` tokens per slot for one host
+        sync — the host<->device round trip (PCIe ~0.1 ms, a remote
+        tunnel 80 ms+) amortizes over K tokens instead of paying per
+        token. Token streams are IDENTICAL to K sequential
+        :meth:`step` calls; the trade is join/free granularity — a
+        request admits or frees only at tick boundaries, so a slot
+        that hits EOT mid-tick stays parked (masked, zero attention)
+        for the remainder of that tick.
       stacked: stacked q4-packed megakernel weights from
         ``ops.fused_decode.stack_decode_params`` (the same dict the
         sessions hold for batch-1 decode). When supplied — and the
@@ -91,7 +101,7 @@ class ContinuousLlmBatcher:
                  decode_cfg: DecodeConfig, n_slots: int = 8,
                  t_max: int = 1024, rng: jax.Array | None = None,
                  kv_dtype=jnp.float32, stacked: dict | None = None,
-                 fused_interpret: bool = False):
+                 fused_interpret: bool = False, steps_per_tick: int = 1):
         self.params = llm_params
         self.cfg = cfg
         self.dc = decode_cfg
@@ -126,10 +136,13 @@ class ContinuousLlmBatcher:
             rng if rng is not None else jax.random.PRNGKey(0), self.n_slots)
         self._free = list(range(self.n_slots))
         self._lock = threading.Lock()
+        self.steps_per_tick = max(int(steps_per_tick), 1)
         # jitted executables (shape-specialized per prefill bucket)
         self._prefill = jax.jit(self._prefill_impl)
         self._insert = jax.jit(self._insert_impl, donate_argnums=(0, 1, 2, 3, 4, 5))
         self._step = jax.jit(self._step_impl, donate_argnums=(0, 1, 2, 3, 4, 5, 6))
+        self._step_n = jax.jit(self._step_n_impl,
+                               donate_argnums=(0, 1, 2, 3, 4, 5, 6))
 
     def _fused_stacked(self, stacked: dict | None) -> dict | None:
         """Gate the multi-slot megakernel: stacked q4 weights supplied, a
@@ -208,6 +221,28 @@ class ContinuousLlmBatcher:
         # ``stacked`` rides as an ARGUMENT, never a closure: closed-over
         # device pytrees become trace-time HLO constants, and ~0.3 GB of
         # inlined weights overflows the remote-compile tunnel (HTTP 413)
+        carry, (_, tok, fin) = self._step_body(
+            (state, gen_buf, pos, last, count, active, keys), params, stacked)
+        return (*carry, tok, fin)
+
+    def _step_n_impl(self, state, gen_buf, pos, last, count, active, keys,
+                     params, stacked=None):
+        """``steps_per_tick`` decode steps in ONE dispatch (lax.scan over
+        the step body). Stacked outputs are (K, n_slots): the slot's
+        active flag AT each substep, the token it produced, and whether
+        it finished there — exactly what K sequential ``_step_impl``
+        calls would have reported."""
+
+        def body(carry, _):
+            return self._step_body(carry, params, stacked)
+
+        carry, outs = jax.lax.scan(
+            body, (state, gen_buf, pos, last, count, active, keys),
+            None, length=self.steps_per_tick)
+        return (*carry, *outs)
+
+    def _step_body(self, carry, params, stacked):
+        state, gen_buf, pos, last, count, active, keys = carry
         cfg, dc = self.cfg, self.dc
         if stacked is not None:
             from asr_tpu.layers.rope import rope_tables
@@ -263,8 +298,8 @@ class ContinuousLlmBatcher:
         pos = pos + active.astype(jnp.int32)
         still = active & (tok != dc.eot_id) & (count < self.gen_cap)
         finished_now = active & ~still
-        return (state, gen_buf, pos, tok, count, still, keys,
-                tok, finished_now)
+        return ((state, gen_buf, pos, tok, count, still, keys),
+                (active, tok, finished_now))
 
     # ── driver API ──────────────────────────────────────────────────────────
     def try_submit(self, embeds: jnp.ndarray, valid_len: int) -> int | None:
@@ -320,6 +355,28 @@ class ContinuousLlmBatcher:
         fin_h = np.asarray(fin)
         return [(i, int(tok_h[i]), bool(fin_h[i]))
                 for i in range(self.n_slots) if was_active[i]]
+
+    def step_tick(self) -> list[tuple[int, int, bool]]:
+        """Advance every active slot ``steps_per_tick`` tokens in ONE
+        dispatch + ONE host sync.
+
+        Returns the same ``[(slot, token, finished), ...]`` stream K
+        sequential :meth:`step` calls would, in substep order. With
+        ``steps_per_tick == 1`` this IS :meth:`step`."""
+        if self.steps_per_tick == 1:
+            return self.step()
+        if not np.asarray(self.active).any():
+            return []
+        (self.state, self.gen_buf, self.pos, self.last, self.count,
+         self.active, self.keys, act, tok, fin) = self._step_n(
+            self.state, self.gen_buf, self.pos, self.last, self.count,
+            self.active, self.keys, self.params, self.stacked)
+        act_h = np.asarray(act)
+        tok_h = np.asarray(tok)
+        fin_h = np.asarray(fin)
+        return [(i, int(tok_h[s, i]), bool(fin_h[s, i]))
+                for s in range(act_h.shape[0])
+                for i in range(self.n_slots) if act_h[s, i]]
 
     def take_result(self, slot: int) -> list[int]:
         """Generated ids of a finished slot (EOT included when produced);

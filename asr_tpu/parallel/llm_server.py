@@ -85,7 +85,8 @@ class ContinuousSessionServer:
 
     def __init__(self, session, n_slots: int = 8, language: str | None = None,
                  context: str = "", warmup: bool = True,
-                 kv_dtype: str = "f32", data_parallel: int = 1):
+                 kv_dtype: str = "f32", data_parallel: int = 1,
+                 steps_per_tick: int = 1):
         if not hasattr(session, "prompt_embeds"):
             raise TypeError(
                 f"{type(session).__name__} has no prompt_embeds surface; "
@@ -129,7 +130,7 @@ class ContinuousSessionServer:
             with jax.default_device(dev):
                 batcher = ContinuousLlmBatcher(
                     params, session.llm_cfg, dc, n_slots=n_slots, t_max=t_max,
-                    kv_dtype=kvd,
+                    kv_dtype=kvd, steps_per_tick=steps_per_tick,
                     # q4-packed sessions carry stacked megakernel weights: the
                     # decode step then runs as ONE pallas_call over all slots
                     stacked=stacked)
@@ -159,7 +160,7 @@ class ContinuousSessionServer:
                     np.asarray(probe), rep.device)
                 slot = rep.batcher.try_submit(emb, 1)
                 if rep.batcher.is_active(slot):
-                    rep.batcher.step()
+                    rep.batcher.step_tick()
                     rep.batcher.cancel(slot)
                 else:
                     rep.batcher.take_result(slot)
@@ -189,11 +190,12 @@ class ContinuousSessionServer:
                 for req in admit:
                     self._admit(rep, req)
                 t0 = time.perf_counter()
-                events = rep.batcher.step()
+                events = rep.batcher.step_tick()
                 if events:
                     dt = time.perf_counter() - t0
+                    k = rep.batcher.steps_per_tick
                     with self._stats_lock:
-                        self._steps += 1
+                        self._steps += k
                         self._step_time += dt
                         self._tokens_generated += len(events)
                 for slot, _tok, fin in events:
@@ -332,6 +334,7 @@ class ContinuousSessionServer:
             "requests_served": served,
             "decode_steps": steps,
             "tokens_generated": toks,
+            "steps_per_tick": self.batcher.steps_per_tick,
             "step_latency_avg_s": round(avg_step, 5),
             "queue_wait_avg_s": round(qwait, 5),
             "window_samples": self.window,
@@ -350,14 +353,16 @@ class ContinuousSessionServer:
 def serve_continuous(session, host: str = "127.0.0.1", port: int = 8000,
                      n_slots: int = 8, language: str | None = None,
                      context: str = "", warmup: bool = True,
-                     kv_dtype: str = "f32", data_parallel: int = 1):
+                     kv_dtype: str = "f32", data_parallel: int = 1,
+                     steps_per_tick: int = 1):
     """Blocking entry point used by ``serve --continuous``."""
     from asr_tpu.parallel.http_server import make_http_server
 
     srv = ContinuousSessionServer(session, n_slots=n_slots, language=language,
                                   context=context, warmup=warmup,
                                   kv_dtype=kv_dtype,
-                                  data_parallel=data_parallel)
+                                  data_parallel=data_parallel,
+                                  steps_per_tick=steps_per_tick)
     httpd = make_http_server(srv, host, port)
     print(f"serving on http://{host}:{httpd.server_address[1]} "
           f"(engine=continuous, slots={n_slots}"
@@ -372,7 +377,8 @@ def serve_continuous(session, host: str = "127.0.0.1", port: int = 8000,
 def start_background_continuous(session, host: str = "127.0.0.1", port: int = 0,
                                 n_slots: int = 8, language: str | None = None,
                                 context: str = "", warmup: bool = True,
-                                kv_dtype: str = "f32", data_parallel: int = 1):
+                                kv_dtype: str = "f32", data_parallel: int = 1,
+                                steps_per_tick: int = 1):
     """Non-blocking start (tests / embedding): returns (httpd, server,
     thread); actual port in ``httpd.server_address[1]``."""
     from asr_tpu.parallel.http_server import make_http_server
@@ -380,7 +386,8 @@ def start_background_continuous(session, host: str = "127.0.0.1", port: int = 0,
     srv = ContinuousSessionServer(session, n_slots=n_slots, language=language,
                                   context=context, warmup=warmup,
                                   kv_dtype=kv_dtype,
-                                  data_parallel=data_parallel)
+                                  data_parallel=data_parallel,
+                                  steps_per_tick=steps_per_tick)
     httpd = make_http_server(srv, host, port)
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     thread.start()

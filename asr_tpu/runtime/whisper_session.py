@@ -84,7 +84,7 @@ class WhisperSession:
         self.params = params
         # Single-window (batch-1) decode rides the step megakernel when the
         # artifact is unpacked-q8 (the reference's published Whisper config):
-        # ops/fused_whisper_step.py — one pallas_call per decode step.
+        # ops/fused_aed_step.py — one pallas_call per decode step.
         self.stacked = None
         if self.runner is None:
             from asr_tpu.ops.fused_aed_step import stack_whisper_step_params

@@ -219,3 +219,38 @@ def test_batcher_fused_matches_rowwise_tokens():
     got_fused = run(stacked)
     got_row = run(None)
     assert got_fused == got_row, (got_fused, got_row)
+
+
+def test_batcher_fused_steps_per_tick_identity():
+    """The megakernel step inside the steps_per_tick lax.scan (one dispatch,
+    K pallas_calls) produces the same token stream as K single fused
+    steps."""
+    from asr_tpu.decode.ar import DecodeConfig
+    from asr_tpu.parallel.llm_batcher import ContinuousLlmBatcher
+
+    fused = _quantized_params(seed=5, qembed=True)
+    stacked = stack_decode_params(fused, CFG)
+    assert stacked is not None
+    dc = DecodeConfig(max_new_tokens=3, eot_id=-1)
+    rng = np.random.default_rng(6)
+    prompts = [list(rng.integers(0, CFG.vocab_size, size=n)) for n in (4, 2)]
+
+    def run(k):
+        bat = ContinuousLlmBatcher(fused, CFG, dc, n_slots=2, t_max=40,
+                                   kv_dtype=jnp.bfloat16, stacked=stacked,
+                                   fused_interpret=True, steps_per_tick=k)
+        emb = lambda p: fused["embed"][jnp.asarray([p], jnp.int32)][0]
+        slots = {bat.try_submit(emb(p), len(p)): r
+                 for r, p in enumerate(prompts)}
+        stream, got = [], [None, None]
+        for _ in range(dc.max_new_tokens + 2):
+            evs = bat.step_tick()
+            if not evs:
+                break
+            stream.extend(evs)
+            for s, tok, fin in evs:
+                if fin:
+                    got[slots.pop(s)] = bat.take_result(s)
+        return stream, got
+
+    assert run(2) == run(1)

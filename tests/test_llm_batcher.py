@@ -219,3 +219,58 @@ def test_incremental_snapshot_is_prefix():
                 final = bat.take_result(s)
     assert final == _solo(params, prompt)
     assert final[:len(seen)] == seen[:len(final)]
+
+def test_steps_per_tick_matches_per_step():
+    """steps_per_tick=K: one step_tick() dispatch must report the SAME
+    (slot, token, finished) stream K sequential step() calls do — with a
+    mid-run join landing on a tick boundary and a slot finishing mid-tick
+    (it parks, masked, until the tick ends)."""
+    params = _params()
+    rng = np.random.default_rng(4)
+    prompts = [list(rng.integers(0, CFG.vocab_size, size=n)) for n in (3, 9, 6)]
+    want = [_solo(params, p) for p in prompts]
+
+    bat = ContinuousLlmBatcher(params, CFG, DC, n_slots=3, t_max=64,
+                               steps_per_tick=4)
+    slots, got = {}, [None] * 3
+    for r in (0, 1):
+        slots[bat.try_submit(_embeds(params, prompts[r])[0], len(prompts[r]))] = r
+    # one tick (4 substeps), then request 2 joins on the boundary
+    events = bat.step_tick()
+    assert len(events) >= 2  # both slots reported every substep they ran
+    for slot, tok, fin in events:
+        if fin and slot in slots:
+            got[slots[slot]] = bat.take_result(slot)
+            del slots[slot]
+    slots[bat.try_submit(_embeds(params, prompts[2])[0], len(prompts[2]))] = 2
+    for _ in range(DC.max_new_tokens + 2):
+        events = bat.step_tick()
+        if not events:
+            break
+        for slot, tok, fin in events:
+            if fin and slot in slots:
+                got[slots[slot]] = bat.take_result(slot)
+                del slots[slot]
+    for r in range(3):
+        assert got[r] == want[r], (r, got[r], want[r])
+
+
+def test_steps_per_tick_event_stream_identical():
+    """The flattened event stream (substep order) equals the per-step
+    stream for the same joins — not just the final ids."""
+    params = _params()
+    prompt = [5, 21, 33, 2, 70, 18]
+
+    def run(k):
+        bat = ContinuousLlmBatcher(params, CFG, DC, n_slots=2, t_max=64,
+                                   steps_per_tick=k)
+        bat.try_submit(_embeds(params, prompt)[0], len(prompt))
+        stream = []
+        for _ in range(DC.max_new_tokens + 2):
+            evs = bat.step_tick()
+            if not evs:
+                break
+            stream.extend(evs)
+        return stream
+
+    assert run(4) == run(1)

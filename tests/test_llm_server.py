@@ -257,3 +257,33 @@ def test_cli_serve_continuous_rejects_non_llm(tmp_path, monkeypatch):
                               host="127.0.0.1", port=0))()
     with pytest.raises(SystemExit, match="continuous"):
         cli.cmd_serve(args)
+
+
+def test_continuous_server_steps_per_tick_identity():
+    """steps_per_tick=3: same ids as direct session.transcribe, served
+    concurrently; /healthz reports the tick width."""
+    sess = _qwen_session()
+    srv = ContinuousSessionServer(sess, n_slots=2, warmup=True,
+                                  steps_per_tick=3)
+    try:
+        rng = np.random.default_rng(7)
+        pcm = [(rng.standard_normal(6000) * 900).astype(np.int16)
+               for _ in range(3)]
+        want = [sess.transcribe(p.astype(np.float32) / 32768.0) for p in pcm]
+        outs = [None] * 3
+
+        def call(i):
+            outs[i] = srv.transcribe_bytes(_wav_bytes(pcm[i]))
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i in range(3):
+            assert outs[i]["token_ids"] == want[i].token_ids, i
+        st = srv.stats()
+        assert st["steps_per_tick"] == 3
+        assert st["requests_served"] == 3
+    finally:
+        srv.close()

@@ -225,7 +225,7 @@ def bench_whisper_batch1(tag="q8bf16", iters=3):
     reference's own headline number is measured at (its runtime is
     strictly batch-1). q8 weights + bf16 activations; every decode step
     runs as ONE pallas_call (4 layers + q8 tied head,
-    ops/fused_whisper_step.py), the encoder rides XLA."""
+    ops/fused_aed_step.py), the encoder rides XLA."""
     from asr_tpu.models import whisper as wh
     from asr_tpu.decode.ar import DecodeConfig
     from asr_tpu.ops.fused_aed_step import stack_whisper_step_params

@@ -317,9 +317,15 @@ def load_stream(duration: float, n_streams: int):
     _flush(rec)
 
 
-def load_continuous(duration: float, clients: int, n_slots: int):
+def load_continuous(duration: float, clients: int, n_slots: int,
+                    steps_per_tick: int = 8):
     """serve --continuous: Qwen3-ASR 0.6B q4 (multi-slot megakernel step),
-    staggered joins — clients ramp in over the first third of the run."""
+    staggered joins — clients ramp in over the first third of the run.
+
+    ``steps_per_tick=8``: the driver fuses 8 decode steps per host sync
+    (lax.scan in the batcher), so a slow host<->device link (this rig's
+    tunnel: 80 ms+ RTT) amortizes over 8 tokens instead of gating every
+    token. Token streams are identical; joins land on tick boundaries."""
     import jax
     import jax.numpy as jnp
 
@@ -342,7 +348,8 @@ def load_continuous(duration: float, clients: int, n_slots: int):
                                                       tail_ids=(4,)),
                           max_new_tokens=100, max_seconds=8.0)
     httpd, srv, _ = start_background_continuous(sess, port=0, n_slots=n_slots,
-                                                warmup=True, kv_dtype="bf16")
+                                                warmup=True, kv_dtype="bf16",
+                                                steps_per_tick=steps_per_tick)
     port = httpd.server_address[1]
     rng = np.random.default_rng(2)
     secs = 8.0
@@ -360,6 +367,7 @@ def load_continuous(duration: float, clients: int, n_slots: int):
             "surface": "serve --continuous (staggered joins)",
             "model": "qwen3_asr_0.6b_q4_bf16kv",
             "slots": n_slots,
+            "steps_per_tick": steps_per_tick,
             "step_kernel": srv.stats().get("step_kernel"),
             "slots_active_mean": round(float(np.mean(occ)), 2) if occ else None,
             "slots_active_max": max(occ) if occ else None,
