@@ -543,13 +543,11 @@ def cmd_serve(args) -> int:
     counterpart of the reference's per-file script loop)."""
     continuous = getattr(args, "continuous", False)
     if continuous:
-        # --continuous scales out replica-per-device (llm_server.py): the
+        # --continuous scales out replica-per-group (llm_server.py): the
         # session itself stays unsharded; --data-parallel N builds N
-        # batcher replicas behind one admission queue.
-        if getattr(args, "tensor_parallel", 1) > 1:
-            raise SystemExit("--continuous does not compose with "
-                             "--tensor-parallel; use --data-parallel N "
-                             "(replica-per-device scale-out)")
+        # batcher replicas behind one admission queue, and
+        # --tensor-parallel T gives each replica a T-device sub-mesh
+        # (GSPMD Megatron step inside the batcher).
         mesh, tp = None, 1
     else:
         mesh, tp = _mesh_from_args(args)
@@ -567,7 +565,9 @@ def cmd_serve(args) -> int:
                          n_slots=args.slots, language=args.language,
                          context=args.context, kv_dtype=args.kv_dtype,
                          data_parallel=max(getattr(args, "data_parallel", 0) or 1, 1),
-                         steps_per_tick=args.steps_per_tick)
+                         steps_per_tick=args.steps_per_tick,
+                         tensor_parallel=max(
+                             getattr(args, "tensor_parallel", 0) or 1, 1))
         return 0
     if not hasattr(sess, "_forward"):
         raise SystemExit(f"family {type(sess).__name__} has no batchable "

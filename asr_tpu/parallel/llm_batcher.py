@@ -95,13 +95,37 @@ class ContinuousLlmBatcher:
         of slot layout; numerics are the megakernel's (bf16 MXU dots,
         f32 accumulation) instead of the rowwise path's f32 dequant.
       fused_interpret: run the megakernel in interpret mode (CPU tests).
+      mesh: a ``jax.sharding.Mesh`` with a ``model`` axis — the batcher
+        then runs TENSOR-PARALLEL: weights shard Megatron-style
+        (``parallel.mesh.qwen3_param_specs``, the same specs the lockstep
+        TP path uses), the KV cache shards over kv heads, and XLA/GSPMD
+        inserts the collectives in the jitted step — exactly the
+        mechanism proven by the lockstep ``--tensor-parallel`` path and
+        ``__graft_entry__.dryrun_multichip``'s Qwen3 TP decode step. The
+        multi-slot megakernel is single-chip; under a mesh the step runs
+        the rowwise GSPMD path (``stacked`` is ignored). Requires
+        ``num_heads`` and ``num_kv_heads`` divisible by the model-axis
+        size. Output ids are identical to the unsharded batcher
+        (tested on a virtual mesh).
     """
 
     def __init__(self, llm_params: dict, cfg: qwen3.Qwen3Config,
                  decode_cfg: DecodeConfig, n_slots: int = 8,
                  t_max: int = 1024, rng: jax.Array | None = None,
                  kv_dtype=jnp.float32, stacked: dict | None = None,
-                 fused_interpret: bool = False, steps_per_tick: int = 1):
+                 fused_interpret: bool = False, steps_per_tick: int = 1,
+                 mesh=None):
+        self.mesh = mesh
+        if mesh is not None:
+            tp = mesh.shape["model"]
+            if cfg.num_heads % tp or cfg.num_kv_heads % tp:
+                raise ValueError(
+                    f"tensor-parallel size {tp} must divide num_heads="
+                    f"{cfg.num_heads} and num_kv_heads={cfg.num_kv_heads}")
+            from asr_tpu.parallel.mesh import qwen3_param_specs, shard_params
+            llm_params = shard_params(llm_params, mesh,
+                                      qwen3_param_specs(llm_params))
+            stacked = None  # megakernel is single-chip; TP rides GSPMD
         self.params = llm_params
         self.cfg = cfg
         self.dc = decode_cfg
@@ -134,6 +158,21 @@ class ContinuousLlmBatcher:
         # not depend on which other slots are live (reproducible per request)
         self.keys = jax.random.split(
             rng if rng is not None else jax.random.PRNGKey(0), self.n_slots)
+        if mesh is not None:
+            # Pin the decode state's layout: KV shards over kv heads (the
+            # per-head attention never crosses shards; GSPMD all-reduces
+            # only the o/down row-parallel matmuls), bookkeeping vectors
+            # replicate.
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+            kvs = NamedSharding(mesh, P(None, None, "model", None))
+            rep = NamedSharding(mesh, P())
+            self.state = jax.tree.map(lambda x: jax.device_put(x, kvs),
+                                      self.state)
+            (self.gen_buf, self.pos, self.last, self.count, self.active,
+             self.keys) = jax.device_put(
+                (self.gen_buf, self.pos, self.last, self.count, self.active,
+                 self.keys), rep)
         self._free = list(range(self.n_slots))
         self._lock = threading.Lock()
         self.steps_per_tick = max(int(steps_per_tick), 1)
@@ -328,6 +367,11 @@ class ContinuousLlmBatcher:
                 f"{self.t_max}")
         if embeds.shape[1] != lb:
             embeds = jnp.pad(embeds, ((0, 0), (0, lb - embeds.shape[1]), (0, 0)))
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+            embeds = jax.device_put(jnp.asarray(embeds),
+                                    NamedSharding(self.mesh, P()))
         small, first = self._prefill(
             self.params, embeds, jnp.asarray([valid_len], jnp.int32))
         (self.state, self.gen_buf, self.pos, self.last, self.count,

@@ -79,14 +79,21 @@ class ContinuousSessionServer:
     lockstep path's sharded batches. Prompt embeds (audio tower) compute on
     the session's device and hop to the owning replica as one small
     host-staged copy per request (~L x H floats). Run the session itself
-    UNSHARDED (no ``mesh=``); ``--tensor-parallel`` does not compose with
-    this engine.
+    UNSHARDED (no ``mesh=``).
+
+    ``tensor_parallel=T`` composes: each replica then owns a T-device
+    (1, T) sub-mesh and its batcher runs the GSPMD tensor-parallel step
+    (Megatron weight shards + head-sharded KV; the megakernel is
+    single-chip, so TP replicas use the rowwise path). ``data_parallel``
+    counts REPLICAS — ``data_parallel=2, tensor_parallel=4`` uses 8
+    devices. Use TP when one chip can't hold the weights + KV, or to cut
+    per-step latency on large models; per-request output stays identical.
     """
 
     def __init__(self, session, n_slots: int = 8, language: str | None = None,
                  context: str = "", warmup: bool = True,
                  kv_dtype: str = "f32", data_parallel: int = 1,
-                 steps_per_tick: int = 1):
+                 steps_per_tick: int = 1, tensor_parallel: int = 1):
         if not hasattr(session, "prompt_embeds"):
             raise TypeError(
                 f"{type(session).__name__} has no prompt_embeds surface; "
@@ -113,13 +120,28 @@ class ContinuousSessionServer:
             raise ValueError(f"kv_dtype must be f32 or bf16, got {kv_dtype!r}")
         kvd = jnp.bfloat16 if kv_dtype == "bf16" else jnp.float32
         dp = max(int(data_parallel), 1)
+        tp = max(int(tensor_parallel), 1)
+        self.tensor_parallel = tp
         devices = jax.devices()
-        if dp > len(devices):
+        if dp * tp > len(devices):
             raise ValueError(
-                f"data_parallel={dp} but only {len(devices)} device(s)")
+                f"data_parallel={dp} x tensor_parallel={tp} needs {dp * tp} "
+                f"devices but only {len(devices)} available")
         stacked0 = getattr(session, "stacked", None)
         self.replicas: list[_Replica] = []
         for i in range(dp):
+            if tp > 1:
+                # replica i owns a (1, tp) sub-mesh; the batcher shards the
+                # weights/KV itself (qwen3_param_specs) and GSPMD steps them
+                import numpy as _np
+                from jax.sharding import Mesh
+                sub = _np.array(devices[i * tp:(i + 1) * tp]).reshape(1, tp)
+                batcher = ContinuousLlmBatcher(
+                    session.llm_params, session.llm_cfg, dc, n_slots=n_slots,
+                    t_max=t_max, kv_dtype=kvd, steps_per_tick=steps_per_tick,
+                    mesh=Mesh(sub, ("data", "model")))
+                self.replicas.append(_Replica(i, devices[i * tp], batcher))
+                continue
             dev = devices[i]
             if i == 0:
                 params, stacked = session.llm_params, stacked0
@@ -328,6 +350,7 @@ class ContinuousSessionServer:
             "step_kernel": "fused" if self.batcher.stacked is not None
             else "rowwise",
             "replicas": len(self.replicas),
+            "tensor_parallel": self.tensor_parallel,
             "slots": sum(r.batcher.n_slots for r in self.replicas),
             "slots_active": sum(len(r.slot_req) for r in self.replicas),
             "queue_depth": len(self._pending),
@@ -354,7 +377,7 @@ def serve_continuous(session, host: str = "127.0.0.1", port: int = 8000,
                      n_slots: int = 8, language: str | None = None,
                      context: str = "", warmup: bool = True,
                      kv_dtype: str = "f32", data_parallel: int = 1,
-                     steps_per_tick: int = 1):
+                     steps_per_tick: int = 1, tensor_parallel: int = 1):
     """Blocking entry point used by ``serve --continuous``."""
     from asr_tpu.parallel.http_server import make_http_server
 
@@ -362,11 +385,13 @@ def serve_continuous(session, host: str = "127.0.0.1", port: int = 8000,
                                   context=context, warmup=warmup,
                                   kv_dtype=kv_dtype,
                                   data_parallel=data_parallel,
-                                  steps_per_tick=steps_per_tick)
+                                  steps_per_tick=steps_per_tick,
+                                  tensor_parallel=tensor_parallel)
     httpd = make_http_server(srv, host, port)
     print(f"serving on http://{host}:{httpd.server_address[1]} "
           f"(engine=continuous, slots={n_slots}"
           + (f" x {data_parallel} replicas" if data_parallel > 1 else "")
+          + (f", tp={tensor_parallel}" if tensor_parallel > 1 else "")
           + ")")
     try:
         httpd.serve_forever()
@@ -378,7 +403,8 @@ def start_background_continuous(session, host: str = "127.0.0.1", port: int = 0,
                                 n_slots: int = 8, language: str | None = None,
                                 context: str = "", warmup: bool = True,
                                 kv_dtype: str = "f32", data_parallel: int = 1,
-                                steps_per_tick: int = 1):
+                                steps_per_tick: int = 1,
+                                tensor_parallel: int = 1):
     """Non-blocking start (tests / embedding): returns (httpd, server,
     thread); actual port in ``httpd.server_address[1]``."""
     from asr_tpu.parallel.http_server import make_http_server
@@ -387,7 +413,8 @@ def start_background_continuous(session, host: str = "127.0.0.1", port: int = 0,
                                   context=context, warmup=warmup,
                                   kv_dtype=kv_dtype,
                                   data_parallel=data_parallel,
-                                  steps_per_tick=steps_per_tick)
+                                  steps_per_tick=steps_per_tick,
+                                  tensor_parallel=tensor_parallel)
     httpd = make_http_server(srv, host, port)
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     thread.start()

@@ -274,3 +274,47 @@ def test_steps_per_tick_event_stream_identical():
         return stream
 
     assert run(4) == run(1)
+
+
+def test_tensor_parallel_batcher_identity():
+    """mesh with a model axis (tp=2 over the virtual devices): Megatron
+    weight shards + head-sharded KV through the SAME jitted step must
+    produce identical ids to the unsharded batcher — including a mid-run
+    join and slot reuse."""
+    from asr_tpu.parallel import mesh as pmesh
+
+    params = _params()
+    rng = np.random.default_rng(11)
+    prompts = [list(rng.integers(0, CFG.vocab_size, size=n)) for n in (4, 7, 5)]
+
+    def run(mesh):
+        bat = ContinuousLlmBatcher(params, CFG, DC, n_slots=2, t_max=64,
+                                   mesh=mesh)
+        emb = lambda p: params["embed"][jnp.asarray([p], jnp.int32)][0]
+        slots = {bat.try_submit(emb(p), len(p)): r
+                 for r, p in enumerate(prompts[:2])}
+        got, joined = [None] * 3, False
+        for _ in range(3 * (DC.max_new_tokens + 2)):
+            evs = bat.step()
+            if not evs and joined:
+                break
+            for s, tok, fin in evs:
+                if fin:
+                    got[slots.pop(s)] = bat.take_result(s)
+            if not joined and got[0] is not None:  # reuse the freed slot
+                slots[bat.try_submit(emb(prompts[2]), len(prompts[2]))] = 2
+                joined = True
+        return got
+
+    base = run(None)
+    tp = run(pmesh.make_mesh(2, model_parallel=2))
+    assert base == tp, (base, tp)
+
+
+def test_tensor_parallel_requires_divisible_heads():
+    from asr_tpu.parallel import mesh as pmesh
+    import pytest
+
+    with pytest.raises(ValueError, match="divide"):
+        ContinuousLlmBatcher(_params(), CFG, DC, n_slots=2, t_max=64,
+                             mesh=pmesh.make_mesh(8, model_parallel=8))

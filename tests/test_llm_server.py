@@ -287,3 +287,37 @@ def test_continuous_server_steps_per_tick_identity():
         assert st["requests_served"] == 3
     finally:
         srv.close()
+
+
+def test_continuous_server_tensor_parallel_identity():
+    """--continuous --tensor-parallel 2 --data-parallel 2 (4 virtual
+    devices): concurrent requests across TP replicas return the same ids
+    as direct session.transcribe; /healthz reports the composition."""
+    sess = _qwen_session()
+    srv = ContinuousSessionServer(sess, n_slots=2, warmup=True,
+                                  data_parallel=2, tensor_parallel=2)
+    try:
+        assert all(r.batcher.mesh is not None for r in srv.replicas)
+        rng = np.random.default_rng(13)
+        pcm = [(rng.standard_normal(6000) * 900).astype(np.int16)
+               for _ in range(4)]
+        want = [sess.transcribe(p.astype(np.float32) / 32768.0) for p in pcm]
+        outs = [None] * 4
+
+        def call(i):
+            outs[i] = srv.transcribe_bytes(_wav_bytes(pcm[i]))
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i in range(4):
+            assert outs[i]["token_ids"] == want[i].token_ids, i
+        st = srv.stats()
+        assert st["tensor_parallel"] == 2
+        assert st["replicas"] == 2
+        assert st["requests_served"] == 4
+        assert st["step_kernel"] == "rowwise"  # megakernel is single-chip
+    finally:
+        srv.close()
