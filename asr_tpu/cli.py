@@ -472,7 +472,10 @@ def _cmd_parity_impl(args) -> int:
                               Path(args.examples) if args.examples else None)
     if not cases:
         raise SystemExit(f"no registered fixtures for family {meta.family!r}")
-    golden = json.loads(Path(args.golden).read_text()) if args.golden else None
+    # --save-golden wins when both flags name the same (possibly not yet
+    # existing) file: capture mode never reads --golden.
+    golden = (json.loads(Path(args.golden).read_text())
+              if args.golden and not args.save_golden else None)
     # Stage probes (runtime/probe.py) ride the goldens: captured with
     # --save-golden, recomputed on compare only when the golden carries
     # them, so old transcript-only goldens keep working.

@@ -276,7 +276,7 @@ def transcribe_window(
         d = cfg.d_model
         t_max = state["layers"][0]["self_k"].shape[1]
         tc = state["layers"][0]["cross_k"].shape[1]
-        tc_pad = -(-tc // 8) * 8
+        tc_pad = -(-tc // 16) * 16  # 16: the >768 two-chunk split stays 8-aligned
         cdt = state["layers"][0]["self_k"].dtype
         use_fused = (
             _resolve_mm(None) == "bf16" and _resolve_kernel() != "xla"

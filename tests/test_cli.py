@@ -108,6 +108,13 @@ def test_cli_parity_harness(tmp_path):
     assert main(["--platform", "cpu", "parity", "--model-dir", str(art),
                  "--golden", str(golden)]) == 1
 
+    # Both flags on a not-yet-existing file: capture mode wins, --golden
+    # is never read (the one-command "refresh goldens in place" shape).
+    fresh = tmp_path / "fresh.json"
+    assert main(["--platform", "cpu", "parity", "--model-dir", str(art),
+                 "--golden", str(fresh), "--save-golden", str(fresh)]) == 0
+    assert "zh-Shanghai.wav" in json.loads(fresh.read_text())
+
 
 def test_cli_parity_probe_localizes_stage(tmp_path, capsys):
     """A drifting probe names the FIRST drifting stage (encoder here, not

@@ -659,8 +659,14 @@ def _measure_stream(name, step, args, chunk_seconds, ref_cpu_rtf, note="",
             t0 = time.perf_counter(); _fetch(run(2 * iters, state0, pre, post))
             t2s.append(time.perf_counter() - t0)
         per_chunk = (min(t2s) - min(t1s)) / iters
-        if per_chunk > 0 or iters >= 400:
+        if per_chunk > 0:
             break
+        if iters >= 400:
+            # tunnel jitter still swamps 400 chunks of device time: refuse
+            # to record a zero/negative latency (main() logs the failure)
+            raise RuntimeError(
+                f"streaming measurement not separable from tunnel jitter "
+                f"(per_chunk={per_chunk * 1e3:.3f} ms at iters={iters})")
         iters *= 2
 
     # secondary: one dispatch per chunk, completion fetched each tick —
