@@ -318,3 +318,27 @@ def test_tensor_parallel_requires_divisible_heads():
     with pytest.raises(ValueError, match="divide"):
         ContinuousLlmBatcher(_params(), CFG, DC, n_slots=2, t_max=64,
                              mesh=pmesh.make_mesh(8, model_parallel=8))
+
+
+def test_tensor_parallel_composes_with_steps_per_tick():
+    """tp=2 AND steps_per_tick=3 (the scan-fused step under GSPMD): same
+    ids as the plain unsharded per-step engine."""
+    from asr_tpu.parallel import mesh as pmesh
+
+    params = _params()
+    prompt = [3, 50, 12, 77, 8]
+
+    def run(mesh, k):
+        bat = ContinuousLlmBatcher(params, CFG, DC, n_slots=2, t_max=64,
+                                   mesh=mesh, steps_per_tick=k)
+        bat.try_submit(params["embed"][jnp.asarray([prompt], jnp.int32)][0],
+                       len(prompt))
+        stream = []
+        for _ in range(DC.max_new_tokens + 2):
+            evs = bat.step_tick()
+            if not evs:
+                break
+            stream.extend(evs)
+        return stream
+
+    assert run(pmesh.make_mesh(2, model_parallel=2), 3) == run(None, 1)
