@@ -568,7 +568,7 @@ def cmd_serve(args) -> int:
                          n_slots=args.slots, language=args.language,
                          context=args.context, kv_dtype=args.kv_dtype,
                          data_parallel=max(getattr(args, "data_parallel", 0) or 1, 1),
-                         steps_per_tick=args.steps_per_tick,
+                         steps_per_tick=max(getattr(args, "steps_per_tick", 0) or 1, 1),
                          tensor_parallel=max(
                              getattr(args, "tensor_parallel", 0) or 1, 1))
         return 0

@@ -174,6 +174,11 @@ class ContinuousLlmBatcher:
                 (self.gen_buf, self.pos, self.last, self.count, self.active,
                  self.keys), rep)
         self._free = list(range(self.n_slots))
+        # Host-side shadow of ``active``: liveness must never cost a
+        # device->host fetch (over a remote tunnel each fetch is a full
+        # round trip, defeating steps_per_tick's one-sync-per-tick
+        # design). Updated from values already being fetched anyway.
+        self._active_host = np.zeros(self.n_slots, bool)
         self._lock = threading.Lock()
         self.steps_per_tick = max(int(steps_per_tick), 1)
         # jitted executables (shape-specialized per prefill bucket)
@@ -327,7 +332,13 @@ class ContinuousLlmBatcher:
             # greedy / penalty: deterministic — the key arg is unused
             tok, _ = select_token(logits, gen_buf, count, dc,
                                   jax.random.PRNGKey(0), history_start=0)
-        keys = stepped[:, 1]
+        # Advance EVERY slot's key iff the engine stepped (any slot active)
+        # — exactly the sequential contract: step() early-returns without
+        # splitting when nothing is active, so trailing all-inactive
+        # substeps of a tick must leave key state untouched or a request
+        # joining a freed slot would sample a different stream than under
+        # steps_per_tick=1.
+        keys = jnp.where(jnp.any(active), stepped[:, 1], keys)
         tok = jnp.where(active, tok, jnp.int32(dc.eot_id)).astype(jnp.int32)
         wslot = jnp.where(active, jnp.minimum(count, self.gen_cap - 1),
                           self.gen_cap)  # parked rows write nowhere
@@ -379,6 +390,10 @@ class ContinuousLlmBatcher:
             self.state, self.gen_buf, self.pos, self.last, self.count,
             self.active, small, jnp.asarray(slot, jnp.int32), first,
             jnp.asarray(valid_len, jnp.int32))
+        # mirror _insert's active formula host-side (``first`` is tiny and
+        # the caller needs it via snapshot/is_active anyway)
+        self._active_host[slot] = (int(np.asarray(first)) != self.dc.eot_id
+                                   and self.gen_cap > 1)
         return slot
 
     def step(self) -> list[tuple[int, int, bool]]:
@@ -388,7 +403,7 @@ class ContinuousLlmBatcher:
         active this step; a finished slot is freed AFTER the caller drains
         it with :meth:`take_result`.
         """
-        was_active = np.asarray(self.active)
+        was_active = self._active_host.copy()
         if not was_active.any():
             return []
         (self.state, self.gen_buf, self.pos, self.last, self.count,
@@ -397,6 +412,7 @@ class ContinuousLlmBatcher:
             self.active, self.keys, self.params, self.stacked)
         tok_h = np.asarray(tok)
         fin_h = np.asarray(fin)
+        self._active_host = was_active & ~fin_h
         return [(i, int(tok_h[i]), bool(fin_h[i]))
                 for i in range(self.n_slots) if was_active[i]]
 
@@ -409,7 +425,7 @@ class ContinuousLlmBatcher:
         ``steps_per_tick == 1`` this IS :meth:`step`."""
         if self.steps_per_tick == 1:
             return self.step()
-        if not np.asarray(self.active).any():
+        if not self._active_host.any():
             return []
         (self.state, self.gen_buf, self.pos, self.last, self.count,
          self.active, self.keys, act, tok, fin) = self._step_n(
@@ -418,6 +434,9 @@ class ContinuousLlmBatcher:
         act_h = np.asarray(act)
         tok_h = np.asarray(tok)
         fin_h = np.asarray(fin)
+        # live after the tick = live at the last substep and not finished
+        # there (a slot finishing earlier has act False from then on)
+        self._active_host = act_h[-1] & ~fin_h[-1]
         return [(i, int(tok_h[s, i]), bool(fin_h[s, i]))
                 for s in range(act_h.shape[0])
                 for i in range(self.n_slots) if act_h[s, i]]
@@ -436,6 +455,7 @@ class ContinuousLlmBatcher:
         """Deactivate a slot without draining its result (warmup, or the
         client went away); the slot is free for the next request."""
         self.active = self.active.at[slot].set(False)
+        self._active_host[slot] = False
         with self._lock:
             if slot not in self._free:
                 self._free.append(slot)
@@ -444,7 +464,7 @@ class ContinuousLlmBatcher:
         """Whether the slot is still generating (False right after submit
         means the FIRST token already ended the request — EOT or a budget
         of one — and :meth:`step` will never report it: drain it now)."""
-        return bool(np.asarray(self.active[slot]))
+        return bool(self._active_host[slot])
 
     def snapshot(self, slot: int) -> list[int]:
         """Generated ids so far (incremental reads while decoding)."""
@@ -453,4 +473,4 @@ class ContinuousLlmBatcher:
 
     @property
     def n_active(self) -> int:
-        return int(np.asarray(self.active).sum())
+        return int(self._active_host.sum())

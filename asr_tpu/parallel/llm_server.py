@@ -133,9 +133,8 @@ class ContinuousSessionServer:
             if tp > 1:
                 # replica i owns a (1, tp) sub-mesh; the batcher shards the
                 # weights/KV itself (qwen3_param_specs) and GSPMD steps them
-                import numpy as _np
                 from jax.sharding import Mesh
-                sub = _np.array(devices[i * tp:(i + 1) * tp]).reshape(1, tp)
+                sub = np.array(devices[i * tp:(i + 1) * tp]).reshape(1, tp)
                 batcher = ContinuousLlmBatcher(
                     session.llm_params, session.llm_cfg, dc, n_slots=n_slots,
                     t_max=t_max, kv_dtype=kvd, steps_per_tick=steps_per_tick,
@@ -178,8 +177,9 @@ class ContinuousSessionServer:
             # Compile prefill + insert + one decode step on EVERY replica
             # before the first real request (first jit is 5-40 s on TPU).
             for rep in self.replicas:
-                emb = probe if rep.index == 0 else jax.device_put(
-                    np.asarray(probe), rep.device)
+                # TP batchers re-place embeds onto their mesh themselves
+                emb = (probe if rep.index == 0 or rep.batcher.mesh is not None
+                       else jax.device_put(np.asarray(probe), rep.device))
                 slot = rep.batcher.try_submit(emb, 1)
                 if rep.batcher.is_active(slot):
                     rep.batcher.step_tick()
@@ -254,7 +254,7 @@ class ContinuousSessionServer:
                 embeds, valid = self.session.prompt_embeds(
                     req.samples, context=self._context,
                     language=self._language)
-            if rep.index != 0:
+            if rep.index != 0 and rep.batcher.mesh is None:
                 import jax
 
                 embeds = jax.device_put(np.asarray(embeds), rep.device)

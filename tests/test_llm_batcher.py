@@ -342,3 +342,43 @@ def test_tensor_parallel_composes_with_steps_per_tick():
         return stream
 
     assert run(pmesh.make_mesh(2, model_parallel=2), 3) == run(None, 1)
+
+
+def test_steps_per_tick_sampling_key_state_matches_per_step():
+    """Sampling + steps_per_tick: trailing all-inactive substeps of a tick
+    must NOT advance PRNG state — a request joining a freed slot after an
+    idle tick tail samples the same stream as under steps_per_tick=1."""
+    params = _params()
+    dc = DecodeConfig(max_new_tokens=2, eot_id=EOT, strategy="sampling",
+                      temperature=0.9, top_k=12)
+    rng = np.random.default_rng(21)
+    p1 = list(rng.integers(0, CFG.vocab_size, size=4))
+    p2 = list(rng.integers(0, CFG.vocab_size, size=6))
+
+    def run(k):
+        bat = ContinuousLlmBatcher(params, CFG, dc, n_slots=2, t_max=64,
+                                   steps_per_tick=k,
+                                   rng=jax.random.PRNGKey(3))
+        emb = lambda p: _embeds(params, p)[0]
+        out = []
+        s1 = bat.try_submit(emb(p1), len(p1))
+        # drain: with max_new_tokens=2 the request dies mid-tick at k=4,
+        # leaving trailing inactive substeps
+        for _ in range(dc.max_new_tokens + 2):
+            for s, tok, fin in bat.step_tick():
+                if fin:
+                    out.append(bat.take_result(s))
+            if not bat.n_active:
+                break
+        # second request reuses the slot; its sample stream depends on the
+        # slot's key state
+        s2 = bat.try_submit(emb(p2), len(p2))
+        for _ in range(dc.max_new_tokens + 2):
+            for s, tok, fin in bat.step_tick():
+                if fin:
+                    out.append(bat.take_result(s))
+            if not bat.n_active:
+                break
+        return out
+
+    assert run(4) == run(1)
