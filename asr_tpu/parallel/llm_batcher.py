@@ -179,6 +179,10 @@ class ContinuousLlmBatcher:
         # round trip, defeating steps_per_tick's one-sync-per-tick
         # design). Updated from values already being fetched anyway.
         self._active_host = np.zeros(self.n_slots, bool)
+        # Host mirror of each slot's generated ids: gen_buf[slot][:count]
+        # is by construction [first token] + [every token the slot's step
+        # events reported], so take_result/snapshot never fetch.
+        self._gen_host: list[list[int]] = [[] for _ in range(self.n_slots)]
         self._lock = threading.Lock()
         self.steps_per_tick = max(int(steps_per_tick), 1)
         # jitted executables (shape-specialized per prefill bucket)
@@ -265,25 +269,31 @@ class ContinuousLlmBatcher:
         # ``stacked`` rides as an ARGUMENT, never a closure: closed-over
         # device pytrees become trace-time HLO constants, and ~0.3 GB of
         # inlined weights overflows the remote-compile tunnel (HTTP 413)
-        carry, (_, tok, fin) = self._step_body(
+        carry, (act, tok, fin) = self._step_body(
             (state, gen_buf, pos, last, count, active, keys), params, stacked)
-        return (*carry, tok, fin)
+        # ONE stacked (3, n_slots) int32 output: the host reads the step's
+        # act/tok/fin planes in a single device->host transfer (each
+        # separate fetch is a full round trip over a remote tunnel)
+        return (*carry, jnp.stack([act.astype(jnp.int32), tok,
+                                   fin.astype(jnp.int32)]))
 
     def _step_n_impl(self, state, gen_buf, pos, last, count, active, keys,
                      params, stacked=None):
         """``steps_per_tick`` decode steps in ONE dispatch (lax.scan over
-        the step body). Stacked outputs are (K, n_slots): the slot's
-        active flag AT each substep, the token it produced, and whether
-        it finished there — exactly what K sequential ``_step_impl``
-        calls would have reported."""
+        the step body). The stacked (3, K, n_slots) int32 output holds the
+        slot's active flag AT each substep, the token it produced, and
+        whether it finished there — exactly what K sequential
+        ``_step_impl`` calls would have reported, fetched in ONE
+        device->host transfer."""
 
         def body(carry, _):
             return self._step_body(carry, params, stacked)
 
-        carry, outs = jax.lax.scan(
+        carry, (act, tok, fin) = jax.lax.scan(
             body, (state, gen_buf, pos, last, count, active, keys),
             None, length=self.steps_per_tick)
-        return (*carry, *outs)
+        return (*carry, jnp.stack([act.astype(jnp.int32), tok,
+                                   fin.astype(jnp.int32)]))
 
     def _step_body(self, carry, params, stacked):
         state, gen_buf, pos, last, count, active, keys = carry
@@ -392,8 +402,10 @@ class ContinuousLlmBatcher:
             jnp.asarray(valid_len, jnp.int32))
         # mirror _insert's active formula host-side (``first`` is tiny and
         # the caller needs it via snapshot/is_active anyway)
-        self._active_host[slot] = (int(np.asarray(first)) != self.dc.eot_id
+        first_h = int(np.asarray(first))
+        self._active_host[slot] = (first_h != self.dc.eot_id
                                    and self.gen_cap > 1)
+        self._gen_host[slot] = [first_h]
         return slot
 
     def step(self) -> list[tuple[int, int, bool]]:
@@ -407,14 +419,17 @@ class ContinuousLlmBatcher:
         if not was_active.any():
             return []
         (self.state, self.gen_buf, self.pos, self.last, self.count,
-         self.active, self.keys, tok, fin) = self._step(
+         self.active, self.keys, out) = self._step(
             self.state, self.gen_buf, self.pos, self.last, self.count,
             self.active, self.keys, self.params, self.stacked)
-        tok_h = np.asarray(tok)
-        fin_h = np.asarray(fin)
+        _, tok_h, fin_h = np.asarray(out)  # ONE fetch: (3, n_slots)
+        fin_h = fin_h.astype(bool)
         self._active_host = was_active & ~fin_h
-        return [(i, int(tok_h[i]), bool(fin_h[i]))
-                for i in range(self.n_slots) if was_active[i]]
+        events = [(i, int(tok_h[i]), bool(fin_h[i]))
+                  for i in range(self.n_slots) if was_active[i]]
+        for i, t, _f in events:
+            self._gen_host[i].append(t)
+        return events
 
     def step_tick(self) -> list[tuple[int, int, bool]]:
         """Advance every active slot ``steps_per_tick`` tokens in ONE
@@ -428,24 +443,27 @@ class ContinuousLlmBatcher:
         if not self._active_host.any():
             return []
         (self.state, self.gen_buf, self.pos, self.last, self.count,
-         self.active, self.keys, act, tok, fin) = self._step_n(
+         self.active, self.keys, out) = self._step_n(
             self.state, self.gen_buf, self.pos, self.last, self.count,
             self.active, self.keys, self.params, self.stacked)
-        act_h = np.asarray(act)
-        tok_h = np.asarray(tok)
-        fin_h = np.asarray(fin)
+        act_h, tok_h, fin_h = np.asarray(out)  # ONE fetch: (3, K, n_slots)
+        act_h = act_h.astype(bool)
+        fin_h = fin_h.astype(bool)
         # live after the tick = live at the last substep and not finished
         # there (a slot finishing earlier has act False from then on)
         self._active_host = act_h[-1] & ~fin_h[-1]
-        return [(i, int(tok_h[s, i]), bool(fin_h[s, i]))
-                for s in range(act_h.shape[0])
-                for i in range(self.n_slots) if act_h[s, i]]
+        events = [(i, int(tok_h[s, i]), bool(fin_h[s, i]))
+                  for s in range(act_h.shape[0])
+                  for i in range(self.n_slots) if act_h[s, i]]
+        for i, t, _f in events:
+            self._gen_host[i].append(t)
+        return events
 
     def take_result(self, slot: int) -> list[int]:
         """Generated ids of a finished slot (EOT included when produced);
-        frees the slot for the next request."""
-        count = int(np.asarray(self.count[slot]))
-        ids = [int(t) for t in np.asarray(self.gen_buf[slot])[:count]]
+        frees the slot for the next request. Zero device fetches: the ids
+        are the host mirror of gen_buf[slot][:count]."""
+        ids = list(self._gen_host[slot])
         with self._lock:
             if slot not in self._free:
                 self._free.append(slot)
@@ -467,9 +485,9 @@ class ContinuousLlmBatcher:
         return bool(self._active_host[slot])
 
     def snapshot(self, slot: int) -> list[int]:
-        """Generated ids so far (incremental reads while decoding)."""
-        count = int(np.asarray(self.count[slot]))
-        return [int(t) for t in np.asarray(self.gen_buf[slot])[:count]]
+        """Generated ids so far (incremental reads while decoding);
+        zero device fetches (host mirror)."""
+        return list(self._gen_host[slot])
 
     @property
     def n_active(self) -> int:
