@@ -36,6 +36,24 @@ class ForcedAlignerConfig:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def align_logits(
+    llm_params: dict,
+    head: dict,
+    cfg: ForcedAlignerConfig,
+    embeds: jnp.ndarray,
+    valid_len: jnp.ndarray,
+) -> jnp.ndarray:
+    """One NAR pass -> timestamp-head logits (1, L, classify_num). Split
+    from :func:`align_embeds` so stage probes snapshot the pre-argmax head."""
+    lcfg = cfg.asr.llm
+    b, lf, _ = embeds.shape
+    state = qwen3.make_kv_state(lcfg, b, lf, embeds.dtype)
+    bias = qwen3.causal_prefill_bias(valid_len, lf, lf)
+    hidden, _ = qwen3.decoder_pass(llm_params, lcfg, embeds, state, jnp.asarray(0, jnp.int32), bias)
+    y = rms_norm(hidden, llm_params["final_norm"]["scale"], lcfg.rms_eps)
+    return dense(y, head)  # (1, L, classify_num)
+
+
 def align_embeds(
     llm_params: dict,
     head: dict,
@@ -44,14 +62,41 @@ def align_embeds(
     valid_len: jnp.ndarray,
 ) -> jnp.ndarray:
     """One NAR pass -> per-position bucket ids (1, L)."""
-    lcfg = cfg.asr.llm
-    b, lf, _ = embeds.shape
-    state = qwen3.make_kv_state(lcfg, b, lf, embeds.dtype)
-    bias = qwen3.causal_prefill_bias(valid_len, lf, lf)
-    hidden, _ = qwen3.decoder_pass(llm_params, lcfg, embeds, state, jnp.asarray(0, jnp.int32), bias)
-    y = rms_norm(hidden, llm_params["final_norm"]["scale"], lcfg.rms_eps)
-    logits = dense(y, head)  # (1, L, classify_num)
+    logits = align_logits(llm_params, head, cfg, embeds, valid_len)
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+def prompt_for(
+    tower_params: dict,
+    llm_params: dict,
+    cfg: ForcedAlignerConfig,
+    audio: jnp.ndarray,
+    valid_samples: jnp.ndarray,
+    audio_start_embed: jnp.ndarray,
+    audio_end_embed: jnp.ndarray,
+    text_ids: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Front half of :func:`forward`: raw audio + text/timestamp ids ->
+    (mel, compacted prompt embeds, valid_len). Split out so stage probes
+    snapshot the exact pipeline stages."""
+    acfg = cfg.asr
+    mel_cfg = acfg.mel_config()
+    mel = log_mel_spectrogram(audio, mel_cfg)
+    window_frames = acfg.chunk_frames * acfg.chunks_per_window
+    pad = (-mel.shape[1]) % window_frames
+    if pad:
+        mel = jnp.pad(mel, ((0, 0), (0, pad), (0, 0)))
+    valid_frames = (valid_samples // mel_cfg.hop_length).astype(jnp.int32)
+    audio_tokens, audio_valid = encode_audio(tower_params, acfg, mel, valid_frames)
+
+    text_embed = llm_params["embed"][text_ids].astype(audio_tokens.dtype)
+    embeds, valid_len = assemble_prompt(
+        audio_start_embed, jnp.zeros((1, 0, text_embed.shape[-1]), text_embed.dtype),
+        jnp.zeros((1, 0, text_embed.shape[-1]), text_embed.dtype),
+        audio_tokens, audio_valid,
+        jnp.concatenate([audio_end_embed, text_embed], axis=1),
+    )
+    return mel, embeds, valid_len
 
 
 def forward(
@@ -71,23 +116,9 @@ def forward(
     ids in the compacted prompt are at
     ``1 + audio_valid + 1 + index_in_text``.
     """
-    acfg = cfg.asr
-    mel_cfg = acfg.mel_config()
-    mel = log_mel_spectrogram(audio, mel_cfg)
-    window_frames = acfg.chunk_frames * acfg.chunks_per_window
-    pad = (-mel.shape[1]) % window_frames
-    if pad:
-        mel = jnp.pad(mel, ((0, 0), (0, pad), (0, 0)))
-    valid_frames = (valid_samples // mel_cfg.hop_length).astype(jnp.int32)
-    audio_tokens, audio_valid = encode_audio(tower_params, acfg, mel, valid_frames)
-
-    text_embed = llm_params["embed"][text_ids].astype(audio_tokens.dtype)
-    embeds, valid_len = assemble_prompt(
-        audio_start_embed, jnp.zeros((1, 0, text_embed.shape[-1]), text_embed.dtype),
-        jnp.zeros((1, 0, text_embed.shape[-1]), text_embed.dtype),
-        audio_tokens, audio_valid,
-        jnp.concatenate([audio_end_embed, text_embed], axis=1),
-    )
+    _mel, embeds, valid_len = prompt_for(
+        tower_params, llm_params, cfg, audio, valid_samples,
+        audio_start_embed, audio_end_embed, text_ids)
     return align_embeds(llm_params, head, cfg, embeds, valid_len), valid_len
 
 

@@ -178,12 +178,12 @@ def encode(params: dict, cfg: FunAsrNanoConfig, audio: jnp.ndarray, valid_sample
     return enc_normed, valid_lfr, valid_frames
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def forward_ctc(
-    params: dict, cfg: FunAsrNanoConfig, audio: jnp.ndarray, valid_samples: jnp.ndarray
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Fast CTC path: raw audio -> compacted token ids + counts."""
-    enc, valid_lfr, _ = encode(params, cfg, audio, valid_samples)
+def ctc_logits(
+    params: dict, cfg: FunAsrNanoConfig, enc: jnp.ndarray, valid_lfr: jnp.ndarray
+) -> jnp.ndarray:
+    """CTC head over encoder output -> logits (B, T_lfr, ctc_vocab).
+    Split from :func:`forward_ctc` so stage probes snapshot the exact
+    pre-argmax head output."""
     p = params["ctc"]
     c = dense(jax.nn.relu(dense(enc, p["linear1"])), p["linear2"])
     t = c.shape[1]
@@ -191,7 +191,16 @@ def forward_ctc(
     bias = jnp.where(key_mask, 0.0, NEG_INF)[:, None, None, :].astype(jnp.float32)
     for bp in p["blocks"]:
         c = _adaptor_block(c, bp, cfg.ctc_heads, bias)
-    ids = jnp.argmax(dense(c, p["lo"]), axis=-1).astype(jnp.int32)
+    return dense(c, p["lo"])
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def forward_ctc(
+    params: dict, cfg: FunAsrNanoConfig, audio: jnp.ndarray, valid_samples: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fast CTC path: raw audio -> compacted token ids + counts."""
+    enc, valid_lfr, _ = encode(params, cfg, audio, valid_samples)
+    ids = jnp.argmax(ctc_logits(params, cfg, enc, valid_lfr), axis=-1).astype(jnp.int32)
     return ctc_greedy_collapse(ids, valid_lfr, cfg.blank_id)
 
 

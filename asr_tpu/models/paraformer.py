@@ -187,6 +187,23 @@ def decode_tokens(
     return _dense2(x, params["output"])
 
 
+def frontend_features(
+    params: dict, cfg: ParaformerConfig, audio: jnp.ndarray, valid_samples: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Front half of :func:`forward`: raw audio -> (mel, encoder-ready
+    feats (fbank+LFR+CMVN+PE), valid_lfr). Split out so the stage probes
+    (``runtime/probe.py``) snapshot the EXACT pipeline stages."""
+    fb = cfg.fbank
+    n_frames = fb.num_frames(audio.shape[-1])
+    mel = log_mel_fbank(audio, fb, n_frames)
+    valid_frames = jnp.maximum((valid_samples - fb.win_length) // fb.hop_length + 1, 0).astype(jnp.int32)
+    feats = lfr_stack(mel, cfg.lfr_m, cfg.lfr_n, valid_frames)
+    valid_lfr = (valid_frames + cfg.lfr_n - 1) // cfg.lfr_n
+    feats = apply_cmvn_addmul(feats, params["cmvn_means"], params["cmvn_istd"])
+    pe = jnp.asarray(sinusoid_position_encoding(feats.shape[1], cfg.feature_size))
+    return mel, feats + pe[None], valid_lfr
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "max_tokens"))
 def forward(
     params: dict,
@@ -196,15 +213,7 @@ def forward(
     max_tokens: int = 128,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Raw audio (B, S) int16-range -> (token_ids (B, max_tokens), counts (B,))."""
-    fb = cfg.fbank
-    n_frames = fb.num_frames(audio.shape[-1])
-    mel = log_mel_fbank(audio, fb, n_frames)
-    valid_frames = jnp.maximum((valid_samples - fb.win_length) // fb.hop_length + 1, 0).astype(jnp.int32)
-    feats = lfr_stack(mel, cfg.lfr_m, cfg.lfr_n, valid_frames)
-    valid_lfr = (valid_frames + cfg.lfr_n - 1) // cfg.lfr_n
-    feats = apply_cmvn_addmul(feats, params["cmvn_means"], params["cmvn_istd"])
-    pe = jnp.asarray(sinusoid_position_encoding(feats.shape[1], cfg.feature_size))
-    feats = feats + pe[None]
+    _mel, feats, valid_lfr = frontend_features(params, cfg, audio, valid_samples)
 
     enc = encode(params, cfg, feats.astype(params["output"]["w"].dtype), valid_lfr)
     alphas = predict_alphas(params, cfg, enc, valid_lfr)

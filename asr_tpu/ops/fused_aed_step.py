@@ -219,6 +219,20 @@ def stack_aed_step_params(dec: dict, geom: AedGeom) -> dict | None:
     return out
 
 
+def aed_fused_mode_ok(interpret: bool = False) -> bool:
+    """Whether the CURRENT backend/quant mode can ever engage the step
+    megakernel: a TPU backend (or interpret-mode tests) running bf16
+    serving numerics with the Pallas route enabled. Sessions gate the
+    weight stacking on this — the stacked copy duplicates the whole q8
+    decoder plus the (D, V_pad) tied head in device memory (~150-400 MB
+    for Whisper/FireRed), dead weight on CPU or in f32 parity mode."""
+    if not (jax.default_backend() == "tpu" or interpret):
+        return False
+    from asr_tpu.ops.quant_matmul import _resolve_kernel, _resolve_mm
+
+    return _resolve_mm(None) == "bf16" and _resolve_kernel() != "xla"
+
+
 def stack_whisper_step_params(params: dict, cfg) -> dict | None:
     """Whisper adapter: ``params["decoder"]`` through the generic stacker."""
     if not isinstance(params, dict) or "decoder" not in params:

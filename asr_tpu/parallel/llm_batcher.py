@@ -185,6 +185,10 @@ class ContinuousLlmBatcher:
         self._gen_host: list[list[int]] = [[] for _ in range(self.n_slots)]
         self._lock = threading.Lock()
         self.steps_per_tick = max(int(steps_per_tick), 1)
+        # substeps of the LAST tick that had >= 1 active slot (a tick whose
+        # slots all finish early runs trailing no-op scan iterations; stats
+        # must not count those as decode steps)
+        self.last_tick_substeps = 0
         # jitted executables (shape-specialized per prefill bucket)
         self._prefill = jax.jit(self._prefill_impl)
         self._insert = jax.jit(self._insert_impl, donate_argnums=(0, 1, 2, 3, 4, 5))
@@ -417,7 +421,9 @@ class ContinuousLlmBatcher:
         """
         was_active = self._active_host.copy()
         if not was_active.any():
+            self.last_tick_substeps = 0
             return []
+        self.last_tick_substeps = 1
         (self.state, self.gen_buf, self.pos, self.last, self.count,
          self.active, self.keys, out) = self._step(
             self.state, self.gen_buf, self.pos, self.last, self.count,
@@ -441,6 +447,7 @@ class ContinuousLlmBatcher:
         if self.steps_per_tick == 1:
             return self.step()
         if not self._active_host.any():
+            self.last_tick_substeps = 0
             return []
         (self.state, self.gen_buf, self.pos, self.last, self.count,
          self.active, self.keys, out) = self._step_n(
@@ -449,6 +456,7 @@ class ContinuousLlmBatcher:
         act_h, tok_h, fin_h = np.asarray(out)  # ONE fetch: (3, K, n_slots)
         act_h = act_h.astype(bool)
         fin_h = fin_h.astype(bool)
+        self.last_tick_substeps = int(act_h.any(axis=1).sum())
         # live after the tick = live at the last substep and not finished
         # there (a slot finishing earlier has act False from then on)
         self._active_host = act_h[-1] & ~fin_h[-1]

@@ -215,7 +215,10 @@ class ContinuousSessionServer:
                 events = rep.batcher.step_tick()
                 if events:
                     dt = time.perf_counter() - t0
-                    k = rep.batcher.steps_per_tick
+                    # count only substeps that advanced >= 1 active slot —
+                    # trailing all-parked scan iterations of a tick are
+                    # no-ops and would inflate decode_steps
+                    k = rep.batcher.last_tick_substeps
                     with self._stats_lock:
                         self._steps += k
                         self._step_time += dt
@@ -266,6 +269,7 @@ class ContinuousSessionServer:
         if slot is None:  # raced a slot we accounted as free; retry next tick
             with self._cv:
                 self._pending.appendleft(req)
+                self._cv.notify_all()  # an idle sibling may own the free slot
             return
         req.t_admit = time.perf_counter()
         with self._stats_lock:
@@ -300,7 +304,10 @@ class ContinuousSessionServer:
             if self._stop:
                 raise (self._fatal or RuntimeError("server shut down"))
             self._pending.append(req)
-            self._cv.notify()
+            # notify_all: with data_parallel > 1 several replica drivers wait
+            # on this condition — waking ONE can leave an idle replica asleep
+            # until its 0.2 s wait timeout while another is mid-tick
+            self._cv.notify_all()
         return req
 
     def transcribe_bytes(self, data: bytes) -> dict:

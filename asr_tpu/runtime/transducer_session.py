@@ -33,8 +33,13 @@ def _aed_stacked(sess, cfg):
     if sess.runner is not None or not isinstance(sess.params, dict) \
             or "decoder" not in sess.params:
         return None
-    from asr_tpu.ops.fused_aed_step import AedGeom, stack_aed_step_params
+    from asr_tpu.ops.fused_aed_step import (
+        AedGeom, aed_fused_mode_ok, stack_aed_step_params)
 
+    if not aed_fused_mode_ok():
+        # the stacked copy is a full duplicate of the q8 decoder weights in
+        # device memory; only build it where the megakernel can engage
+        return None
     return stack_aed_step_params(
         sess.params["decoder"], AedGeom(cfg.d_model, cfg.dec_ffn, cfg.dec_heads))
 

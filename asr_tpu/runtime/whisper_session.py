@@ -85,11 +85,16 @@ class WhisperSession:
         # Single-window (batch-1) decode rides the step megakernel when the
         # artifact is unpacked-q8 (the reference's published Whisper config):
         # ops/fused_aed_step.py — one pallas_call per decode step.
+        # Built only when the megakernel can actually engage (TPU backend +
+        # bf16 serving mode): the stacked copy duplicates the q8 decoder and
+        # the (D, V_pad) tied head in device memory — dead HBM otherwise.
         self.stacked = None
         if self.runner is None:
-            from asr_tpu.ops.fused_aed_step import stack_whisper_step_params
+            from asr_tpu.ops.fused_aed_step import (
+                aed_fused_mode_ok, stack_whisper_step_params)
 
-            self.stacked = stack_whisper_step_params(params, cfg)
+            if aed_fused_mode_ok():
+                self.stacked = stack_whisper_step_params(params, cfg)
 
     def _decode_cfg(self) -> DecodeConfig:
         s = self.scfg

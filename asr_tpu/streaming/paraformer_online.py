@@ -249,7 +249,7 @@ def encoder_step(params: dict, cfg: ParaformerStreamConfig, state: dict, audio_c
     return new_state, buf[None, :mf], count, encoder_out
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "return_logits"))
 def decoder_step(
     params: dict,
     cfg: ParaformerStreamConfig,
@@ -257,11 +257,14 @@ def decoder_step(
     encoder_out: jnp.ndarray,
     fired: jnp.ndarray,
     count: jnp.ndarray,
+    return_logits: bool = False,
 ):
     """Decode fired CIF frames -> (state', token ids (1, max_fires), count).
 
     Run only when ``count > 0`` (the reference skips the decoder session
-    otherwise, keeping its caches untouched)."""
+    otherwise, keeping its caches untouched). ``return_logits=True``
+    returns (state', logits (1, max_fires, V), count) instead — the stage
+    probes snapshot the pre-argmax decoder output."""
     b = cfg.base
     n = fired.shape[1]
     tok_mask = jnp.arange(n, dtype=jnp.int32)[None, :] < count
@@ -318,4 +321,4 @@ def decoder_step(
         "dec_v": jnp.stack(new_v),
         "dec_valid": jnp.minimum(state["dec_valid"] + p_enc, cache_len),
     }
-    return new_state, ids, count
+    return new_state, (logits if return_logits else ids), count
