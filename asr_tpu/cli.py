@@ -557,11 +557,13 @@ def cmd_serve(args) -> int:
     sess = _build_session(Path(args.model_dir), language=args.language, mesh=mesh,
                           tensor_parallel=tp)
     if continuous:
-        if not hasattr(sess, "prompt_embeds"):
+        if not (hasattr(sess, "prompt_embeds")
+                or hasattr(sess, "continuous_prefill")):
             raise SystemExit(
                 f"--continuous serves the LLM families (qwen_asr, "
-                f"fun_asr_nano --head llm); {type(sess).__name__} has no "
-                "prompt_embeds surface — rerun without --continuous")
+                f"fun_asr_nano --head llm) and the AED families (whisper, "
+                f"firered, dolphin); {type(sess).__name__} has neither "
+                "surface — rerun without --continuous")
         from asr_tpu.parallel.llm_server import serve_continuous
 
         serve_continuous(sess, host=args.host, port=args.port,

@@ -189,6 +189,54 @@ def _decoder_pass(params, cfg, state, tokens, pos, cross_bias):
     return embedding_logits(dec["embed"], x), {"layers": tuple(new_layers)}
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "decode_cfg"))
+def prefill_window(
+    params: dict,
+    cfg: DolphinConfig,
+    audio: jnp.ndarray,
+    valid_samples: jnp.ndarray,
+    prompt: jnp.ndarray,
+    decode_cfg: DecodeConfig,
+) -> dict[str, jnp.ndarray]:
+    """Encoder + lang/region probes + prompt prefill for one window — the
+    front half of :func:`transcribe`, split out so the continuous AED
+    engine (``parallel/aed_batcher.py``) prefills one request
+    independently of everyone else's decode steps. Returns ``state``,
+    ``logits0`` (suppressed), ``enc_valid``, ``prompt`` (probe slots
+    resolved) and, when the catalog is configured, ``language``/``region``."""
+    enc, enc_valid = encode(params, cfg, audio, valid_samples)
+    cross_bias = jnp.where(length_mask(enc_valid, enc.shape[1]), 0.0, NEG_INF)[
+        :, None, None, :
+    ].astype(jnp.float32)
+
+    out: dict = {}
+    if cfg.language_token_end > cfg.language_token_start:
+        st = make_state(params, cfg, enc)
+        sos = prompt[:, :1]
+        lg, st = _decoder_pass(params, cfg, st, sos, jnp.asarray(0, jnp.int32), cross_bias)
+        span_lo, span_hi = cfg.language_token_start, cfg.language_token_end
+        lang = (jnp.argmax(lg[:, -1, span_lo:span_hi], axis=-1)
+                + span_lo).astype(jnp.int32)
+        prompt = jnp.where(prompt == -1, lang[:, None], prompt)
+        if cfg.region_token_end > cfg.region_token_start:
+            lg2, st = _decoder_pass(params, cfg, st, lang[:, None],
+                                    jnp.asarray(1, jnp.int32), cross_bias)
+            region = (jnp.argmax(lg2[:, -1, cfg.region_token_start:cfg.region_token_end],
+                                 axis=-1) + cfg.region_token_start).astype(jnp.int32)
+            prompt = jnp.where(prompt == -2, region[:, None], prompt)
+            out["region"] = region
+        out["language"] = lang
+
+    state = make_state(params, cfg, enc)
+    logits, state = _decoder_pass(params, cfg, state, prompt,
+                                  jnp.asarray(0, jnp.int32), cross_bias)
+    logits0 = suppress_tokens(logits[:, -1].astype(jnp.float32),
+                              decode_cfg.suppress_ids)
+    out.update({"state": state, "logits0": logits0, "enc_valid": enc_valid,
+                "prompt": prompt, "enc": enc})
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "decode_cfg", "fused_interpret"))
 def transcribe(
     params: dict,
@@ -212,38 +260,14 @@ def transcribe(
     are replaced by the probed language/region token (reference probe-aware
     decoder, ``Dolphin/v1/Shared_Merged.py:24-35``).
     """
-    enc, enc_valid = encode(params, cfg, audio, valid_samples)
+    b, p_len = prompt.shape
+    pre = prefill_window(params, cfg, audio, valid_samples, prompt, decode_cfg)
+    enc, enc_valid = pre["enc"], pre["enc_valid"]
+    state, logits0, prompt = pre["state"], pre["logits0"], pre["prompt"]
     cross_bias = jnp.where(length_mask(enc_valid, enc.shape[1]), 0.0, NEG_INF)[
         :, None, None, :
     ].astype(jnp.float32)
-    b, p_len = prompt.shape
-
-    out = {}
-    if cfg.language_token_end > cfg.language_token_start:
-        # Probe step 1: [sos] -> language block argmax.
-        st = make_state(params, cfg, enc)
-        sos = prompt[:, :1]
-        lg, st = _decoder_pass(params, cfg, st, sos, jnp.asarray(0, jnp.int32), cross_bias)
-        span = cfg.language_token_end - cfg.language_token_start
-        lang = (
-            jnp.argmax(lg[:, -1, cfg.language_token_start : cfg.language_token_end], axis=-1)
-            + cfg.language_token_start
-        ).astype(jnp.int32)
-        prompt = jnp.where(prompt == -1, lang[:, None], prompt)
-        if cfg.region_token_end > cfg.region_token_start:
-            # Probe step 2: [sos, lang] -> region block argmax.
-            lg2, st = _decoder_pass(params, cfg, st, lang[:, None], jnp.asarray(1, jnp.int32), cross_bias)
-            region = (
-                jnp.argmax(lg2[:, -1, cfg.region_token_start : cfg.region_token_end], axis=-1)
-                + cfg.region_token_start
-            ).astype(jnp.int32)
-            prompt = jnp.where(prompt == -2, region[:, None], prompt)
-            out["region"] = region
-        out["language"] = lang
-
-    state = make_state(params, cfg, enc)
-    logits, state = _decoder_pass(params, cfg, state, prompt, jnp.asarray(0, jnp.int32), cross_bias)
-    logits0 = suppress_tokens(logits[:, -1].astype(jnp.float32), decode_cfg.suppress_ids)
+    out = {k: pre[k] for k in ("language", "region") if k in pre}
     t_total = p_len + decode_cfg.max_new_tokens + 1
     buf = jnp.zeros((b, t_total), jnp.int32)
     buf = jax.lax.dynamic_update_slice(buf, prompt.astype(jnp.int32), (0, 0))

@@ -252,6 +252,33 @@ def _decoder_pass(params, cfg, state, tokens, pos, cross_bias):
     return logits, {"layers": tuple(new_layers)}
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "decode_cfg"))
+def prefill_window(
+    params: dict,
+    cfg: FireRedConfig,
+    audio: jnp.ndarray,
+    valid_samples: jnp.ndarray,
+    decode_cfg: DecodeConfig,
+) -> dict[str, jnp.ndarray]:
+    """Encoder + [SOS] prefill for one window — the front half of
+    :func:`transcribe`, split out so the continuous AED engine
+    (``parallel/aed_batcher.py``) prefills one request independently of
+    everyone else's decode steps. Returns ``state`` (prefilled decode
+    state), ``logits0`` (B, V) suppressed, ``enc_valid`` (B,)."""
+    enc, enc_valid = encode(params, cfg, audio, valid_samples)
+    cross_bias = jnp.where(length_mask(enc_valid, enc.shape[1]), 0.0, NEG_INF)[
+        :, None, None, :
+    ].astype(jnp.float32)
+    state = make_state(params, cfg, enc)
+    prompt = jnp.full((audio.shape[0], 1), cfg.sos_id, jnp.int32)
+    logits, state = _decoder_pass(params, cfg, state, prompt,
+                                  jnp.asarray(0, jnp.int32), cross_bias)
+    logits0 = suppress_tokens(logits[:, -1].astype(jnp.float32),
+                              decode_cfg.suppress_ids)
+    return {"state": state, "logits0": logits0, "enc_valid": enc_valid,
+            "enc": enc}
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "decode_cfg", "fused_interpret"))
 def transcribe(
     params: dict,
@@ -270,15 +297,13 @@ def transcribe(
     runs each step as ONE pallas_call (all layers + tied head); other
     shapes/layouts keep the per-weight path.
     """
-    enc, enc_valid = encode(params, cfg, audio, valid_samples)
+    pre = prefill_window(params, cfg, audio, valid_samples, decode_cfg)
+    enc, enc_valid = pre["enc"], pre["enc_valid"]
+    state, logits0 = pre["state"], pre["logits0"]
     cross_bias = jnp.where(length_mask(enc_valid, enc.shape[1]), 0.0, NEG_INF)[
         :, None, None, :
     ].astype(jnp.float32)
-    state = make_state(params, cfg, enc)
     b = audio.shape[0]
-    prompt = jnp.full((b, 1), cfg.sos_id, jnp.int32)
-    logits, state = _decoder_pass(params, cfg, state, prompt, jnp.asarray(0, jnp.int32), cross_bias)
-    logits0 = suppress_tokens(logits[:, -1].astype(jnp.float32), decode_cfg.suppress_ids)
     t_total = 1 + decode_cfg.max_new_tokens + 1
     buf = jnp.zeros((b, t_total), jnp.int32).at[:, 0].set(cfg.sos_id)
     if rng is None:

@@ -213,6 +213,45 @@ def no_speech_prob(logits_sot: jnp.ndarray, cfg: WhisperConfig) -> jnp.ndarray:
 
 
 @functools.partial(
+    jax.jit, static_argnames=("cfg", "decode_cfg", "begin_suppress_ids"))
+def prefill_window(
+    params: dict,
+    cfg: WhisperConfig,
+    mel: jnp.ndarray,
+    prompt: jnp.ndarray,
+    decode_cfg: DecodeConfig,
+    begin_suppress_ids: tuple[int, ...] = (),
+) -> dict[str, jnp.ndarray]:
+    """Encoder + [SOT] probe + prompt prefill for one window — the front
+    half of :func:`transcribe_window`, split out so the continuous AED
+    engine (``parallel/aed_batcher.py``) prefills one request
+    independently of everyone else's decode steps.
+
+    Returns dict: ``state`` (prefilled decode state), ``logits0`` (B, V)
+    suppressed + begin-suppressed prefill logits, ``language`` (B,),
+    ``no_speech_prob`` (B,).
+    """
+    enc = encode(params, cfg, mel)
+    b = prompt.shape[0]
+
+    # Probe: one [SOT] step for language id + no-speech prob.
+    probe_state = make_state(params, cfg, enc)
+    sot = jnp.full((b, 1), cfg.sot_id, jnp.int32)
+    probe_logits, _ = prefill(params, cfg, probe_state, sot)
+    language = detect_language(probe_logits, cfg)
+    nsp = no_speech_prob(probe_logits, cfg)
+
+    prompt = jnp.where(prompt == -1, language[:, None], prompt)
+
+    state = make_state(params, cfg, enc)
+    logits0, state = prefill(params, cfg, state, prompt)
+    logits0 = suppress_tokens(logits0.astype(jnp.float32), decode_cfg.suppress_ids)
+    logits0 = suppress_tokens(logits0, begin_suppress_ids)
+    return {"state": state, "logits0": logits0, "language": language,
+            "no_speech_prob": nsp, "prompt": prompt}
+
+
+@functools.partial(
     jax.jit,
     static_argnames=("cfg", "decode_cfg", "begin_suppress_ids", "fused_interpret"),
 )
@@ -241,22 +280,11 @@ def transcribe_window(
     Returns dict: tokens (B, T_total), counts (B,), language (B,),
     no_speech_prob (B,).
     """
-    enc = encode(params, cfg, mel)
     b, p_len = prompt.shape
-
-    # Probe: one [SOT] step for language id + no-speech prob.
-    probe_state = make_state(params, cfg, enc)
-    sot = jnp.full((b, 1), cfg.sot_id, jnp.int32)
-    probe_logits, _ = prefill(params, cfg, probe_state, sot)
-    language = detect_language(probe_logits, cfg)
-    nsp = no_speech_prob(probe_logits, cfg)
-
-    prompt = jnp.where(prompt == -1, language[:, None], prompt)
-
-    state = make_state(params, cfg, enc)
-    logits0, state = prefill(params, cfg, state, prompt)
-    logits0 = suppress_tokens(logits0.astype(jnp.float32), decode_cfg.suppress_ids)
-    logits0 = suppress_tokens(logits0, begin_suppress_ids)
+    pre = prefill_window(params, cfg, mel, prompt, decode_cfg,
+                         begin_suppress_ids=begin_suppress_ids)
+    state, logits0, prompt = pre["state"], pre["logits0"], pre["prompt"]
+    language, nsp = pre["language"], pre["no_speech_prob"]
 
     t_total = p_len + decode_cfg.max_new_tokens + 1
     buf = jnp.zeros((b, t_total), jnp.int32)

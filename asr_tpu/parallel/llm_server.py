@@ -94,11 +94,16 @@ class ContinuousSessionServer:
                  context: str = "", warmup: bool = True,
                  kv_dtype: str = "f32", data_parallel: int = 1,
                  steps_per_tick: int = 1, tensor_parallel: int = 1):
-        if not hasattr(session, "prompt_embeds"):
+        # Engine selection: AED families (Whisper / FireRed / Dolphin)
+        # expose ``continuous_prefill`` (per-request encoder + prompt
+        # prefill -> decode state); LLM families expose ``prompt_embeds``.
+        self._aed = hasattr(session, "continuous_prefill")
+        if not self._aed and not hasattr(session, "prompt_embeds"):
             raise TypeError(
-                f"{type(session).__name__} has no prompt_embeds surface; "
-                "continuous batching serves the LLM families "
-                "(qwen_asr, fun_asr_nano --head llm)")
+                f"{type(session).__name__} has no continuous serving "
+                "surface; continuous batching serves the LLM families "
+                "(qwen_asr, fun_asr_nano --head llm) and the AED families "
+                "(whisper, firered, dolphin)")
         self.session = session
         self._language = language
         self._context = context
@@ -107,12 +112,6 @@ class ContinuousSessionServer:
         self.window = session.window_samples
         dc = session.decode_cfg
 
-        # Probe the static prompt length L (audio pads to max_samples, so
-        # L is the same for every request) and size the cache to one
-        # prefill bucket + the generation budget.
-        probe, _ = session.prompt_embeds(
-            np.zeros(16, np.float32), context=context, language=language)
-        t_max = _bucket(int(probe.shape[0])) + dc.max_new_tokens + 1
         import jax
         import jax.numpy as jnp
 
@@ -129,33 +128,67 @@ class ContinuousSessionServer:
                 f"devices but only {len(devices)} available")
         stacked0 = getattr(session, "stacked", None)
         self.replicas: list[_Replica] = []
-        for i in range(dp):
+        if self._aed:
             if tp > 1:
-                # replica i owns a (1, tp) sub-mesh; the batcher shards the
-                # weights/KV itself (qwen3_param_specs) and GSPMD steps them
-                from jax.sharding import Mesh
-                sub = np.array(devices[i * tp:(i + 1) * tp]).reshape(1, tp)
-                batcher = ContinuousLlmBatcher(
-                    session.llm_params, session.llm_cfg, dc, n_slots=n_slots,
-                    t_max=t_max, kv_dtype=kvd, steps_per_tick=steps_per_tick,
-                    mesh=Mesh(sub, ("data", "model")))
-                self.replicas.append(_Replica(i, devices[i * tp], batcher))
-                continue
-            dev = devices[i]
-            if i == 0:
-                params, stacked = session.llm_params, stacked0
-            else:  # replicate the weights: plain dp, one full copy per chip
-                params = jax.device_put(session.llm_params, dev)
-                stacked = (jax.device_put(stacked0, dev)
-                           if stacked0 is not None else None)
-            with jax.default_device(dev):
-                batcher = ContinuousLlmBatcher(
-                    params, session.llm_cfg, dc, n_slots=n_slots, t_max=t_max,
-                    kv_dtype=kvd, steps_per_tick=steps_per_tick,
-                    # q4-packed sessions carry stacked megakernel weights: the
-                    # decode step then runs as ONE pallas_call over all slots
-                    stacked=stacked)
-            self.replicas.append(_Replica(i, dev, batcher))
+                raise ValueError(
+                    "--tensor-parallel does not compose with the AED "
+                    "continuous engine (its decoders fit one chip; scale "
+                    "out with --data-parallel replicas)")
+            from asr_tpu.parallel.aed_batcher import ContinuousAedBatcher
+
+            spec = session.aed_engine_spec()
+            probe = None
+            for i in range(dp):
+                dev = devices[i]
+                if i == 0:
+                    params, stacked = session.params, stacked0
+                else:
+                    params = jax.device_put(session.params, dev)
+                    stacked = (jax.device_put(stacked0, dev)
+                               if stacked0 is not None else None)
+                with jax.default_device(dev):
+                    batcher = ContinuousAedBatcher(
+                        params, spec, dc, n_slots=n_slots, kv_dtype=kvd,
+                        stacked=stacked, steps_per_tick=steps_per_tick)
+                self.replicas.append(_Replica(i, dev, batcher))
+        else:
+            # Probe the static prompt length L (audio pads to max_samples,
+            # so L is the same for every request) and size the cache to one
+            # prefill bucket + the generation budget.
+            probe, _ = session.prompt_embeds(
+                np.zeros(16, np.float32), context=context, language=language)
+            t_max = _bucket(int(probe.shape[0])) + dc.max_new_tokens + 1
+            for i in range(dp):
+                if tp > 1:
+                    # replica i owns a (1, tp) sub-mesh; the batcher shards
+                    # the weights/KV itself (qwen3_param_specs) and GSPMD
+                    # steps them
+                    from jax.sharding import Mesh
+                    sub = np.array(devices[i * tp:(i + 1) * tp]).reshape(1, tp)
+                    batcher = ContinuousLlmBatcher(
+                        session.llm_params, session.llm_cfg, dc,
+                        n_slots=n_slots, t_max=t_max, kv_dtype=kvd,
+                        steps_per_tick=steps_per_tick,
+                        mesh=Mesh(sub, ("data", "model")))
+                    self.replicas.append(_Replica(i, devices[i * tp], batcher))
+                    continue
+                dev = devices[i]
+                if i == 0:
+                    params, stacked = session.llm_params, stacked0
+                else:  # replicate the weights: plain dp, one copy per chip
+                    params = jax.device_put(session.llm_params, dev)
+                    stacked = (jax.device_put(stacked0, dev)
+                               if stacked0 is not None else None)
+                with jax.default_device(dev):
+                    batcher = ContinuousLlmBatcher(
+                        params, session.llm_cfg, dc, n_slots=n_slots,
+                        t_max=t_max, kv_dtype=kvd,
+                        steps_per_tick=steps_per_tick,
+                        # q4-packed sessions carry stacked megakernel
+                        # weights: the decode step then runs as ONE
+                        # pallas_call over all slots
+                        stacked=stacked)
+                self.replicas.append(_Replica(i, dev, batcher))
         self.batcher = self.replicas[0].batcher  # single-chip alias
 
         self._cv = threading.Condition()
@@ -176,11 +209,23 @@ class ContinuousSessionServer:
         if warmup:
             # Compile prefill + insert + one decode step on EVERY replica
             # before the first real request (first jit is 5-40 s on TPU).
+            pre = (session.continuous_prefill(np.zeros(16, np.float32),
+                                              language=language)
+                   if self._aed else None)
             for rep in self.replicas:
-                # TP batchers re-place embeds onto their mesh themselves
-                emb = (probe if rep.index == 0 or rep.batcher.mesh is not None
-                       else jax.device_put(np.asarray(probe), rep.device))
-                slot = rep.batcher.try_submit(emb, 1)
+                if self._aed:
+                    small = (pre["state"] if rep.index == 0 else
+                             jax.device_put(pre["state"], rep.device))
+                    lg0 = (pre["logits0"] if rep.index == 0 else
+                           jax.device_put(pre["logits0"], rep.device))
+                    slot = rep.batcher.try_submit(small, pre["p_len"], lg0,
+                                                  pre["tc_valid"])
+                else:
+                    # TP batchers re-place embeds onto their mesh themselves
+                    emb = (probe
+                           if rep.index == 0 or rep.batcher.mesh is not None
+                           else jax.device_put(np.asarray(probe), rep.device))
+                    slot = rep.batcher.try_submit(emb, 1)
                 if rep.batcher.is_active(slot):
                     rep.batcher.step_tick()
                     rep.batcher.cancel(slot)
@@ -253,15 +298,35 @@ class ContinuousSessionServer:
 
     def _admit(self, rep: _Replica, req: _Req) -> None:
         try:
-            with self._embed_lock:
-                embeds, valid = self.session.prompt_embeds(
-                    req.samples, context=self._context,
-                    language=self._language)
-            if rep.index != 0 and rep.batcher.mesh is None:
-                import jax
+            if self._aed:
+                with self._embed_lock:
+                    pre = self.session.continuous_prefill(
+                        req.samples, language=self._language)
+                if pre["skip"]:  # no-speech window: empty result, no slot
+                    req.t_admit = time.perf_counter()
+                    with self._stats_lock:
+                        self._queue_wait_total += req.t_admit - req.t_enqueue
+                    req.ids = []
+                    self._complete(req)
+                    return
+                small, lg0 = pre["state"], pre["logits0"]
+                if rep.index != 0:
+                    import jax
 
-                embeds = jax.device_put(np.asarray(embeds), rep.device)
-            slot = rep.batcher.try_submit(embeds, max(valid, 1))
+                    small = jax.device_put(small, rep.device)
+                    lg0 = jax.device_put(lg0, rep.device)
+                slot = rep.batcher.try_submit(small, pre["p_len"], lg0,
+                                              pre["tc_valid"])
+            else:
+                with self._embed_lock:
+                    embeds, valid = self.session.prompt_embeds(
+                        req.samples, context=self._context,
+                        language=self._language)
+                if rep.index != 0 and rep.batcher.mesh is None:
+                    import jax
+
+                    embeds = jax.device_put(np.asarray(embeds), rep.device)
+                slot = rep.batcher.try_submit(embeds, max(valid, 1))
         except Exception as exc:  # bad audio shape etc. — fail THIS request
             req.error = exc
             req.event.set()
@@ -354,6 +419,7 @@ class ContinuousSessionServer:
             "ok": fatal is None,
             **({"error": f"{type(fatal).__name__}: {fatal}"} if fatal else {}),
             "engine": "continuous",
+            "decoder": "aed" if self._aed else "llm",
             "step_kernel": "fused" if self.batcher.stacked is not None
             else "rowwise",
             "replicas": len(self.replicas),

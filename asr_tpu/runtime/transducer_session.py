@@ -193,6 +193,31 @@ class FireRedSession(_WindowedSession):
             stacked=self.stacked if audio.shape[0] == 1 else None)
         return toks[:, 1:], counts  # drop the SOS slot
 
+    # ---- continuous-batching serving surface (parallel/llm_server.py) ----
+
+    _aed_spec = None
+
+    def aed_engine_spec(self):
+        if self._aed_spec is None:
+            from asr_tpu.parallel.aed_batcher import spec_for_aed
+
+            pre = self.continuous_prefill(np.zeros(160, np.float32))
+            tc = pre["state"]["layers"][0]["cross_k"].shape[1]
+            self._aed_spec = spec_for_aed(self.cfg, tc)
+        return self._aed_spec
+
+    def continuous_prefill(self, samples, language: str | None = None) -> dict:
+        from asr_tpu.models import firered as fr
+
+        s = np.asarray(samples, np.float32)[: self.window_samples]
+        buf = np.zeros((1, self.window_samples), np.float32)
+        buf[0, : len(s)] = s
+        pre = fr.prefill_window(self.params, self.cfg, jnp.asarray(buf),
+                                jnp.asarray([len(s)], np.int32),
+                                self.decode_cfg)
+        return {"state": pre["state"], "p_len": 1, "logits0": pre["logits0"],
+                "tc_valid": int(pre["enc_valid"][0]), "skip": False}
+
 
 class ParaformerSession(_WindowedSession):
     """Paraformer non-streaming (reference ``Inference_Paraformer_ONNX.py``)."""
@@ -289,6 +314,38 @@ class DolphinSession(_WindowedSession):
             self.last_region = int(out["region"][0])
         p_len = prompt.shape[1]
         return out["tokens"][:, p_len:], out["counts"]
+
+    # ---- continuous-batching serving surface (parallel/llm_server.py) ----
+
+    _aed_spec = None
+
+    def aed_engine_spec(self):
+        if self._aed_spec is None:
+            from asr_tpu.parallel.aed_batcher import spec_for_aed
+
+            pre = self.continuous_prefill(np.zeros(160, np.float32))
+            tc = pre["state"]["layers"][0]["cross_k"].shape[1]
+            self._aed_spec = spec_for_aed(self.cfg, tc)
+        return self._aed_spec
+
+    def continuous_prefill(self, samples, language: str | None = None) -> dict:
+        from asr_tpu.models import dolphin as dp
+
+        lang_id, region_id = (self.resolve_language(language) if language
+                              else (self.language_id, self.region_id))
+        s = np.asarray(samples, np.float32)[: self.window_samples]
+        buf = np.zeros((1, self.window_samples), np.float32)
+        buf[0, : len(s)] = s
+        prompt = jnp.asarray([[self.cfg.sos_id, lang_id, region_id]], jnp.int32)
+        pre = dp.prefill_window(self.params, self.cfg, jnp.asarray(buf),
+                                jnp.asarray([len(s)], np.int32), prompt,
+                                self.decode_cfg)
+        if "language" in pre:
+            self.last_language = int(pre["language"][0])
+        if "region" in pre:
+            self.last_region = int(pre["region"][0])
+        return {"state": pre["state"], "p_len": 3, "logits0": pre["logits0"],
+                "tc_valid": int(pre["enc_valid"][0]), "skip": False}
 
 
 class FunAsrNanoCtcSession(_WindowedSession):

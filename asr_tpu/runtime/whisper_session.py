@@ -59,6 +59,8 @@ class WhisperSessionConfig:
 
 
 class WhisperSession:
+    pcm_scale = 1.0  # [-1, 1] PCM convention (serving ingest divides int16)
+
     def __init__(
         self,
         params,
@@ -95,6 +97,45 @@ class WhisperSession:
 
             if aed_fused_mode_ok():
                 self.stacked = stack_whisper_step_params(params, cfg)
+
+    @property
+    def sample_rate(self) -> int:
+        return self.cfg.sample_rate
+
+    @property
+    def decode_cfg(self) -> DecodeConfig:
+        return self._decode_cfg()
+
+    # ---- continuous-batching serving surface (parallel/llm_server.py) ----
+
+    def aed_engine_spec(self):
+        from asr_tpu.parallel.aed_batcher import spec_for_whisper
+
+        return spec_for_whisper(self.cfg)
+
+    def continuous_prefill(self, samples: np.ndarray,
+                           language: str | None = None) -> dict:
+        """One request's prefilled decode state for the continuous AED
+        engine: encoder + [SOT] probe + prompt prefill for one window
+        (``models/whisper.prefill_window``). ``skip=True`` marks a
+        no-speech window — the server returns empty ids without admitting
+        (the solo path decodes then discards,
+        ``WhisperSession.transcribe``; skipping is output-equivalent and
+        saves the decode)."""
+        s = np.asarray(samples, np.float32)[: self.window_samples]
+        buf = np.zeros((1, self.window_samples), np.float32)
+        buf[0, : len(s)] = s
+        prompt = self._prompt(1, language)
+        mel = wh.mel_for_audio(self.cfg, jnp.asarray(buf))
+        pre = wh.prefill_window(
+            self.params, self.cfg, mel, jnp.asarray(prompt), self.decode_cfg,
+            begin_suppress_ids=self.scfg.begin_suppress_ids)
+        thresh = self.scfg.no_speech_threshold
+        skip = bool(thresh is not None
+                    and float(pre["no_speech_prob"][0]) > thresh)
+        tc = pre["state"]["layers"][0]["cross_k"].shape[1]
+        return {"state": pre["state"], "p_len": prompt.shape[1],
+                "logits0": pre["logits0"], "tc_valid": tc, "skip": skip}
 
     def _decode_cfg(self) -> DecodeConfig:
         s = self.scfg
