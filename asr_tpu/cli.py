@@ -674,7 +674,8 @@ def cmd_serve_stream(args) -> int:
     serve_streams(runner, chunk, host=args.host, port=args.port,
                   extract=extract, pcm_scale=pcm_scale,
                   advance_samples=advance, tail_pad_samples=tail_pad,
-                  drain_min_samples=drain_min)
+                  drain_min_samples=drain_min,
+                  ticks_per_sync=max(getattr(args, "ticks_per_sync", 0) or 1, 1))
     return 0
 
 
@@ -811,6 +812,11 @@ def main(argv=None) -> int:
     p.add_argument("--port", type=int, default=8001)
     p.add_argument("--streams", type=int, default=8,
                    help="concurrent stream slots (vmapped batch size)")
+    p.add_argument("--ticks-per-sync", type=int, default=1,
+                   help="chunk ticks fused into ONE device dispatch + host "
+                        "sync (lax.scan): a remote-host deployment pays the "
+                        "device round trip once per K chunks; results then "
+                        "emit in K-chunk batches (token streams identical)")
     p.set_defaults(fn=cmd_serve_stream)
 
     p = sub.add_parser("build", help="build an artifact folder from a source checkpoint")

@@ -95,7 +95,7 @@ def _kernel(cfg_static, smem_ref, x_ref,
             wh_ref, h_s_ref, h_zs_ref,
             kself_out, vself_out, logits_ref,
             xs, pool_a, pool_b, tiles, kpatch, vpatch,
-            scores, ctx, xq, xo, xn,
+            scores, ctx, xq, xo, xn, qrow_s, krow_s, vrow_s,
             sem_a, sem_b, sem_t, sem_wk, sem_wv):
     (nl, d, heads, ffn, block, bs, t_self, t_cross, tc_chunk, eps,
      wa, rb, na, nb, n_head, off_o, off_cq, off_co, off_fc1) = cfg_static
@@ -218,11 +218,14 @@ def _kernel(cfg_static, smem_ref, x_ref,
         var = jnp.mean(c * c, axis=-1, keepdims=True)
         return c * jax.lax.rsqrt(var + eps) * s_row + b_row
 
-    def pair_scores(qrow, ktile, rows, into_row0):
-        """qrow (1, d): one slot's query against ktile (rows, d)."""
+    def pair_scores(qrow2, ktile, rows, into_row0):
+        """qrow2 (2, d): one slot's query duplicated into both sublanes
+        (Mosaic rejects vector.broadcast of lane-offset (1, 128) slices —
+        duplicating at the STORE makes every pair slice a plain (2, 128)
+        read)."""
         kt16 = ktile[:rows, :].astype(jnp.bfloat16)
         for j in range(pairs):
-            q2 = jnp.broadcast_to(qrow[:, 128 * j:128 * (j + 1)], (2, 128))
+            q2 = qrow2[:, 128 * j:128 * (j + 1)]
             q2 = (q2 * pmask * scale).astype(jnp.bfloat16)
             sc = jax.lax.dot_general(
                 q2, kt16[:, 128 * j:128 * (j + 1)], (((1,), (1,)), ((), ())),
@@ -259,9 +262,20 @@ def _kernel(cfg_static, smem_ref, x_ref,
             pos = smem_ref[0, b]
             posc = jnp.maximum(pos, 0)
             pos8 = pl.multiple_of((posc // 8) * 8, 8)
-            qrow = qkv[b:b + 1, :d]
-            krow = qkv[b:b + 1, d:2 * d]
-            vrow = qkv[b:b + 1, 2 * d:3 * d]
+            # Stage slot b's rows into BOTH sublanes of a (2, d) scratch:
+            # the paired-head math then reads plain (2, 128) slices —
+            # Mosaic rejects vector.broadcast of lane-offset (1, 128)
+            # slices ("Invalid input layout"), so broadcasts happen at the
+            # store, never on loaded values.
+            for r in range(2):
+                qrow_s[r:r + 1, :] = qkv[b:b + 1, :d]
+                krow_s[r:r + 1, :] = qkv[b:b + 1, d:2 * d]
+                vrow_s[r:r + 1, :] = qkv[b:b + 1, 2 * d:3 * d]
+            qrow2 = qrow_s[:]
+            krow2 = krow_s[:]
+            vrow2 = vrow_s[:]
+            krow = krow_s[0:1, :]
+            vrow = vrow_s[0:1, :]
 
             sl_k = tile_wait(2 * b)  # slot b's self-k tile
             # patch-buffer slot (g % 2): wait its previous writeback first
@@ -282,15 +296,14 @@ def _kernel(cfg_static, smem_ref, x_ref,
                 tiles[sl_k, pl.ds(pos8, 8), :])
             wb_dma(kpatch, kself_out, sem_wk, g % 2, l, b).start()
 
-            pair_scores(qrow, tiles[sl_k], t_self, 0)
+            pair_scores(qrow2, tiles[sl_k], t_self, 0)
             kpos = jax.lax.broadcasted_iota(jnp.int32, (2 * pairs, t_self), 1)
             is_pos = kpos == pos
             sc = scores[0:2 * pairs, pl.ds(0, t_self)]
             sn_rows = []
             for j in range(pairs):
-                q2 = jnp.broadcast_to(qrow[:, 128 * j:128 * (j + 1)],
-                                      (2, 128)) * pmask
-                k2 = jnp.broadcast_to(krow[:, 128 * j:128 * (j + 1)], (2, 128))
+                q2 = qrow2[:, 128 * j:128 * (j + 1)] * pmask
+                k2 = krow2[:, 128 * j:128 * (j + 1)]
                 sn_rows.append(jnp.sum(q2 * k2 * scale, axis=1, keepdims=True))
             snew = jnp.concatenate(sn_rows, axis=0)  # (2*pairs, 1)
             sc = jnp.where(kpos < pos, sc, _NEG)
@@ -310,7 +323,7 @@ def _kernel(cfg_static, smem_ref, x_ref,
             pair_ctx(tiles[sl_v], t_self, 0)
             tile_next(2 * b + 1)
             for j in range(pairs):  # + fresh-row contribution
-                v2 = jnp.broadcast_to(vrow[:, 128 * j:128 * (j + 1)], (2, 128))
+                v2 = vrow2[:, 128 * j:128 * (j + 1)]
                 ctx[2 * j:2 * j + 2, :] = (ctx[2 * j:2 * j + 2, :]
                                            + pn[2 * j:2 * j + 2] * v2)
             combine_pairs(xo, b)
@@ -324,11 +337,13 @@ def _kernel(cfg_static, smem_ref, x_ref,
         xq[:] = qc + ba_ref[0, :, pl.ds(off_cq, d)]
         for b in range(bs):
             tc_valid = smem_ref[1, b]
-            qrow = xq[b:b + 1, :]
+            for r in range(2):  # both-sublane staging (see self attention)
+                qrow_s[r:r + 1, :] = xq[b:b + 1, :]
+            qrow2 = qrow_s[:]
             base = n_self + b * n_cross
             for c in range(n_cc):
                 slc = tile_wait(base + c)
-                pair_scores(qrow, tiles[slc], tc_chunk, c * tc_chunk)
+                pair_scores(qrow2, tiles[slc], tc_chunk, c * tc_chunk)
                 tile_next(base + c)
             scx = scores[0:2 * pairs, pl.ds(0, t_cross)]
             cpos = jax.lax.broadcasted_iota(jnp.int32, (2 * pairs, t_cross), 1)
@@ -491,6 +506,9 @@ def fused_aed_step_multi(stacked: dict, geom: AedGeom, x: jnp.ndarray,
         pltpu.VMEM((b_slots, d), jnp.float32),           # xq (cross queries)
         pltpu.VMEM((b_slots, d), jnp.float32),           # xo
         pltpu.VMEM((b_slots, d), jnp.float32),           # xn
+        pltpu.VMEM((2, d), jnp.float32),                 # qrow_s (dup rows)
+        pltpu.VMEM((2, d), jnp.float32),                 # krow_s (dup rows)
+        pltpu.VMEM((2, d), jnp.float32),                 # vrow_s (dup rows)
         pltpu.SemaphoreType.DMA((_SLOTS,)),              # sem_a
         pltpu.SemaphoreType.DMA((_SLOTS,)),              # sem_b
         pltpu.SemaphoreType.DMA((_SLOTS,)),              # sem_t

@@ -64,9 +64,17 @@ class StreamingServer:
     def __init__(self, runner, chunk_samples: int, extract=None,
                  tick_wait_ms: float = 20.0, sample_rate: int = 16000,
                  pcm_scale: float = 32768.0, advance_samples: int | None = None,
-                 tail_pad_samples: int = 0, drain_min_samples: int = 1):
+                 tail_pad_samples: int = 0, drain_min_samples: int = 1,
+                 ticks_per_sync: int = 1):
         self.runner = runner
         self.chunk = int(chunk_samples)
+        # K chunk ticks fused into ONE device dispatch + host sync
+        # (MultiStreamRunner.step_n): a remote-host deployment pays its
+        # device round trip once per K chunks instead of per chunk, at the
+        # cost of emitting results in K-chunk batches (the per-token
+        # latency trade documented for the continuous engine's
+        # --steps-per-tick). Token streams are identical (tested).
+        self.ticks_per_sync = max(int(ticks_per_sync), 1)
         # new audio consumed per tick; < chunk for overlapped-window
         # families (the window re-includes chunk - advance old samples)
         self.advance = int(advance_samples or chunk_samples)
@@ -93,6 +101,7 @@ class StreamingServer:
         self._lat_total = 0.0
         self._lat_max = 0.0
         self._tick_count = 0
+        self._sync_count = 0
         self.last_error: str | None = None
         self._ticker = threading.Thread(target=self._tick_loop, daemon=True)
         self._ticker.start()
@@ -164,70 +173,98 @@ class StreamingServer:
                         slot.out_q.put({"error": self.last_error})
                         slot.out_q.put(None)
 
-    def _tick_burst(self) -> None:
+    def _gather_subtick(self, live, done_slots):
+        """Consume one window from every ready slot -> (chunks, active).
+        ready: a FULL window buffered; while draining, any remaining audio
+        fires as a zero-padded window (window covers [t*adv, t*adv+chunk),
+        so overlapped families see exactly the single-stream sequence —
+        live output lags by chunk-advance of lookahead)."""
         n = self.runner.n_streams
+        chunks = np.zeros((n, self.chunk), np.float32)
+        active = np.zeros((n,), bool)
+        for i, slot in live:
+            if slot.finished or slot in done_slots:
+                continue  # already errored/ended — don't step it again
+            with slot.lock:
+                have = len(slot.buffer)
+                if have >= self.chunk or (slot.draining and have >= self.drain_min):
+                    w = slot.buffer[: self.chunk]
+                    if len(w) < self.chunk:
+                        w = np.concatenate(
+                            [w, np.zeros(self.chunk - len(w), np.float32)])
+                    chunks[i] = w
+                    slot.buffer = slot.buffer[self.advance:]
+                    active[i] = True
+                    if slot.draining and len(slot.buffer) < self.drain_min:
+                        done_slots.append(slot)
+                elif slot.draining:
+                    done_slots.append(slot)
+        return chunks, active
+
+    def _tick_burst(self) -> None:
+        k = self.ticks_per_sync
         while not self._closed:
-            chunks = np.zeros((n, self.chunk), np.float32)
-            active = np.zeros((n,), bool)
-            done_slots = []
+            done_slots: list[_Slot] = []
             with self._slot_lock:
                 live = [(i, s) for i, s in enumerate(self.slots) if s is not None]
                 resets, self._pending_resets = self._pending_resets, []
             for i in resets:
                 self.runner.reset(i)
-            for i, slot in live:
-                if slot.finished:
-                    continue  # already errored/ended — don't step it again
-                with slot.lock:
-                    # ready: a FULL window buffered; while draining, any
-                    # remaining audio fires as a zero-padded window
-                    # (window covers [t*adv, t*adv+chunk), so overlapped
-                    # families see exactly the single-stream sequence —
-                    # live output lags by chunk-advance of lookahead)
-                    have = len(slot.buffer)
-                    if have >= self.chunk or (slot.draining and have >= self.drain_min):
-                        w = slot.buffer[: self.chunk]
-                        if len(w) < self.chunk:
-                            w = np.concatenate(
-                                [w, np.zeros(self.chunk - len(w), np.float32)])
-                        chunks[i] = w
-                        slot.buffer = slot.buffer[self.advance:]
-                        active[i] = True
-                        if slot.draining and len(slot.buffer) < self.drain_min:
-                            done_slots.append(slot)
-                    elif slot.draining:
-                        done_slots.append(slot)
-            if not active.any():
+            # gather up to K subticks from the snapshot; short bursts pad
+            # with all-inactive rows (no-op subticks) so ONE executable
+            # serves every burst length
+            planes = []
+            for _t in range(k):
+                chunks, active = self._gather_subtick(live, done_slots)
+                if not active.any():
+                    break
+                planes.append((chunks, active))
+            if not planes:
                 for slot in done_slots:
                     if not slot.finished:
                         slot.finished = True
                         slot.out_q.put(None)
                 break
             t0 = time.perf_counter()
-            outs = self.runner.step(chunks, active)
-            outs = {k: np.asarray(v) for k, v in outs.items()}
+            if k == 1:
+                outs_k = [self.runner.step(planes[0][0], planes[0][1])]
+                outs_k = [{kk: np.asarray(v) for kk, v in outs_k[0].items()}]
+                actives = [planes[0][1]]
+            else:
+                n = self.runner.n_streams
+                chunks_k = np.zeros((k, n, self.chunk), np.float32)
+                active_k = np.zeros((k, n), bool)
+                for t, (c, a) in enumerate(planes):
+                    chunks_k[t], active_k[t] = c, a
+                outs = self.runner.step_n(chunks_k, active_k)
+                outs = {kk: np.asarray(v) for kk, v in outs.items()}
+                outs_k = [{kk: v[t] for kk, v in outs.items()}
+                          for t in range(len(planes))]
+                actives = [a for _c, a in planes]
             dt = time.perf_counter() - t0
             self._lat_total += dt
             self._lat_max = max(self._lat_max, dt)
-            self._tick_count += 1
-            for i, slot in live:
-                if not active[i]:
-                    continue
-                slot.ticks += 1
-                try:
-                    ids = self.extract(outs, i, slot.ext_state)
-                except Exception as e:  # noqa: BLE001 — per-stream callback
-                    # fault: fail THIS stream loudly; other slots and the
-                    # ticker keep running (device faults in runner.step are
-                    # handled one level up in _tick_loop).
-                    self.last_error = f"extract[{i}] {type(e).__name__}: {e}"
-                    if not slot.finished:
-                        slot.finished = True
-                        slot.out_q.put({"error": self.last_error})
-                        slot.out_q.put(None)
-                    continue
-                if ids:
-                    slot.out_q.put({"tick": slot.ticks, "ids": ids})
+            self._tick_count += len(planes)
+            self._sync_count += 1
+            for outs, active in zip(outs_k, actives):
+                for i, slot in live:
+                    if not active[i]:
+                        continue
+                    slot.ticks += 1
+                    try:
+                        ids = self.extract(outs, i, slot.ext_state)
+                    except Exception as e:  # noqa: BLE001 — per-stream
+                        # callback fault: fail THIS stream loudly; other
+                        # slots and the ticker keep running (device faults
+                        # in runner.step are handled in _tick_loop).
+                        self.last_error = f"extract[{i}] {type(e).__name__}: {e}"
+                        if not slot.finished:
+                            slot.finished = True
+                            slot.out_q.put({"error": self.last_error})
+                            slot.out_q.put(None)
+                        continue
+                    if ids:
+                        slot.out_q.put({"tick": slot.ticks, "ids": ids})
             for slot in done_slots:
                 if not slot.finished:
                     slot.finished = True
@@ -245,6 +282,8 @@ class StreamingServer:
             "chunk_samples": self.chunk,
             "sample_rate": self.sample_rate,
             "ticks": self._tick_count,
+            "ticks_per_sync": self.ticks_per_sync,
+            "device_syncs": self._sync_count,
             "tick_latency_avg_s": round(avg, 5),
             "tick_latency_max_s": round(self._lat_max, 5),
         }
@@ -455,12 +494,14 @@ def stream_pcm_over_http(host: str, port: int, pcm_int16: np.ndarray,
 def serve_streams(runner, chunk_samples: int, host="127.0.0.1", port=8001,
                   extract=None, pcm_scale: float = 32768.0,
                   advance_samples: int | None = None,
-                  tail_pad_samples: int = 0, drain_min_samples: int = 1):
+                  tail_pad_samples: int = 0, drain_min_samples: int = 1,
+                  ticks_per_sync: int = 1):
     """Blocking entry point (CLI ``serve-stream``)."""
     srv = StreamingServer(runner, chunk_samples, extract=extract,
                           pcm_scale=pcm_scale, advance_samples=advance_samples,
                           tail_pad_samples=tail_pad_samples,
-                          drain_min_samples=drain_min_samples)
+                          drain_min_samples=drain_min_samples,
+                          ticks_per_sync=ticks_per_sync)
     httpd = make_stream_http_server(srv, host, port)
     print(f"streaming on http://{host}:{httpd.server_address[1]} "
           f"({runner.n_streams} slots, chunk {chunk_samples})")
@@ -475,13 +516,15 @@ def start_stream_background(runner, chunk_samples: int, host="127.0.0.1",
                             pcm_scale: float = 32768.0,
                             advance_samples: int | None = None,
                             tail_pad_samples: int = 0,
-                            drain_min_samples: int = 1):
+                            drain_min_samples: int = 1,
+                            ticks_per_sync: int = 1):
     """Non-blocking start for tests/embedding; returns (httpd, server, thread)."""
     srv = StreamingServer(runner, chunk_samples, extract=extract,
                           tick_wait_ms=tick_wait_ms, pcm_scale=pcm_scale,
                           advance_samples=advance_samples,
                           tail_pad_samples=tail_pad_samples,
-                          drain_min_samples=drain_min_samples)
+                          drain_min_samples=drain_min_samples,
+                          ticks_per_sync=ticks_per_sync)
     httpd = make_stream_http_server(srv, host, port)
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()

@@ -497,11 +497,13 @@ def quantize_pytree(
     gather-dequant :class:`QuantizedEmbedding` leaves (LLM-decoder
     families — Qwen3 lookups and tied logits route through them)."""
 
-    # Depthwise-conv kernels are stored as 2-D {"w": (K, C)} dicts but are
-    # consumed ELEMENTWISE (depthwise_conv1d_time indexes weight[k]), not
-    # through dense() — quantizing them would hand the model a
-    # QuantizedLinear where it expects a raw array.
-    non_matmul_parents = ("dw", "dw1", "dw2")
+    # Depthwise/fusion-conv kernels are stored as 2-D {"w": (K, C)} dicts
+    # but are consumed ELEMENTWISE (depthwise_conv1d_time indexes
+    # weight[k]) or by conv_general_dilated, not through dense() —
+    # quantizing them would hand the model a QuantizedLinear where it
+    # expects a raw array. ("conv": Dolphin's csgu depthwise + the CIF
+    # predictor conv; "fusion": Dolphin's E-Branchformer merge conv.)
+    non_matmul_parents = ("dw", "dw1", "dw2", "conv", "fusion")
 
     def walk(node, path):
         parent = path.rsplit("/", 1)[-1]

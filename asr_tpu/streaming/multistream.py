@@ -48,14 +48,29 @@ class MultiStreamRunner:
 
         vstep = jax.vmap(step_fn, in_axes=(None, 0, 0))
 
-        @jax.jit
         def masked(params, states, chunks, active):
             new_states, outs = vstep(params, states, chunks)
             sel = lambda n, o: jnp.where(
                 active.reshape((-1,) + (1,) * (n.ndim - 1)), n, o)
             return jax.tree.map(sel, new_states, states), outs
 
-        self._step_masked = masked
+        self._step_masked = jax.jit(masked)
+
+        @jax.jit
+        def masked_n(params, states, chunks_k, active_k):
+            """K masked ticks in ONE dispatch (lax.scan over the tick body):
+            the host pays one sync per K chunks instead of per chunk — the
+            remote-tunnel/RPC round trip amortizes exactly like the
+            continuous engine's steps_per_tick. Outputs stack with a
+            leading K axis; per-stream state evolution is IDENTICAL to K
+            sequential masked steps."""
+            def body(states, xs):
+                chunks, active = xs
+                return masked(params, states, chunks, active)
+
+            return jax.lax.scan(body, states, (chunks_k, active_k))
+
+        self._step_masked_n = masked_n
 
     def step(self, chunks: np.ndarray, active: np.ndarray | None = None):
         """chunks (n_streams, chunk_samples) -> outputs pytree, each leaf
@@ -72,6 +87,18 @@ class MultiStreamRunner:
             self.states, outs = self._step(self.params, self.states, chunks)
             return outs
         self.states, outs = self._step_masked(
+            self.params, self.states, chunks, jnp.asarray(active, bool))
+        return outs
+
+    def step_n(self, chunks: np.ndarray, active: np.ndarray):
+        """K fused ticks: ``chunks (K, n_streams, chunk_samples)``,
+        ``active (K, n_streams)`` -> outputs pytree with leading (K,
+        n_streams) axes. ONE jitted dispatch + one host sync for all K
+        ticks; an all-False subtick row is a no-op (state untouched), so
+        callers pad short bursts to a fixed K and keep one executable."""
+        chunks = jnp.asarray(chunks)
+        assert chunks.ndim == 3 and chunks.shape[1] == self.n_streams
+        self.states, outs = self._step_masked_n(
             self.params, self.states, chunks, jnp.asarray(active, bool))
         return outs
 

@@ -209,8 +209,10 @@ def encoder_step(params: dict, cfg: ParaformerStreamConfig, state: dict, audio_c
         branch = dense(ctx, p["out"]) + mem
         x = branch + x if li > 0 else branch
         y2 = layer_norm(x, p["norm2"]["scale"], p["norm2"]["bias"])
-        h = jnp.maximum(jnp.dot(y2, p["ffn"]["w1"]) + p["ffn"]["b1"], 0)
-        x = x + jnp.dot(h, p["ffn"]["w2"]) + p["ffn"]["b2"]
+        # dense() rewrap (not raw jnp.dot): ffn w1/w2 may be quantized
+        # leaves — the quant route dispatches them (same as sanm_block)
+        h = jnp.maximum(dense(y2, {"w": p["ffn"]["w1"], "b": p["ffn"]["b1"]}), 0)
+        x = x + dense(h, {"w": p["ffn"]["w2"], "b": p["ffn"]["b2"]})
 
     encoder_out = layer_norm(x, params["after_norm"]["scale"], params["after_norm"]["bias"])
 
@@ -220,7 +222,9 @@ def encoder_step(params: dict, cfg: ParaformerStreamConfig, state: dict, audio_c
     conv = jax.lax.conv_general_dilated(
         encoder_out, pp["conv"]["w"], (1,), [(padc, padc)], dimension_numbers=("NHC", "HIO", "NHC")
     ) + pp["conv"]["b"]
-    alphas = jax.nn.sigmoid(jnp.dot(jnp.maximum(conv, 0), pp["out"]["w"]) + pp["out"]["b"])[0, :, 0]
+    # dense(): the predictor head may be a quantized leaf (offline
+    # predict_alphas routes it the same way)
+    alphas = jax.nn.sigmoid(dense(jnp.maximum(conv, 0), pp["out"]))[0, :, 0]
 
     a_lo = cfg.look_back_a
     frames, fires, new_avg, new_alpha = _cif_chunk_scan(

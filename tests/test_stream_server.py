@@ -267,3 +267,45 @@ def _dechunk(body: bytes) -> bytes:
         out += rest[:size]
         body = rest[size + 2:]
     return out
+
+
+def test_ticks_per_sync_identical_token_stream():
+    """ticks_per_sync=3 (K chunk ticks fused into one device dispatch,
+    MultiStreamRunner.step_n): the SAME per-stream token stream as K=1,
+    with fewer device syncs reported by /healthz."""
+    params = pf.init_params(TINY_BASE, jax.random.PRNGKey(0))
+    pcms = [_pcm(seed, chunks=6) for seed in range(2)]
+    want = [_sequential_ids(params, p) for p in pcms]
+
+    runner = ms.paraformer_multistream(params, TINY, 2)
+    httpd, srv, _ = start_stream_background(runner, TINY.chunk_samples,
+                                            tick_wait_ms=40.0,
+                                            ticks_per_sync=3)
+    port = httpd.server_address[1]
+    try:
+        results = [None] * 2
+
+        def client(i):
+            results[i] = stream_pcm_over_http("127.0.0.1", port, pcms[i],
+                                              send_chunk=1 << 16)
+
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        for i in range(2):
+            evs = results[i]
+            assert evs and evs[-1].get("done"), evs
+            got = [e["ids"] for e in evs if "ids" in e]
+            assert got == want[i], (i, got, want[i])
+
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz",
+                                    timeout=10) as r:
+            health = json.loads(r.read())
+        assert health["ok"] and health["ticks_per_sync"] == 3
+        # 2 streams x 6 chunks = 12 stream-ticks over >= ceil(6/3)=2 syncs;
+        # fused bursts must do strictly fewer syncs than ticks
+        assert health["device_syncs"] < health["ticks"]
+    finally:
+        httpd.shutdown()
