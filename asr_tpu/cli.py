@@ -476,6 +476,12 @@ def _cmd_parity_impl(args) -> int:
     # existing) file: capture mode never reads --golden.
     golden = (json.loads(Path(args.golden).read_text())
               if args.golden and not args.save_golden else None)
+    # Versioned golden schema: v2 wraps the per-fixture dict as
+    # {"golden_schema": 2, "fixtures": {...}} so future fields never
+    # collide with fixture names; v1 goldens (a bare fixture dict) stay
+    # readable forever.
+    if golden is not None and "golden_schema" in golden:
+        golden = golden["fixtures"]
     # Stage probes (runtime/probe.py) ride the goldens: captured with
     # --save-golden, recomputed on compare only when the golden carries
     # them, so old transcript-only goldens keep working.
@@ -495,7 +501,9 @@ def _cmd_parity_impl(args) -> int:
                 results[path.name]["probe"] = probe
         print(f"{path.name}\t[{lang}]\tRTF {res.rtf:.4f}\t{res.text}")
     if args.save_golden:
-        Path(args.save_golden).write_text(json.dumps(results, ensure_ascii=False, indent=2))
+        Path(args.save_golden).write_text(json.dumps(
+            {"golden_schema": 2, "fixtures": results},
+            ensure_ascii=False, indent=2))
         print(f"goldens captured -> {args.save_golden}")
         return 0
     if golden is not None:

@@ -91,7 +91,11 @@ def test_cli_parity_harness(tmp_path):
     golden = tmp_path / "golden.json"
     assert main(["--platform", "cpu", "parity", "--model-dir", str(art),
                  "--save-golden", str(golden)]) == 0
-    data = json.loads(golden.read_text())
+    wrapped = json.loads(golden.read_text())
+    # Versioned schema (v2): fixtures nest under "fixtures" so future
+    # fields never collide with fixture names.
+    assert wrapped["golden_schema"] == 2
+    data = wrapped["fixtures"]
     assert "zh-Shanghai.wav" in data
     # Stage probes captured alongside the transcripts (runtime/probe.py):
     # front-end, encoder and first-step logits snapshots.
@@ -99,12 +103,17 @@ def test_cli_parity_harness(tmp_path):
     assert set(probe) == {"frontend", "encoder", "logits"}
     assert probe["encoder"]["head"] and probe["logits"]["shape"]
 
-    # Same run -> OK; perturbed golden -> drift detected.
+    # Same run -> OK (v2 round trip); the same fixtures as a BARE dict
+    # (the v1 pre-versioning format) must stay readable forever.
     assert main(["--platform", "cpu", "parity", "--model-dir", str(art),
                  "--golden", str(golden)]) == 0
+    v1 = tmp_path / "golden_v1.json"
+    v1.write_text(json.dumps(data))
+    assert main(["--platform", "cpu", "parity", "--model-dir", str(art),
+                 "--golden", str(v1)]) == 0
     data["zh-Shanghai.wav"]["token_ids"] = [1, 2, 3]
     data["zh-Shanghai.wav"]["text"] = "different"
-    golden.write_text(json.dumps(data))
+    golden.write_text(json.dumps({"golden_schema": 2, "fixtures": data}))
     assert main(["--platform", "cpu", "parity", "--model-dir", str(art),
                  "--golden", str(golden)]) == 1
 
@@ -113,7 +122,7 @@ def test_cli_parity_harness(tmp_path):
     fresh = tmp_path / "fresh.json"
     assert main(["--platform", "cpu", "parity", "--model-dir", str(art),
                  "--golden", str(fresh), "--save-golden", str(fresh)]) == 0
-    assert "zh-Shanghai.wav" in json.loads(fresh.read_text())
+    assert "zh-Shanghai.wav" in json.loads(fresh.read_text())["fixtures"]
 
 
 def test_cli_parity_probe_localizes_stage(tmp_path, capsys):
@@ -138,7 +147,7 @@ def test_cli_parity_probe_localizes_stage(tmp_path, capsys):
     golden = tmp_path / "golden.json"
     assert main(["--platform", "cpu", "parity", "--model-dir", str(art),
                  "--save-golden", str(golden)]) == 0
-    data = json.loads(golden.read_text())
+    data = json.loads(golden.read_text())["fixtures"]
     name = next(iter(data))
     # Perturb the ENCODER snapshot; logits stay as captured -> the report
     # must blame the encoder stage (pipeline-ordered first drift).

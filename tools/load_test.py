@@ -241,7 +241,7 @@ def load_lockstep(duration: float, clients: int):
     _flush(rec)
 
 
-def load_stream(duration: float, n_streams: int):
+def load_stream(duration: float, n_streams: int, ticks_per_sync: int = 1):
     """serve-stream: N concurrent chunked-PCM socket streams, each sending
     ``duration`` seconds of audio at 2x real-time pace."""
     import jax
@@ -255,7 +255,8 @@ def load_stream(duration: float, n_streams: int):
     scfg = po.ParaformerStreamConfig(base=pf.ParaformerConfig())
     params = pf.init_params(scfg.base, jax.random.PRNGKey(0))
     runner = ms.paraformer_multistream(params, scfg, n_streams)
-    httpd, srv, _ = start_stream_background(runner, scfg.chunk_samples, port=0)
+    httpd, srv, _ = start_stream_background(runner, scfg.chunk_samples, port=0,
+                                            ticks_per_sync=ticks_per_sync)
     port = httpd.server_address[1]
     rng = np.random.default_rng(1)
     secs = duration
@@ -301,6 +302,7 @@ def load_stream(duration: float, n_streams: int):
             "surface": "serve-stream (chunked-HTTP full duplex)",
             "model": "paraformer_streaming_f32",
             "streams": n_streams,
+            "ticks_per_sync": ticks_per_sync,
             "stream_audio_s": secs,
             "wall_s": round(wall, 2),
             "errors": len(errors),
@@ -417,6 +419,14 @@ def main():
                     help="concurrent PCM streams (stream surface)")
     ap.add_argument("--slots", type=int, default=8,
                     help="decode slots (continuous surface)")
+    ap.add_argument("--ticks-per-sync", type=int, default=1,
+                    help="stream surface: chunk ticks fused per device "
+                         "sync (StreamingServer ticks_per_sync)")
+    ap.add_argument("--sweep", action="store_true",
+                    help="scaling curves instead of single points: stream "
+                         "at 8/16/32 streams, lockstep + continuous at "
+                         "16/32/64 clients — shows where aggregate "
+                         "throughput knees (VERDICT r4 #5)")
     args = ap.parse_args()
     names = args.surfaces or list(SURFACES)
     unknown = [n for n in names if n not in SURFACES]
@@ -426,11 +436,15 @@ def main():
     for n in names:
         try:
             if n == "lockstep":
-                load_lockstep(args.duration, args.clients)
+                for c in ((16, 32, 64) if args.sweep else (args.clients,)):
+                    load_lockstep(args.duration, c)
             elif n == "stream":
-                load_stream(args.duration, args.streams)
+                for s in ((8, 16, 32) if args.sweep else (args.streams,)):
+                    load_stream(args.duration, s,
+                                ticks_per_sync=args.ticks_per_sync)
             else:
-                load_continuous(args.duration, args.clients, args.slots)
+                for c in ((16, 32, 64) if args.sweep else (args.clients,)):
+                    load_continuous(args.duration, c, args.slots)
         except Exception as e:
             failures[n] = f"{type(e).__name__}: {e}"
             print(f"FAIL {n}: {failures[n]}", flush=True)

@@ -94,6 +94,16 @@ def validate_quant_matmul(bits: int, pack: bool, m: int, results: dict) -> None:
     x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
     qleaf = quantize_linear(w, bits=bits, block=block, pack=pack)
 
+    if m >= 512:
+        # XLA-FINAL shape (decision, r5): the Pallas path measured negative
+        # at prefill shapes two rounds running (r3+r4: int8 0.54x, int4
+        # 0.72x, int2 0.88x vs the XLA dequant-fused dot) and the auto
+        # route never picks it — stop compiling/timing the dead path and
+        # validate only what serving executes. The route stays reachable
+        # explicitly via kernel="pallas" for future re-measurement.
+        _validate_xla_final(qm, qleaf, x, m, k, n, block, bits, pack, results)
+        return
+
     pallas_f32 = jax.jit(lambda x: qm._pallas_quant_dense_2d(x, qleaf, mm="f32"))
     pallas_bf16 = jax.jit(lambda x: qm._pallas_quant_dense_2d(x, qleaf, mm="bf16"))
 
@@ -161,6 +171,58 @@ def validate_quant_matmul(bits: int, pack: bool, m: int, results: dict) -> None:
         "route_speedup_vs_xla": round(x_ms / route_ms, 3),
         "effective_tflops_bf16": round(2 * m * k * n / (route_ms * 1e-3) / 1e12, 3),
         "quant_bytes_gbps": round((k * n * bits / 8) / (route_ms * 1e-3) / 1e9, 1),
+    }
+    print(name, results[name], flush=True)
+
+
+def _validate_xla_final(qm, qleaf, x, m, k, n, block, bits, pack,
+                        results: dict) -> None:
+    """m >= 512: validate + time ONLY the auto-routed XLA path (see the
+    decision note at the call site); record the decision in the table."""
+    from asr_tpu.quant.quantize import QuantizedLinear, dequantize_weight
+
+    want = jax.jit(lambda x: jnp.dot(
+        x, dequantize_weight(qleaf, dtype=jnp.float32),
+        precision=jax.lax.Precision.HIGHEST))(x)
+    ref_scale = float(jnp.max(jnp.abs(want))) + 1e-30
+    err16 = float(jnp.max(jnp.abs(
+        jax.jit(lambda x: qm._xla_quant_dense(x, qleaf).astype(jnp.float32))(x)
+        - want)))
+    # f32/parity mode: force the config so _xla_quant_dense takes the
+    # exact dequant + HIGHEST dot path.
+    saved = dict(qm._CONFIG)
+    try:
+        qm._CONFIG.update({"mm": "f32"})
+        err32 = float(jnp.max(jnp.abs(
+            jax.jit(lambda x: qm._xla_quant_dense(x, qleaf))(x) - want)))
+    finally:
+        qm._CONFIG.update(saved)
+
+    def leaf(q, scale, zero, bump):
+        return QuantizedLinear(q, scale * (1 + bump), zero,
+                               qleaf.bits, qleaf.block, qleaf.packed)
+
+    with jax.default_matmul_precision("default"):
+        x_ms = _time_loop(
+            lambda x, q, s, z, bump: qm._xla_quant_dense(
+                x, leaf(q, s, z, bump)).astype(jnp.float32),
+            (x, qleaf["q"], qleaf["scale"], qleaf["zero"]), iters=600)
+    name = f"quant_matmul_int{bits}" + ("_packed" if pack else "") + f"_m{m}"
+    results[name] = {
+        "shape": [m, k, n],
+        "block": block,
+        "max_rel_err_f32_mode": round(err32 / ref_scale, 8),
+        "max_rel_err_bf16_mode": round(err16 / ref_scale, 8),
+        "ok": bool(err32 / ref_scale < 1e-4 and err16 / ref_scale < 2e-2),
+        "xla_dequant_ms": round(x_ms, 4),
+        "auto_route": "xla",
+        "decision": "xla: FINAL for m>=512 — Pallas measured-negative two "
+                    "rounds (r3+r4: int8 0.54x / int4 0.72x / int2 0.88x); "
+                    "dead path no longer compiled or timed here",
+        "route_ms": round(x_ms, 4),
+        "route_speedup_vs_xla": 1.0,
+        "effective_tflops_bf16": round(2 * m * k * n / (x_ms * 1e-3) / 1e12, 3),
+        "quant_bytes_gbps": round((k * n * bits / 8) / (x_ms * 1e-3) / 1e9, 1),
     }
     print(name, results[name], flush=True)
 
