@@ -159,6 +159,9 @@ class NemotronStreamingSession:
         self.tokenizer = tokenizer
         self.prompt_id = prompt_id
         self.max_new = max_new_per_chunk
+        # Hoist the per-layer position-key projection out of the chunk step
+        # (params-only constant; ≈27% of per-chunk FLOPs at full geometry).
+        self.rel_k_cache = ns.precompute_rel_k(params, cfg)
         self.reset()
 
     def reset(self) -> None:
@@ -174,7 +177,8 @@ class NemotronStreamingSession:
         t0 = time.perf_counter()
         pid = jnp.asarray([self.prompt_id], jnp.int32)
         self.state, enc_proj = self.ns.encoder_step(
-            self.params, self.cfg, self.state, jnp.asarray(chunk, jnp.float32)[None], pid
+            self.params, self.cfg, self.state, jnp.asarray(chunk, jnp.float32)[None], pid,
+            self.rel_k_cache,
         )
         self.state, ids, count = self.ns.rnnt_stream_step(
             self.params, self.cfg, self.state, enc_proj, max_new=self.max_new
@@ -235,6 +239,9 @@ class DolphinStreamingSession:
         self.language_id = language_id
         self.region_id = region_id
         self.blank_id = blank_id
+        # Hoist the per-layer position-key projection out of the chunk step
+        # (params-only constant; ~60% of per-chunk FLOPs at full geometry).
+        self.rel_k_cache = ds.precompute_rel_k(params, cfg)
         self.reset()
 
     def reset(self) -> None:
@@ -248,7 +255,8 @@ class DolphinStreamingSession:
         assert len(window) == self.cfg.window_samples, "fixed-size windows required"
         t0 = time.perf_counter()
         self.state, ctc_ids, _ = self.ds.encoder_step(
-            self.params, self.cfg, self.state, jnp.asarray(window, jnp.float32)
+            self.params, self.cfg, self.state, jnp.asarray(window, jnp.float32),
+            self.rel_k_cache,
         )
         new: list[int] = []
         for t in np.asarray(ctc_ids)[0]:

@@ -157,8 +157,15 @@ def dolphin_multistream(params, cfg, n_streams: int) -> MultiStreamRunner:
     per stream, as the single-stream session does)."""
     from asr_tpu.streaming import dolphin_stream as ds
 
+    # The projected position-key table is a params-only constant; ride it
+    # inside the (broadcast) params pytree so it is computed once, not per
+    # stream per tick (it dominated the per-chunk FLOPs before hoisting).
+    params = dict(params, _rel_k_cache=ds.precompute_rel_k(params, cfg))
+
     def step(p, state, window):
-        state, ctc_ids, _enc = ds.encoder_step(p, cfg, state, window)
+        relk = p["_rel_k_cache"]
+        model_p = {k: v for k, v in p.items() if k != "_rel_k_cache"}
+        state, ctc_ids, _enc = ds.encoder_step(model_p, cfg, state, window, relk)
         return state, {"ctc_ids": ctc_ids[0]}
 
     return MultiStreamRunner(params, n_streams, lambda: ds.init_state(cfg), step)
@@ -172,10 +179,15 @@ def nemotron_multistream(params, cfg, n_streams: int,
     from asr_tpu.streaming import nemotron_stream as ns
 
     pid = jnp.asarray([prompt_id], jnp.int32)
+    # Params-only constant: projected position keys, computed once and
+    # broadcast across streams inside the params pytree (not per tick).
+    params = dict(params, _rel_k_cache=ns.precompute_rel_k(params, cfg))
 
     def step(p, state, window):
-        state, enc_proj = ns.encoder_step(p, cfg, state, window[None], pid)
-        state, ids, count = ns.rnnt_stream_step(p, cfg, state, enc_proj)
+        relk = p["_rel_k_cache"]
+        model_p = {k: v for k, v in p.items() if k != "_rel_k_cache"}
+        state, enc_proj = ns.encoder_step(model_p, cfg, state, window[None], pid, relk)
+        state, ids, count = ns.rnnt_stream_step(model_p, cfg, state, enc_proj)
         return state, {"ids": ids[0], "count": count}
 
     return MultiStreamRunner(params, n_streams, lambda: ns.init_state(cfg), step)

@@ -105,16 +105,37 @@ def _stream_rel_index(chunk: int, kv_len: int) -> np.ndarray:
     return (chunk - 1 - i) + j
 
 
+def precompute_rel_k(params: dict, cfg: NemotronStreamConfig) -> jnp.ndarray:
+    """Per-layer projected relative-position keys, shape
+    ``(num_layers, 2*kv_len-1, num_heads, head_dim)``.
+
+    ``pe @ rel_k`` is a params-only constant; the per-chunk step was
+    re-projecting the full (2*kv_len-1)-row sinusoid table through all 24
+    layers' ``rel_k`` weights every tick (24 × 167 × 1024² ≈ 8.4 GFLOP per
+    chunk, ≈27% of the step at default geometry). Sessions compute this
+    once and pass it to ``encoder_step``; ``None`` keeps the in-graph path."""
+    from asr_tpu.layers.conformer import relative_position_embedding
+
+    b = cfg.base
+    hd = b.d_model // b.num_heads
+    pe = jnp.asarray(relative_position_embedding(cfg.kv_len, b.d_model))
+    return jnp.stack([
+        dense(pe, bp["attn"]["rel_k"]).reshape(-1, b.num_heads, hd)
+        for bp in params["blocks"]])
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def encoder_step(params: dict, cfg: NemotronStreamConfig, state: dict, audio: jnp.ndarray, prompt_id: jnp.ndarray):
+def encoder_step(params: dict, cfg: NemotronStreamConfig, state: dict, audio: jnp.ndarray, prompt_id: jnp.ndarray,
+                 rel_k_cache: jnp.ndarray | None = None):
     """One audio window -> (state', enc_proj (1, chunk, joint_hidden))."""
     mel_new = _stream_mel(cfg, audio)
-    return encoder_step_features(params, cfg, state, mel_new, prompt_id)
+    return encoder_step_features(params, cfg, state, mel_new, prompt_id, rel_k_cache)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def encoder_step_features(
-    params: dict, cfg: NemotronStreamConfig, state: dict, mel_new: jnp.ndarray, prompt_id: jnp.ndarray
+    params: dict, cfg: NemotronStreamConfig, state: dict, mel_new: jnp.ndarray, prompt_id: jnp.ndarray,
+    rel_k_cache: jnp.ndarray | None = None,
 ):
     """One mel chunk (1, mel_chunk, n_mels) -> (state', enc_proj)."""
     from asr_tpu.layers.conformer import relative_position_embedding
@@ -164,7 +185,8 @@ def encoder_step_features(
         q = dense(m, bp["attn"]["q"]).reshape(cfg.chunk, b.num_heads, hd).transpose(1, 0, 2)
         k = dense(m_full, bp["attn"]["k"]).reshape(kv_len, b.num_heads, hd).transpose(1, 0, 2)
         v = dense(m_full, bp["attn"]["v"]).reshape(kv_len, b.num_heads, hd).transpose(1, 0, 2)
-        rel_k = dense(pe, bp["attn"]["rel_k"]).reshape(-1, b.num_heads, hd)
+        rel_k = (rel_k_cache[li] if rel_k_cache is not None else
+                 dense(pe, bp["attn"]["rel_k"]).reshape(-1, b.num_heads, hd))
         qu = q + bp["attn"]["bias_u"][:, None, :]
         qv = q + bp["attn"]["bias_v"][:, None, :]
         ac = jnp.einsum("hqd,hkd->hqk", qu, k)

@@ -117,3 +117,25 @@ def test_streaming_session_named_language_forcing():
     with pytest.raises(KeyError):
         DolphinStreamingSession(params, CFG, language_catalog=cat,
                                 language="Klingon")
+
+
+def test_rel_k_cache_identical_to_in_graph():
+    """precompute_rel_k hoists a params-only constant out of the chunk
+    step: the cached path must be BITWISE identical to the in-graph
+    projection (same dense on the same values, just computed once)."""
+    params = dp.init_params(BASE, jax.random.PRNGKey(0))
+    relk = ds.precompute_rel_k(params, CFG)
+    assert relk.shape == (BASE.enc_layers, CFG.max_frames, BASE.enc_heads,
+                          BASE.head_dim)
+    rng = np.random.default_rng(7)
+    audio = (rng.standard_normal(CFG.advance_samples * 2 + CFG.window_samples)
+             * 2000).astype(np.float32)
+    s_a, s_b = ds.init_state(CFG), ds.init_state(CFG)
+    for win in _windows(audio):
+        w = jnp.asarray(win)
+        s_a, ids_a, enc_a = ds.encoder_step(params, CFG, s_a, w)
+        s_b, ids_b, enc_b = ds.encoder_step(params, CFG, s_b, w, relk)
+        np.testing.assert_array_equal(np.asarray(ids_a), np.asarray(ids_b))
+        np.testing.assert_array_equal(np.asarray(enc_a), np.asarray(enc_b))
+    for la, lb in zip(jax.tree.leaves(s_a), jax.tree.leaves(s_b)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))

@@ -81,3 +81,26 @@ def test_stream_mel_window_geometry():
     audio = jnp.asarray((rng.standard_normal((1, CFG.window_samples)) * 0.1).astype(np.float32))
     mel = ns._stream_mel(CFG, audio)
     assert mel.shape == (1, CFG.mel_chunk, BASE.mel.n_mels)
+
+
+def test_rel_k_cache_identical_to_in_graph():
+    """precompute_rel_k hoists a params-only constant out of the chunk
+    step: the cached path must be BITWISE identical to the in-graph
+    projection."""
+    params = nm.init_params(BASE, jax.random.PRNGKey(0))
+    relk = ns.precompute_rel_k(params, CFG)
+    hd = BASE.d_model // BASE.num_heads
+    assert relk.shape == (BASE.num_layers, 2 * CFG.kv_len - 1,
+                          BASE.num_heads, hd)
+    rng = np.random.default_rng(5)
+    pid = jnp.zeros((1,), jnp.int32)
+    s_a = ns.init_state(CFG)
+    s_b = ns.init_state(CFG)
+    for _ in range(3):
+        win = jnp.asarray((rng.standard_normal(CFG.window_samples) * 0.1)
+                          .astype(np.float32))[None]
+        s_a, enc_a = ns.encoder_step(params, CFG, s_a, win, pid)
+        s_b, enc_b = ns.encoder_step(params, CFG, s_b, win, pid, relk)
+        np.testing.assert_array_equal(np.asarray(enc_a), np.asarray(enc_b))
+    for la, lb in zip(jax.tree.leaves(s_a), jax.tree.leaves(s_b)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))

@@ -67,10 +67,17 @@ def _fetch(out) -> None:
 # Builder-measured per-chip ceilings (memory/axon-tunnel-timing, r3
 # difference-method): f32 HIGHEST matmuls ~28 TF/s, bf16 ~130 TF/s.
 _CEILING_F32, _CEILING_BF16 = 28.0, 130.0
+# HBM read bandwidth, builder-measured r5 (tools/measure_hbm.py difference
+# method on this chip — v5e datasheet is 819 GB/s). Decode-bound rows
+# (megakernel steps) are WEIGHT-STREAM-bound, not FLOP-bound: their MFU is
+# honest but useless for diagnosis, so rows that pass
+# ``analytic_bytes_per_iter`` also report % of this ceiling.
+_CEILING_HBM_GBPS = 700.0
 
 
 def _measure(name, fn, args, batch, audio_seconds, iters, ref_cpu_rtf, note="",
-             ceiling_tflops=None, analytic_flops_per_iter=None):
+             ceiling_tflops=None, analytic_flops_per_iter=None,
+             analytic_bytes_per_iter=None):
     if ceiling_tflops is None:
         # quantized / bf16 rows run their matmuls on the bf16 MXU path
         ceiling_tflops = (_CEILING_BF16 if any(t in name for t in
@@ -121,6 +128,11 @@ def _measure(name, fn, args, batch, audio_seconds, iters, ref_cpu_rtf, note="",
             rec["achieved_tflops_per_s"] = round(achieved, 2)
             rec["pct_of_measured_ceiling"] = round(100 * achieved / ceiling_tflops, 1)
             rec["ceiling_tflops"] = ceiling_tflops
+    if analytic_bytes_per_iter:
+        gbps = analytic_bytes_per_iter * iters / elapsed / 1e9
+        rec["achieved_hbm_gbps"] = round(gbps, 1)
+        rec["pct_of_hbm_ceiling"] = round(100 * gbps / _CEILING_HBM_GBPS, 1)
+        rec["hbm_ceiling_gbps"] = _CEILING_HBM_GBPS
     RESULTS.append(rec)
     print(json.dumps(rec), flush=True)
     _write_audit()
@@ -544,11 +556,17 @@ def bench_qwen_asr_continuous():
     per_tok = (lc.num_layers * (2 * lc.hidden * (qd + 2 * kvd) + 2 * qd * lc.hidden
                                 + 6 * lc.hidden * lc.ffn_dim + 4 * qd * 512)
                + 2 * lc.hidden * lc.vocab_size)
+    # analytic per-step HBM traffic: the stacked weight strips stream ONCE
+    # for all 8 slots; each slot reads its bf16 KV planes back to the 512
+    # cache slots the kernel tiles over (k+v, GQA width).
+    wbytes = sum(l.size * l.dtype.itemsize for l in jax.tree.leaves(bat.stacked))
+    kv_bytes = 8 * lc.num_layers * 2 * 2 * 512 * kvd
     _measure("qwen3_asr_0.6b_q4_continuous8", fn, args, 8, 4.0, 5,
              0.12, f"continuous batching steady state: 8 slots, {kernel} "
              "step, packed-int4 + int4 tied head, bf16 KV planes; "
              "per-request latency RTF = 8x this row",
-             analytic_flops_per_iter=8 * 50 * per_tok)
+             analytic_flops_per_iter=8 * 50 * per_tok,
+             analytic_bytes_per_iter=50 * (wbytes + kv_bytes))
 
 
 def bench_whisper_continuous8():
@@ -606,11 +624,17 @@ def bench_whisper_continuous8():
     d, f_, v = cfg.d_model, cfg.ffn_dim, cfg.vocab_size
     per_tok = (cfg.decoder_layers * (12 * d * d + 4 * d * f_
                                      + 4 * d * (448 + 1504)) + 2 * d * v)
+    # analytic per-step HBM traffic: stacked weight strips stream ONCE for
+    # all 8 slots; each slot reads bf16 self-KV (448-slot planes the kernel
+    # tiles over) + bf16 cross-KV (1504 encoder positions), k+v each.
+    wbytes = sum(l.size * l.dtype.itemsize for l in jax.tree.leaves(bat.stacked))
+    kv_bytes = 8 * cfg.decoder_layers * 2 * 2 * (448 + 1504) * cfg.d_model
     _measure("whisper_large_v3_turbo_q8_continuous8", fn, args, 8, 7.5, 5,
              0.073, f"continuous AED batching steady state: 8 slots, {kernel} "
              "step (per-slot cross-KV, q8 tied head), bf16 KV/cross planes; "
              "per-request latency RTF = 8x this row; ref README.md:55",
-             analytic_flops_per_iter=8 * 50 * per_tok)
+             analytic_flops_per_iter=8 * 50 * per_tok,
+             analytic_bytes_per_iter=50 * (wbytes + kv_bytes))
 
 
 def bench_fun_asr_nano_llm_q4():
@@ -868,16 +892,19 @@ def bench_nemotron_streaming():
     state = ns.init_state(cfg)
     window = _audio(1, cfg.window_samples / 16000.0, scale=0.1)[0]
     prompt = jnp.zeros((1,), jnp.int32)
+    relk = ns.precompute_rel_k(params, cfg)
 
-    def step(p, s, w, pr):
-        s, enc_proj = ns.encoder_step(p, cfg, s, w, pr)
+    def step(p, s, w, pr, rk):
+        s, enc_proj = ns.encoder_step(p, cfg, s, w, pr, rk)
         return ns.rnnt_stream_step(p, cfg, s, enc_proj)
 
     stepj = jax.jit(step)
     chunk_seconds = cfg.mel_chunk * cfg.base.mel.hop_length / 16000.0
-    _measure_stream("nemotron_streaming_f32", stepj, (params, state, window, prompt),
+    _measure_stream("nemotron_streaming_f32", stepj,
+                    (params, state, window, prompt, relk),
                     chunk_seconds, 0.1,
-                    "cache-aware chunk + RNN-T continuation; ref README.md:63 (offline row)")
+                    "cache-aware chunk + RNN-T continuation, hoisted rel-k cache; "
+                    "ref README.md:63 (offline row)")
 
 
 def bench_dolphin_streaming():
@@ -887,11 +914,67 @@ def bench_dolphin_streaming():
     params = dp.init_params(cfg.base, jax.random.PRNGKey(0))
     state = ds.init_state(cfg)
     window = _audio(1, cfg.window_samples / 16000.0)[0][0]
-    stepj = jax.jit(lambda p, s, w: ds.encoder_step(p, cfg, s, w))
+    relk = ds.precompute_rel_k(params, cfg)
+    stepj = jax.jit(lambda p, s, w, rk: ds.encoder_step(p, cfg, s, w, rk))
     chunk_seconds = cfg.advance_samples / 16000.0
-    _measure_stream("dolphin_cn_stream_f32", stepj, (params, state, window),
+    _measure_stream("dolphin_cn_stream_f32", stepj, (params, state, window, relk),
                     chunk_seconds, 0.14,
-                    "E-Branchformer chunk + in-graph CTC ids; ref README.md:60 (offline row)")
+                    "E-Branchformer chunk + in-graph CTC ids, hoisted rel-k cache; "
+                    "ref README.md:60 (offline row)")
+
+
+def bench_paraformer_streaming_q8():
+    """q8 streaming Paraformer (VERDICT r4 #4: quantization composes with
+    streaming — the hardware row). Same chunk step as the f32 row with
+    int8 block-128 weights: every encoder/FSMN/predictor/decoder matmul
+    routes through the quant dispatch (token-identity vs dequantized-f32
+    is CPU-tested in tests/test_quant_streaming.py; this row measures the
+    bf16 serving path on chip). Reference quantizes its streaming graphs
+    through the same Optimize_ONNX_Common.py pipeline as offline ones."""
+    from asr_tpu.models import paraformer as pf
+    from asr_tpu.quant.quantize import quantize_pytree
+    from asr_tpu.streaming import paraformer_online as po
+    cfg = po.ParaformerStreamConfig(base=pf.ParaformerConfig())
+    params = quantize_pytree(pf.init_params(cfg.base, jax.random.PRNGKey(0)),
+                             bits=8)
+    state = po.init_state(cfg, params)
+    chunk, _ = _audio(1, cfg.chunk_samples / 16000.0)
+    enc_j = jax.jit(lambda p, s, c: po.encoder_step(p, cfg, s, c))
+    dec_j = jax.jit(lambda p, s, e, f, n: po.decoder_step(p, cfg, s, e, f, n))
+
+    def step(p, s, c):
+        s, fired, count, enc_out = enc_j(p, s, c)
+        s, ids, n = dec_j(p, s, enc_out, fired, count)
+        return s, ids, n
+
+    _measure_stream("paraformer_streaming_q8", step,
+                    (params, state, chunk[0][None]),
+                    cfg.chunk_samples / 16000.0, 0.06,
+                    "0.5 s chunks, int8 block-128 weights (bf16 serving route), "
+                    "decoder forced EVERY chunk; ref README.md:58")
+
+
+def bench_dolphin_streaming_q8():
+    """q8 streaming Dolphin CN-Dialect (VERDICT r4 #4 second hardware row):
+    E-Branchformer chunk encoder with int8 block-128 weights; depthwise
+    cgMLP/fusion kernels stay raw f32 (consumed elementwise, excluded by
+    the quantizer)."""
+    from asr_tpu.models import dolphin as dp
+    from asr_tpu.quant.quantize import quantize_pytree
+    from asr_tpu.streaming import dolphin_stream as ds
+    cfg = ds.DolphinStreamConfig(base=dp.DolphinConfig())
+    params = quantize_pytree(dp.init_params(cfg.base, jax.random.PRNGKey(0)),
+                             bits=8)
+    state = ds.init_state(cfg)
+    window = _audio(1, cfg.window_samples / 16000.0)[0][0]
+    relk = ds.precompute_rel_k(params, cfg)
+    stepj = jax.jit(lambda p, s, w, rk: ds.encoder_step(p, cfg, s, w, rk))
+    chunk_seconds = cfg.advance_samples / 16000.0
+    _measure_stream("dolphin_cn_stream_q8", stepj, (params, state, window, relk),
+                    chunk_seconds, 0.14,
+                    "E-Branchformer chunk + in-graph CTC ids, int8 block-128 "
+                    "weights (bf16 serving route), hoisted rel-k cache; "
+                    "ref README.md:60 (offline row)")
 
 
 def bench_zipformer_multistream(n_streams: int = 8):
@@ -987,12 +1070,14 @@ BENCHES = {
     "fun_asr_llm_batch8": bench_fun_asr_llm_batch8,
     "qwen_asr": bench_qwen_asr,
     "paraformer_streaming": bench_paraformer_streaming,
+    "paraformer_streaming_q8": bench_paraformer_streaming_q8,
     "paraformer_multistream": bench_paraformer_multistream,
     "zipformer_streaming": bench_zipformer_streaming,
     "zipformer_multistream": bench_zipformer_multistream,
     "nemotron_streaming": bench_nemotron_streaming,
     "nemotron_multistream": bench_nemotron_multistream,
     "dolphin_streaming": bench_dolphin_streaming,
+    "dolphin_streaming_q8": bench_dolphin_streaming_q8,
     "dolphin_multistream": bench_dolphin_multistream,
 }
 
