@@ -50,14 +50,24 @@ def _join_window_texts(texts: list[str]) -> str:
 
 
 def decode_audio_bytes(data: bytes, target_rate: int) -> np.ndarray:
-    """Sniff the body format (WAV / FLAC / MP3) and decode to mono float32
-    in the int16 numeric range at ``target_rate``."""
+    """Sniff the body format (WAV / FLAC / OGG / MP3) and decode to mono
+    float32 in the int16 numeric range at ``target_rate``."""
     if data[:4] == b"RIFF":
         return decode_wav_bytes(data, target_rate)
     if data[:4] == b"fLaC":
         from asr_tpu.runtime.flac import read_flac_bytes
 
         samples, rate = read_flac_bytes(data)
+    elif data[:4] == b"OggS":
+        import tempfile
+
+        from asr_tpu.runtime.ogg import read_ogg
+
+        with tempfile.NamedTemporaryFile(suffix=".ogg") as f:
+            f.write(data)
+            f.flush()
+            ch_samples, rate = read_ogg(f.name)
+        samples = ch_samples.T  # (n, channels) for the shared downmix below
     elif data[:3] == b"ID3" or (len(data) > 2 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0):
         import tempfile
 
@@ -69,7 +79,8 @@ def decode_audio_bytes(data: bytes, target_rate: int) -> np.ndarray:
             samples, rate = read_mp3(f.name)
     else:
         raise ValueError(
-            "unrecognized audio body (expected WAV 'RIFF', FLAC 'fLaC', or MP3)")
+            "unrecognized audio body (expected WAV 'RIFF', FLAC 'fLaC', "
+            "OGG 'OggS', or MP3)")
     if samples.ndim > 1:
         samples = samples.mean(axis=1)
     if rate != target_rate:

@@ -114,6 +114,10 @@ def load_audio(
         from asr_tpu.runtime.flac import read_flac
 
         samples, rate = read_flac(path)
+    elif suffix in (".ogg", ".oga"):
+        from asr_tpu.runtime.ogg import read_ogg
+
+        samples, rate = read_ogg(path)
     else:
         raise ValueError(f"unsupported audio format: {suffix}")
     mono = downmix(samples)

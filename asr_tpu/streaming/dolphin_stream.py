@@ -82,6 +82,49 @@ def init_state(cfg: DolphinStreamConfig, dtype=jnp.float32) -> dict:
     }
 
 
+@functools.lru_cache(maxsize=64)
+def _row_appender(li: int):
+    """Append ``new`` rows into layer ``li`` of a stacked history buffer at
+    row offset ``start`` — with a vmap rule that avoids scatter.
+
+    Single stream this is a plain ``dynamic_update_slice`` (writes only the
+    ``n`` new rows, aliases in place through loop carries). Under ``vmap``
+    the per-stream ``start`` becomes a batched index and XLA lowers the
+    update to a scatter — measured 6.1 of the 7.96 ms ×8 Dolphin tick
+    (``tools/ablate_dolphin_multistream.py``, VERDICT r4 #3: zero vmap
+    amortization). The custom vmap rule instead builds the update as a
+    one-hot spread (an MXU matmul) plus a row-range ``where`` — a dense
+    select the TPU streams at HBM bandwidth, no scatter anywhere.
+
+    Matches dus clamp semantics (``start`` clamped to ``T - n``) so
+    multistream token streams stay identical to single-stream replay.
+    """
+    from jax import custom_batching
+
+    @custom_batching.custom_vmap
+    def append(buf, new, start):
+        return jax.lax.dynamic_update_slice(buf, new[None], (li, start, 0, 0))
+
+    @append.def_vmap
+    def _rule(axis_size, in_batched, buf, new, start):  # noqa: ANN001
+        bcast = lambda x, b: x if b else jax.tree.map(
+            lambda y: jnp.broadcast_to(y[None], (axis_size,) + y.shape), x)
+        buf = bcast(buf, in_batched[0])      # (B, L, T, H, D)
+        new = bcast(new, in_batched[1])      # (B, n, H, D)
+        start = bcast(start, in_batched[2])  # (B,)
+        T, n = buf.shape[2], new.shape[1]
+        start = jnp.clip(start, 0, T - n)
+        rows = jnp.arange(T, dtype=start.dtype)
+        tgt = start[:, None] + jnp.arange(n, dtype=start.dtype)[None]   # (B, n)
+        onehot = (rows[None, :, None] == tgt[:, None, :]).astype(new.dtype)
+        spread = jnp.einsum("btn,bnhd->bthd", onehot, new)
+        sel = (rows[None] >= start[:, None]) & (rows[None] < start[:, None] + n)
+        layer = jnp.where(sel[:, :, None, None], spread, buf[:, li])
+        return buf.at[:, li].set(layer), True
+
+    return append
+
+
 @functools.lru_cache(maxsize=8)
 def _abs_pos_table(max_len: int, d_model: int) -> np.ndarray:
     """espnet positive-position sinusoid rows 0..max_len-1 (interleaved)."""
@@ -144,12 +187,11 @@ def encoder_step(params: dict, cfg: DolphinStreamConfig, state: dict,
     pos = jnp.asarray(_abs_pos_table(max_f, b.d_model))
 
     # History buffers are patched IN PLACE in their stacked (L, T, H, D)
-    # form: the previous slice-out / jnp.stack-reassemble shape rewrote
-    # every buffer wholesale each tick — measured 6.2 of 7.8 ms/tick on
-    # the ×8 vmapped step (tools/ablate_dolphin_multistream.py), the
-    # reason the multistream row showed zero vmap amortization (VERDICT
-    # r4 #3). A dynamic_update_slice at a static layer index writes only
-    # the new rows and aliases through loop carries.
+    # form via _row_appender: a dynamic_update_slice single-stream (writes
+    # only the new rows, aliases through loop carries) and a one-hot
+    # spread + row-range select under vmap — the batched-offset dus
+    # otherwise lowers to a scatter that cost 6.1 of the 7.96 ms ×8 tick
+    # (tools/ablate_dolphin_multistream.py, VERDICT r4 #3).
     att_k, att_v, cnn = state["att_k"], state["att_v"], state["cnn"]
     hd = b.head_dim
     for li, p in enumerate(params["enc_blocks"]):
@@ -161,10 +203,8 @@ def encoder_step(params: dict, cfg: DolphinStreamConfig, state: dict,
         q = dense(xn, p["attn"]["q"]).reshape(1, n, b.enc_heads, hd)
         k_new = dense(xn, p["attn"]["k"]).reshape(n, b.enc_heads, hd)
         v_new = dense(xn, p["attn"]["v"]).reshape(n, b.enc_heads, hd)
-        att_k = jax.lax.dynamic_update_slice(att_k, k_new[None],
-                                             (li, valid, 0, 0))
-        att_v = jax.lax.dynamic_update_slice(att_v, v_new[None],
-                                             (li, valid, 0, 0))
+        att_k = _row_appender(li)(att_k, k_new, valid)
+        att_v = _row_appender(li)(att_v, v_new, valid)
         k_buf, v_buf = att_k[li], att_v[li]
         rel_k = (rel_k_cache[li] if rel_k_cache is not None else
                  dense(pos, p["attn"]["rel_k"]).reshape(max_f, b.enc_heads, hd))
@@ -209,8 +249,8 @@ def encoder_step(params: dict, cfg: DolphinStreamConfig, state: dict,
     for li, p in enumerate(params["decoder"]["blocks"]):
         k = dense(enc_out, p["cross"]["k"]).reshape(n, b.dec_heads, hd)
         v = dense(enc_out, p["cross"]["v"]).reshape(n, b.dec_heads, hd)
-        cross_k = jax.lax.dynamic_update_slice(cross_k, k[None], (li, valid, 0, 0))
-        cross_v = jax.lax.dynamic_update_slice(cross_v, v[None], (li, valid, 0, 0))
+        cross_k = _row_appender(li)(cross_k, k, valid)
+        cross_v = _row_appender(li)(cross_v, v, valid)
 
     new_state = {
         "att_k": att_k,
