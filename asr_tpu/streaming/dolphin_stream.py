@@ -82,47 +82,36 @@ def init_state(cfg: DolphinStreamConfig, dtype=jnp.float32) -> dict:
     }
 
 
-@functools.lru_cache(maxsize=64)
-def _row_appender(li: int):
-    """Append ``new`` rows into layer ``li`` of a stacked history buffer at
-    row offset ``start`` — with a vmap rule that avoids scatter.
+def _append_rows(buf, new, li: int, start, *, scatter_free: bool):
+    """Append ``new`` (n, H, D) rows into layer ``li`` of a stacked history
+    buffer (L, T, H, D) at row offset ``start``.
 
-    Single stream this is a plain ``dynamic_update_slice`` (writes only the
-    ``n`` new rows, aliases in place through loop carries). Under ``vmap``
-    the per-stream ``start`` becomes a batched index and XLA lowers the
-    update to a scatter — measured 6.1 of the 7.96 ms ×8 Dolphin tick
+    ``scatter_free=False`` (single stream): a plain ``dynamic_update_slice``
+    — writes only the ``n`` new rows and aliases in place through loop
+    carries. Under ``vmap`` a batched ``start`` makes that dus lower to a
+    scatter — measured 6.1 of the 7.96 ms ×8 Dolphin tick
     (``tools/ablate_dolphin_multistream.py``, VERDICT r4 #3: zero vmap
-    amortization). The custom vmap rule instead builds the update as a
-    one-hot spread (an MXU matmul) plus a row-range ``where`` — a dense
-    select the TPU streams at HBM bandwidth, no scatter anywhere.
+    amortization) — so the multistream runner passes ``scatter_free=True``:
+    the update becomes a one-hot spread (an MXU matmul) plus a row-range
+    ``where`` — dense ops that vectorize cleanly with NO batched-index
+    scatter anywhere. (A static flag, not ``custom_vmap``: the call
+    boundary custom_vmap introduces blocked the in-place aliasing of the
+    single-stream dus — measured 0.95 → 1.87 ms/chunk.)
 
-    Matches dus clamp semantics (``start`` clamped to ``T - n``) so
+    Matches dus clamp semantics (``start`` clamped into [0, T-n]) so
     multistream token streams stay identical to single-stream replay.
     """
-    from jax import custom_batching
-
-    @custom_batching.custom_vmap
-    def append(buf, new, start):
+    if not scatter_free:
         return jax.lax.dynamic_update_slice(buf, new[None], (li, start, 0, 0))
-
-    @append.def_vmap
-    def _rule(axis_size, in_batched, buf, new, start):  # noqa: ANN001
-        bcast = lambda x, b: x if b else jax.tree.map(
-            lambda y: jnp.broadcast_to(y[None], (axis_size,) + y.shape), x)
-        buf = bcast(buf, in_batched[0])      # (B, L, T, H, D)
-        new = bcast(new, in_batched[1])      # (B, n, H, D)
-        start = bcast(start, in_batched[2])  # (B,)
-        T, n = buf.shape[2], new.shape[1]
-        start = jnp.clip(start, 0, T - n)
-        rows = jnp.arange(T, dtype=start.dtype)
-        tgt = start[:, None] + jnp.arange(n, dtype=start.dtype)[None]   # (B, n)
-        onehot = (rows[None, :, None] == tgt[:, None, :]).astype(new.dtype)
-        spread = jnp.einsum("btn,bnhd->bthd", onehot, new)
-        sel = (rows[None] >= start[:, None]) & (rows[None] < start[:, None] + n)
-        layer = jnp.where(sel[:, :, None, None], spread, buf[:, li])
-        return buf.at[:, li].set(layer), True
-
-    return append
+    T, n = buf.shape[1], new.shape[0]
+    start = jnp.clip(start, 0, T - n)
+    rows = jnp.arange(T, dtype=start.dtype)
+    tgt = start + jnp.arange(n, dtype=start.dtype)            # (n,)
+    onehot = (rows[:, None] == tgt[None, :]).astype(new.dtype)  # (T, n)
+    spread = jnp.einsum("tn,nhd->thd", onehot, new)
+    sel = (rows >= start) & (rows < start + n)
+    layer = jnp.where(sel[:, None, None], spread, buf[li])
+    return buf.at[li].set(layer)
 
 
 @functools.lru_cache(maxsize=8)
@@ -152,9 +141,10 @@ def precompute_rel_k(params: dict, cfg: DolphinStreamConfig) -> jnp.ndarray:
         for p in params["enc_blocks"]])
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "scatter_free_writes"))
 def encoder_step(params: dict, cfg: DolphinStreamConfig, state: dict,
-                 window: jnp.ndarray, rel_k_cache: jnp.ndarray | None = None):
+                 window: jnp.ndarray, rel_k_cache: jnp.ndarray | None = None,
+                 scatter_free_writes: bool = False):
     """One chunk window (window_samples,) int16-range (the session slides
     windows by ``advance_samples``, i.e. 3 mel frames of lookahead overlap)
     -> (state', ctc_ids (1, chunk), enc_out (1, chunk, D)).
@@ -187,10 +177,11 @@ def encoder_step(params: dict, cfg: DolphinStreamConfig, state: dict,
     pos = jnp.asarray(_abs_pos_table(max_f, b.d_model))
 
     # History buffers are patched IN PLACE in their stacked (L, T, H, D)
-    # form via _row_appender: a dynamic_update_slice single-stream (writes
-    # only the new rows, aliases through loop carries) and a one-hot
-    # spread + row-range select under vmap — the batched-offset dus
-    # otherwise lowers to a scatter that cost 6.1 of the 7.96 ms ×8 tick
+    # form via _append_rows: a dynamic_update_slice single-stream (writes
+    # only the new rows, aliases through loop carries); the vmapped
+    # multistream runner passes scatter_free_writes=True for the one-hot
+    # spread + row-range select — the batched-offset dus otherwise lowers
+    # to a scatter that cost 6.1 of the 7.96 ms ×8 tick
     # (tools/ablate_dolphin_multistream.py, VERDICT r4 #3).
     att_k, att_v, cnn = state["att_k"], state["att_v"], state["cnn"]
     hd = b.head_dim
@@ -203,8 +194,8 @@ def encoder_step(params: dict, cfg: DolphinStreamConfig, state: dict,
         q = dense(xn, p["attn"]["q"]).reshape(1, n, b.enc_heads, hd)
         k_new = dense(xn, p["attn"]["k"]).reshape(n, b.enc_heads, hd)
         v_new = dense(xn, p["attn"]["v"]).reshape(n, b.enc_heads, hd)
-        att_k = _row_appender(li)(att_k, k_new, valid)
-        att_v = _row_appender(li)(att_v, v_new, valid)
+        att_k = _append_rows(att_k, k_new, li, valid, scatter_free=scatter_free_writes)
+        att_v = _append_rows(att_v, v_new, li, valid, scatter_free=scatter_free_writes)
         k_buf, v_buf = att_k[li], att_v[li]
         rel_k = (rel_k_cache[li] if rel_k_cache is not None else
                  dense(pos, p["attn"]["rel_k"]).reshape(max_f, b.enc_heads, hd))
@@ -249,8 +240,8 @@ def encoder_step(params: dict, cfg: DolphinStreamConfig, state: dict,
     for li, p in enumerate(params["decoder"]["blocks"]):
         k = dense(enc_out, p["cross"]["k"]).reshape(n, b.dec_heads, hd)
         v = dense(enc_out, p["cross"]["v"]).reshape(n, b.dec_heads, hd)
-        cross_k = _row_appender(li)(cross_k, k, valid)
-        cross_v = _row_appender(li)(cross_v, v, valid)
+        cross_k = _append_rows(cross_k, k, li, valid, scatter_free=scatter_free_writes)
+        cross_v = _append_rows(cross_v, v, li, valid, scatter_free=scatter_free_writes)
 
     new_state = {
         "att_k": att_k,

@@ -141,14 +141,15 @@ def test_rel_k_cache_identical_to_in_graph():
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
 
 
-def test_row_appender_vmap_matches_dus_including_clamp():
-    """The custom_vmap one-hot/select rule must equal per-stream
-    dynamic_update_slice for mixed offsets INCLUDING the dus clamp edge
-    (start > T - n), which streams hit after their history saturates."""
+def test_append_rows_scatter_free_matches_dus_including_clamp():
+    """The one-hot/select scatter-free write (vmapped multistream path)
+    must equal per-stream dynamic_update_slice for mixed offsets INCLUDING
+    the dus clamp edge (start > T - n), hit after history saturates."""
+    import functools
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from asr_tpu.streaming.dolphin_stream import _row_appender
+    from asr_tpu.streaming.dolphin_stream import _append_rows
 
     L, T, H, D, n, B = 3, 12, 2, 4, 5, 4
     rng = np.random.default_rng(0)
@@ -156,9 +157,9 @@ def test_row_appender_vmap_matches_dus_including_clamp():
     new = jnp.asarray(rng.standard_normal((B, n, H, D)).astype(np.float32))
     starts = jnp.asarray([0, 3, T - n, T])  # T clamps to T - n
     for li in range(L):
-        ap = _row_appender(li)
-        got = jax.vmap(ap, in_axes=(0, 0, 0))(buf, new, starts)
+        fn = functools.partial(_append_rows, li=li, scatter_free=True)
+        got = jax.vmap(lambda b, v, s: fn(b, v, start=s))(buf, new, starts)
         want = jnp.stack([
-            jax.lax.dynamic_update_slice(buf[i], new[i][None], (li, int(starts[i]), 0, 0))
+            _append_rows(buf[i], new[i], li, int(starts[i]), scatter_free=False)
             for i in range(B)])
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=0)
