@@ -138,6 +138,19 @@ def _measure(name, fn, args, batch, audio_seconds, iters, ref_cpu_rtf, note="",
     _write_audit()
 
 
+def _tree_bytes(tree) -> int:
+    return sum(l.size * l.dtype.itemsize for l in jax.tree.leaves(tree))
+
+
+def _aed_step_bytes(stk, nl, d, t_self, t_cross, kv_itemsize) -> int:
+    """Analytic per-decode-step HBM reads of a fused AED step: the stacked
+    weight strips stream once, plus the full (static-shape) self-KV cache
+    and the cross-KV planes the kernel tiles over. Diagnostic for the
+    batch-1 latency rows, which are WEIGHT-STREAM-bound (MFU alone reads
+    misleadingly low there)."""
+    return _tree_bytes(stk) + nl * 2 * (t_self + t_cross) * d * kv_itemsize
+
+
 def _write_audit() -> None:
     """Rewrite the incremental audit record (called after EVERY row — the
     tunnel can wedge mid-run and partial evidence still counts)."""
@@ -262,11 +275,20 @@ def bench_whisper_batch1(tag="q8bf16", iters=3):
     kern = "fused step megakernel" if stk is not None else "per-weight"
     fn = jax.jit(lambda p, m, pr, s: wh.transcribe_window(p, cfg, m, pr, dc,
                                                           stacked=s))
+    # per-iter HBM reads: encoder weights once per 30 s window + 200 fused
+    # decode steps (stacked strips + bf16 self cache (205 rows) + bf16
+    # cross-KV (1500 rows)).
+    step_b = (_aed_step_bytes(stk, cfg.decoder_layers, cfg.d_model,
+                              205, cfg.max_source_positions, 2)
+              if stk is not None else None)
     _measure("whisper_large_v3_turbo_q8bf16_batch1", fn,
              (params, mel, prompt, stk), 1, 30.0, iters,
              0.073, "SINGLE-STREAM latency row: batch 1, int8 block-128 weights "
              f"+ bf16 activations, {kern} decode (incl. q8 tied head), "
-             "forced 200 decode steps; ref README.md:55")
+             "forced 200 decode steps; ref README.md:55",
+             analytic_bytes_per_iter=(
+                 _tree_bytes(params["encoder"]) + 200 * step_b
+                 if step_b else None))
 
 
 def bench_qwen_asr_q4():
@@ -297,8 +319,17 @@ def bench_qwen_asr_q4():
     stk = stack_decode_params(llm, cfg.llm)  # batch-1 fused megakernel path
     fn = jax.jit(lambda t, l, s, a, v: qa.forward(t, l, cfg, a, v, ids, dc,
                                                   stacked=s))
+    # per-iter HBM reads: q8 tower once per window + 100 fused decode steps
+    # (int4 strips + f32 head + bf16 stacked KV cache, t_max 216 = prompt
+    # 112 [3+104 audio+2+1+2] + 100 steps + 1, sublane-rounded).
+    lc = cfg.llm
+    step_b = (_tree_bytes(stk)
+              + lc.num_layers * 2 * 216 * lc.num_kv_heads * lc.head_dim * 2
+              if stk is not None else None)
     _measure("qwen3_asr_0.6b_q4f32", fn, (tower, llm, stk, audio, valid), 1, 8.0, 10,
-             0.12, "packed-int4 LLM weights + q8 tower (fused decode megakernel), forced 100 steps")
+             0.12, "packed-int4 LLM weights + q8 tower (fused decode megakernel), forced 100 steps",
+             analytic_bytes_per_iter=(_tree_bytes(tower) + 100 * step_b
+                                      if step_b else None))
 
 
 def bench_paraformer():
@@ -407,10 +438,17 @@ def bench_firered_q8_batch1():
     audio, valid = _audio(1, 8.0)
     dc = DecodeConfig(max_new_tokens=60, eot_id=-1)
     fn = jax.jit(lambda p, a, v, s: fr.transcribe(p, cfg, a, v, dc, stacked=s))
+    # per-iter HBM reads: encoder side once per window + 60 fused steps
+    # (strips + f32 self cache (62 rows) + f32 cross-KV (~200 rows @ 8 s)).
+    step_b = (_aed_step_bytes(stk, cfg.dec_layers, cfg.d_model, 62, 200, 4)
+              if stk is not None else None)
     _measure("firered_aed_l_q8f32_batch1", fn, (params, audio, valid, stk),
              1, 8.0, 5,
              0.17, "SINGLE-STREAM latency row: batch 1, int8 block-128 weights, "
-             f"{kern} decode, forced 60 decode steps; ref README.md:59")
+             f"{kern} decode, forced 60 decode steps; ref README.md:59",
+             analytic_bytes_per_iter=(
+                 _tree_bytes(params) - _tree_bytes(params["decoder"])
+                 + 60 * step_b if step_b else None))
 
 
 def bench_dolphin_q8_batch1():
@@ -432,10 +470,17 @@ def bench_dolphin_q8_batch1():
     dc = DecodeConfig(max_new_tokens=60, eot_id=-1)
     fn = jax.jit(lambda p, a, v, pr, s: dp.transcribe(p, cfg, a, v, pr, dc,
                                                       stacked=s))
+    # per-iter HBM reads: encoder side once per window + 60 fused steps
+    # (strips + f32 self cache (66 rows) + f32 cross-KV (~200 rows @ 8 s)).
+    step_b = (_aed_step_bytes(stk, cfg.dec_layers, cfg.d_model, 66, 200, 4)
+              if stk is not None else None)
     _measure("dolphin_small_q8f32_batch1", fn,
              (params, audio, valid, prompt, stk), 1, 8.0, 5,
              0.14, "SINGLE-STREAM latency row: batch 1, int8 block-128 weights, "
-             f"{kern} decode, forced 60 decode steps; ref README.md:60")
+             f"{kern} decode, forced 60 decode steps; ref README.md:60",
+             analytic_bytes_per_iter=(
+                 _tree_bytes(params) - _tree_bytes(params["decoder"])
+                 + 60 * step_b if step_b else None))
 
 
 def bench_fun_asr_nano_ctc():
@@ -473,8 +518,16 @@ def bench_qwen_asr_q4_qembed():
     stk = stack_decode_params(llm, cfg.llm)  # batch-1 fused megakernel path
     fn = jax.jit(lambda t, l, s, a, v: qa.forward(t, l, cfg, a, v, ids, dc,
                                                   stacked=s))
+    # per-iter HBM reads: same shape as the q4f32 row but the tied head
+    # streams int4 (inside the stacked strips) instead of f32.
+    lc = cfg.llm
+    step_b = (_tree_bytes(stk)
+              + lc.num_layers * 2 * 216 * lc.num_kv_heads * lc.head_dim * 2
+              if stk is not None else None)
     _measure("qwen3_asr_0.6b_q4f32_qembed", fn, (tower, llm, stk, audio, valid), 1, 8.0, 10,
-             0.12, "packed-int4 LLM + int4 tied head + q8 tower + fused decode megakernel, forced 100 steps")
+             0.12, "packed-int4 LLM + int4 tied head + q8 tower + fused decode megakernel, forced 100 steps",
+             analytic_bytes_per_iter=(_tree_bytes(tower) + 100 * step_b
+                                      if step_b else None))
 
 
 def bench_qwen_asr_q4_batch8():
