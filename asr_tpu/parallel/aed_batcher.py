@@ -30,8 +30,10 @@ encoder output) next to the usual compact self-KV:
 Per-slot output is mathematically IDENTICAL to running that request
 alone through the family's ``transcribe`` loop (greedy/penalty: bitwise —
 the rowwise step attends over the same padded cache length with
-exactly-zero masked contributions; sampling: identical given the same
-per-slot PRNG key), tested in ``tests/test_aed_batcher.py``.
+exactly-zero masked contributions; sampling: deterministic per request —
+the slot's PRNG stream is reseeded from ``fold_in(base_key, seed)`` at
+insert, so tokens depend only on (seed, own step index), never on engine
+history or sibling slots), tested in ``tests/test_aed_batcher.py``.
 
 On TPU with a q8 artifact the step routes through the multi-slot AED
 megakernel (``ops/fused_aed_multi.py``): ONE pallas_call advances every
@@ -248,8 +250,9 @@ class ContinuousAedBatcher:
         self.last = jnp.zeros((self.n_slots,), jnp.int32)
         self.count = jnp.zeros((self.n_slots,), jnp.int32)
         self.active = jnp.zeros((self.n_slots,), bool)
-        self.keys = jax.random.split(
-            rng if rng is not None else jax.random.PRNGKey(0), self.n_slots)
+        self._base_key = rng if rng is not None else jax.random.PRNGKey(0)
+        self.keys = jax.random.split(self._base_key, self.n_slots)
+        self._seed_counter = 0  # per-request PRNG derivation (try_submit)
         self._free = list(range(self.n_slots))
         self._active_host = np.zeros(self.n_slots, bool)
         self._gen_host: list[list[int]] = [[] for _ in range(self.n_slots)]
@@ -257,7 +260,7 @@ class ContinuousAedBatcher:
         self.steps_per_tick = max(int(steps_per_tick), 1)
         self.last_tick_substeps = 0
         self._insert = jax.jit(self._insert_impl,
-                               donate_argnums=(0, 1, 2, 3, 4, 5, 6))
+                               donate_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
         self._first = jax.jit(self._first_impl)
         self._step = jax.jit(self._step_impl,
                              donate_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
@@ -286,19 +289,20 @@ class ContinuousAedBatcher:
         return None
 
     # ── jitted impls ────────────────────────────────────────────────────────
-    def _first_impl(self, logits0):
+    def _first_impl(self, logits0, key):
         """First generated token from the session's (already suppressed +
         begin-suppressed) prefill logits — same strategy routing as every
         later step (the solo path feeds prefill logits through
-        ``select_token`` too, ``models/whisper.transcribe_window``)."""
+        ``select_token`` too, ``models/whisper.transcribe_window``).
+        ``key`` is the request's derived PRNG key (see ``try_submit``)."""
         empty = jnp.zeros((1, self.gen_cap), jnp.int32)
         first, _ = select_token(logits0.astype(jnp.float32), empty,
                                 jnp.zeros((1,), jnp.int32), self.dc,
-                                jax.random.PRNGKey(0), history_start=0)
+                                key, history_start=0)
         return first[0]
 
     def _insert_impl(self, state, gen_buf, pos, tc_valid, last, count, active,
-                     small, slot, first, p_len, tc_v):
+                     keys, small, slot, first, p_len, tc_v, key):
         spec = self.spec
         d = spec.d_model
         if self.stacked is not None:
@@ -333,7 +337,11 @@ class ContinuousAedBatcher:
         count = count.at[slot].set(1)
         active = active.at[slot].set(
             (first != self.dc.eot_id) & (self.gen_cap > 1))
-        return state, gen_buf, pos, tc_valid, last, count, active
+        # reseed the slot's PRNG stream from the request key: sampled
+        # tokens become a deterministic function of (request seed, own
+        # step index) — independent of engine history and sibling slots
+        keys = keys.at[slot].set(key)
+        return state, gen_buf, pos, tc_valid, last, count, active, keys
 
     def _step_impl(self, state, gen_buf, pos, tc_valid, last, count, active,
                    keys, dec, stacked=None):
@@ -407,7 +415,7 @@ class ContinuousAedBatcher:
 
     # ── driver API (interface-identical to ContinuousLlmBatcher) ────────────
     def try_submit(self, small_state: dict, p_len: int, logits0,
-                   tc_valid: int) -> int | None:
+                   tc_valid: int, seed: int | None = None) -> int | None:
         """Insert one prefilled request into a free slot.
 
         Args:
@@ -418,6 +426,11 @@ class ContinuousAedBatcher:
           logits0: (1, V) prefill logits, already suppressed (+
             begin-suppressed for Whisper).
           tc_valid: number of REAL cross rows for this request.
+          seed: optional per-request PRNG seed. The slot's key is reseeded
+            to ``fold_in(base_key, seed)`` at insert, so sampled tokens are
+            a deterministic function of (seed, own step index) — NOT of
+            engine history or sibling slots. Defaults to a monotonically
+            increasing counter (distinct streams, fresh each request).
 
         Returns the slot id, or None when all slots are busy.
         """
@@ -425,19 +438,24 @@ class ContinuousAedBatcher:
             if not self._free:
                 return None
             slot = self._free.pop(0)
+            seed_i = self._seed_counter if seed is None else int(seed)
+            self._seed_counter += 1
         if p_len + self.gen_cap > self.spec.t_max:
             with self._lock:
                 self._free.insert(0, slot)
             raise ValueError(
                 f"prompt {p_len} + budget {self.gen_cap} exceeds t_max "
                 f"{self.spec.t_max}")
-        first = self._first(jnp.asarray(logits0))
+        req_key = jax.random.fold_in(self._base_key, seed_i)
+        k_first, k_slot = jax.random.split(req_key)
+        first = self._first(jnp.asarray(logits0), k_first)
         (self.state, self.gen_buf, self.pos, self.tc_valid, self.last,
-         self.count, self.active) = self._insert(
+         self.count, self.active, self.keys) = self._insert(
             self.state, self.gen_buf, self.pos, self.tc_valid, self.last,
-            self.count, self.active, small_state,
+            self.count, self.active, self.keys, small_state,
             jnp.asarray(slot, jnp.int32), first,
-            jnp.asarray(p_len, jnp.int32), jnp.asarray(tc_valid, jnp.int32))
+            jnp.asarray(p_len, jnp.int32), jnp.asarray(tc_valid, jnp.int32),
+            k_slot)
         first_h = int(np.asarray(first))
         self._active_host[slot] = (first_h != self.dc.eot_id
                                    and self.gen_cap > 1)

@@ -26,8 +26,10 @@ plus masks, never a recompile:
 
 Per-slot output is mathematically IDENTICAL to running that request
 alone through ``transcribe_embeds`` (greedy/penalty: bitwise — masked
-slots contribute exactly-zero attention; sampling: identical given the
-same per-slot PRNG key), tested in ``tests/test_llm_batcher.py``.
+slots contribute exactly-zero attention; sampling: deterministic per
+request — the slot's PRNG stream is reseeded from ``fold_in(base_key,
+seed)`` at insert, so tokens depend only on (seed, own step index)),
+tested in ``tests/test_llm_batcher.py``.
 """
 
 from __future__ import annotations
@@ -155,9 +157,11 @@ class ContinuousLlmBatcher:
         self.count = jnp.zeros((self.n_slots,), jnp.int32)
         self.active = jnp.zeros((self.n_slots,), bool)
         # independent PRNG stream per slot: a slot's sample sequence does
-        # not depend on which other slots are live (reproducible per request)
-        self.keys = jax.random.split(
-            rng if rng is not None else jax.random.PRNGKey(0), self.n_slots)
+        # not depend on which other slots are live (reproducible per request
+        # — the slot key is reseeded from fold_in(base, seed) at insert)
+        self._base_key = rng if rng is not None else jax.random.PRNGKey(0)
+        self.keys = jax.random.split(self._base_key, self.n_slots)
+        self._seed_counter = 0
         if mesh is not None:
             # Pin the decode state's layout: KV shards over kv heads (the
             # per-head attention never crosses shards; GSPMD all-reduces
@@ -191,7 +195,8 @@ class ContinuousLlmBatcher:
         self.last_tick_substeps = 0
         # jitted executables (shape-specialized per prefill bucket)
         self._prefill = jax.jit(self._prefill_impl)
-        self._insert = jax.jit(self._insert_impl, donate_argnums=(0, 1, 2, 3, 4, 5))
+        self._insert = jax.jit(self._insert_impl,
+                               donate_argnums=(0, 1, 2, 3, 4, 5, 6))
         self._step = jax.jit(self._step_impl, donate_argnums=(0, 1, 2, 3, 4, 5, 6))
         self._step_n = jax.jit(self._step_n_impl,
                                donate_argnums=(0, 1, 2, 3, 4, 5, 6))
@@ -224,10 +229,11 @@ class ContinuousLlmBatcher:
         return None
 
     # ── jitted impls ────────────────────────────────────────────────────────
-    def _prefill_impl(self, params, embeds, valid):
+    def _prefill_impl(self, params, embeds, valid, key):
         """(1, Lb, H) right-compacted prompt embeds -> (batch-1 kv state,
         first token, per-slot key advanced). Positions are cache slots
-        (compact layout), exactly the solo path's logical positions."""
+        (compact layout), exactly the solo path's logical positions.
+        ``key`` is the request's derived PRNG key (see ``try_submit``)."""
         cfg, dc = self.cfg, self.dc
         state = qwen3.make_kv_state(cfg, 1, self.t_max, self.kv_dtype)
         bias = qwen3.causal_prefill_bias(valid, embeds.shape[1], self.t_max)
@@ -239,11 +245,11 @@ class ContinuousLlmBatcher:
         logits0 = suppress_tokens(logits0.astype(jnp.float32), dc.suppress_ids)
         empty = jnp.zeros((1, self.gen_cap), jnp.int32)
         first, _ = select_token(logits0, empty, jnp.zeros((1,), jnp.int32),
-                                dc, jax.random.PRNGKey(0), history_start=0)
+                                dc, key, history_start=0)
         return state, first[0]
 
     def _insert_impl(self, state, gen_buf, pos, last, count, active,
-                     small, slot, first, valid):
+                     keys, small, slot, first, valid, key):
         if self.stacked is not None:
             # prefill's per-layer dict state -> this slot's (NL, T, kvw)
             # planes of the megakernel cache layout
@@ -266,7 +272,9 @@ class ContinuousLlmBatcher:
         count = count.at[slot].set(1)
         active = active.at[slot].set(
             (first != self.dc.eot_id) & (self.gen_cap > 1))
-        return state, gen_buf, pos, last, count, active
+        # reseed the slot's PRNG stream from the request key (see try_submit)
+        keys = keys.at[slot].set(key)
+        return state, gen_buf, pos, last, count, active, keys
 
     def _step_impl(self, state, gen_buf, pos, last, count, active, keys,
                    params, stacked=None):
@@ -366,13 +374,19 @@ class ContinuousLlmBatcher:
                 (active, tok, finished_now))
 
     # ── driver API ──────────────────────────────────────────────────────────
-    def try_submit(self, embeds: jnp.ndarray, valid_len: int) -> int | None:
+    def try_submit(self, embeds: jnp.ndarray, valid_len: int,
+                   seed: int | None = None) -> int | None:
         """Prefill one request and join the running batch.
 
         Args:
           embeds: (L, H) or (1, L, H) prompt embeds, valid prefix FIRST
             (``assemble_prompt``'s right-padded layout, or exactly L valid).
           valid_len: number of valid leading positions.
+          seed: optional per-request PRNG seed — the slot key is reseeded
+            to ``fold_in(base_key, seed)`` at insert so sampled tokens are
+            a deterministic function of (seed, own step index), independent
+            of engine history and sibling slots. Defaults to a monotonic
+            counter.
 
         Returns the slot id, or None when all slots are busy. The first
         generated token is available immediately via :meth:`snapshot`.
@@ -381,6 +395,8 @@ class ContinuousLlmBatcher:
             if not self._free:
                 return None
             slot = self._free.pop(0)
+            seed_i = self._seed_counter if seed is None else int(seed)
+            self._seed_counter += 1
         if embeds.ndim == 2:
             embeds = embeds[None]
         lb = _bucket(embeds.shape[1])
@@ -397,13 +413,15 @@ class ContinuousLlmBatcher:
             from jax.sharding import PartitionSpec as P
             embeds = jax.device_put(jnp.asarray(embeds),
                                     NamedSharding(self.mesh, P()))
+        req_key = jax.random.fold_in(self._base_key, seed_i)
+        k_first, k_slot = jax.random.split(req_key)
         small, first = self._prefill(
-            self.params, embeds, jnp.asarray([valid_len], jnp.int32))
+            self.params, embeds, jnp.asarray([valid_len], jnp.int32), k_first)
         (self.state, self.gen_buf, self.pos, self.last, self.count,
-         self.active) = self._insert(
+         self.active, self.keys) = self._insert(
             self.state, self.gen_buf, self.pos, self.last, self.count,
-            self.active, small, jnp.asarray(slot, jnp.int32), first,
-            jnp.asarray(valid_len, jnp.int32))
+            self.active, self.keys, small, jnp.asarray(slot, jnp.int32), first,
+            jnp.asarray(valid_len, jnp.int32), k_slot)
         # mirror _insert's active formula host-side (``first`` is tiny and
         # the caller needs it via snapshot/is_active anyway)
         first_h = int(np.asarray(first))

@@ -243,12 +243,18 @@ class StreamingServer:
                 actives = [a for _c, a in planes]
             dt = time.perf_counter() - t0
             self._lat_total += dt
-            self._lat_max = max(self._lat_max, dt)
+            # per-TICK max: a K-subtick burst spans one sync, so divide
+            # by the subtick count or max/avg dashboards misread K>1 as
+            # a K-fold tail spike
+            self._lat_max = max(self._lat_max, dt / len(planes))
             self._tick_count += len(planes)
             self._sync_count += 1
             for outs, active in zip(outs_k, actives):
                 for i, slot in live:
-                    if not active[i]:
+                    # a stream failed at an earlier subtick of this same
+                    # sync: skip its remaining subticks (its out_q already
+                    # carries the None terminator)
+                    if not active[i] or slot.finished:
                         continue
                     slot.ticks += 1
                     try:

@@ -96,18 +96,19 @@ def compare_probes(got: dict | None, want: dict | None,
 # ── per-family capture ────────────────────────────────────────────────────
 
 
-def _first_window(sess, audio, pcm_scale: float):
-    from asr_tpu.runtime import audio as audio_io
+def _pad_row(samples: np.ndarray, width: int):
+    """Clip to ``width`` and right-pad into a (1, width) f32 row; returns
+    (row, clipped samples)."""
+    samples = samples[:width]
+    buf = np.zeros((1, width), np.float32)
+    buf[0, : len(samples)] = samples
+    return buf, samples
 
-    if isinstance(audio, (str, bytes)) or hasattr(audio, "__fspath__"):
-        audio = audio_io.load_audio(audio, getattr(sess, "sample_rate", 16000),
-                                    pcm_scale=pcm_scale)
-    audio = np.asarray(audio, np.float32)
-    w = sess.window_samples
-    buf = np.zeros((1, w), np.float32)
-    n = min(len(audio), w)
-    buf[0, :n] = audio[:n]
-    return buf, n
+
+def _first_window(sess, audio, pcm_scale: float):
+    buf, clipped = _pad_row(_load_samples(sess, audio, pcm_scale),
+                            sess.window_samples)
+    return buf, len(clipped)
 
 
 def _probe_sensevoice(sess, audio) -> dict:
@@ -312,9 +313,7 @@ def _probe_qwen_asr(sess, audio) -> dict:
 
     from asr_tpu.frontend.whisper_mel import log_mel_spectrogram
 
-    samples = _load_samples(sess, audio, 1.0)[: sess.max_samples]
-    buf = np.zeros((1, sess.max_samples), np.float32)
-    buf[0, : len(samples)] = samples
+    buf, samples = _pad_row(_load_samples(sess, audio, 1.0), sess.max_samples)
     mel = log_mel_spectrogram(jnp.asarray(buf), sess.cfg.mel_config())
     embeds, valid = sess.prompt_embeds(samples)
     logits = _llm_first_logits(sess.llm_params, sess.llm_cfg, embeds, valid)
@@ -328,9 +327,8 @@ def _probe_funasr_llm(sess, audio) -> dict:
 
     from asr_tpu.frontend.kaldi_fbank import log_mel_fbank
 
-    samples = _load_samples(sess, audio, sess.pcm_scale)[: sess.max_samples]
-    buf = np.zeros((1, sess.max_samples), np.float32)
-    buf[0, : len(samples)] = samples
+    buf, samples = _pad_row(_load_samples(sess, audio, sess.pcm_scale),
+                            sess.max_samples)
     fb = sess.cfg.fbank
     mel = log_mel_fbank(jnp.asarray(buf), fb, fb.num_frames(buf.shape[-1]))
     embeds, valid = sess.prompt_embeds(samples)
@@ -348,9 +346,7 @@ def _probe_qwen_aligner(sess, audio) -> dict:
 
     from asr_tpu.models import forced_aligner as fa
 
-    samples = _load_samples(sess, audio, 1.0)[: sess.max_samples]
-    buf = np.zeros((1, sess.max_samples), np.float32)
-    buf[0, : len(samples)] = samples
+    buf, samples = _pad_row(_load_samples(sess, audio, 1.0), sess.max_samples)
     text_ids = jnp.asarray([[sess.timestamp_id]], jnp.int32)
     mel, embeds, valid_len = fa.prompt_for(
         sess.tower_params, sess.llm_params, sess.cfg, jnp.asarray(buf),

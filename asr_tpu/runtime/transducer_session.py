@@ -201,8 +201,13 @@ class FireRedSession(_WindowedSession):
         if self._aed_spec is None:
             from asr_tpu.parallel.aed_batcher import spec_for_aed
 
-            pre = self.continuous_prefill(np.zeros(160, np.float32))
-            tc = pre["state"]["layers"][0]["cross_k"].shape[1]
+            # static padded cross length for the fixed window — the same
+            # arithmetic models/firered.encode_from_mel applies (lookahead
+            # pad then two k3/s2 valid convs); computed host-side so server
+            # startup pays no encoder dispatch/compile just to size slots
+            t = (self.cfg.fbank.num_frames(self.window_samples)
+                 + self.cfg.pad_lookahead)
+            tc = ((t - 3) // 2 + 1 - 3) // 2 + 1
             self._aed_spec = spec_for_aed(self.cfg, tc)
         return self._aed_spec
 
@@ -323,8 +328,13 @@ class DolphinSession(_WindowedSession):
         if self._aed_spec is None:
             from asr_tpu.parallel.aed_batcher import spec_for_aed
 
-            pre = self.continuous_prefill(np.zeros(160, np.float32))
-            tc = pre["state"]["layers"][0]["cross_k"].shape[1]
+            # static padded cross length for the fixed window — the same
+            # arithmetic models/dolphin.encode_from_mel applies (two k3/s2
+            # valid convs over 1 + S // hop mel frames); host-side, so
+            # server startup runs no encoder (and no silence probe that
+            # would clobber last_language/last_region)
+            t = self.cfg.mel.num_frames(self.window_samples)
+            tc = ((t - 3) // 2 + 1 - 3) // 2 + 1
             self._aed_spec = spec_for_aed(self.cfg, tc)
         return self._aed_spec
 

@@ -305,3 +305,37 @@ def test_dolphin_continuous_matches_solo_with_probes():
                 got[slots[slot]] = bat.take_result(slot)
                 del slots[slot]
     assert got == want
+
+
+def test_sampling_seed_determinism():
+    """Sampled tokens are a deterministic function of (request seed, own
+    step index) — independent of engine history and sibling slots (the
+    slot's PRNG stream reseeds from fold_in(base_key, seed) at insert)."""
+    dc = DecodeConfig(max_new_tokens=6, eot_id=WCFG.eot_id,
+                      strategy="sampling", temperature=1.0, top_k=8,
+                      top_p=1.0)
+    params = _wparams()
+    audio = _audio(31)
+
+    def submit(bat, aud, seed):
+        mel = wh.mel_for_audio(WCFG, jnp.asarray(aud)[None])
+        pre = wh.prefill_window(params, WCFG, mel, _prompt(), dc,
+                                begin_suppress_ids=BEGIN_SUPPRESS)
+        tc = pre["state"]["layers"][0]["cross_k"].shape[1]
+        return bat.try_submit(pre["state"], 4, pre["logits0"], tc, seed=seed)
+
+    def run(prewarm):
+        bat = ContinuousAedBatcher(params, spec_for_whisper(WCFG), dc,
+                                   n_slots=2)
+        if prewarm:  # different engine history + a live sibling slot
+            submit(bat, _audio(32), seed=999)
+            bat.step()
+            bat.step()
+        slot = submit(bat, audio, seed=42)
+        for _ in range(dc.max_new_tokens + 2):
+            if not bat.is_active(slot):
+                break
+            bat.step()
+        return bat.take_result(slot)
+
+    assert run(False) == run(True)

@@ -382,3 +382,28 @@ def test_steps_per_tick_sampling_key_state_matches_per_step():
         return out
 
     assert run(4) == run(1)
+
+
+def test_sampling_seed_determinism():
+    """Sampled tokens depend only on (request seed, own step index): the
+    slot PRNG stream reseeds from fold_in(base_key, seed) at insert, so
+    engine history and sibling slots cannot perturb a request's sample."""
+    dc = DecodeConfig(max_new_tokens=8, eot_id=EOT, strategy="sampling",
+                      temperature=1.0, top_k=8, top_p=1.0)
+    params = _params()
+    ids = [3, 11, 42]
+
+    def run(prewarm):
+        bat = ContinuousLlmBatcher(params, CFG, dc, n_slots=2, t_max=64)
+        if prewarm:
+            bat.try_submit(_embeds(params, [9, 1]), 2, seed=999)
+            bat.step()
+            bat.step()
+        slot = bat.try_submit(_embeds(params, ids), len(ids), seed=42)
+        for _ in range(dc.max_new_tokens + 2):
+            if not bat.is_active(slot):
+                break
+            bat.step()
+        return bat.take_result(slot)
+
+    assert run(False) == run(True)

@@ -309,3 +309,37 @@ def test_ticks_per_sync_identical_token_stream():
         assert health["device_syncs"] < health["ticks"]
     finally:
         httpd.shutdown()
+
+
+def test_extract_failure_stops_subticks_within_sync():
+    """With ticks_per_sync > 1, a stream failed by its extract callback at
+    one subtick must NOT be extracted again at the remaining subticks of
+    the same sync: its out_q ends exactly error -> end-of-stream, with no
+    stray events after the terminator, and its extractor state is not
+    touched again (regression: the K>1 burst loop used to keep calling
+    extract on a finished slot)."""
+    params = pf.init_params(TINY_BASE, jax.random.PRNGKey(0))
+    runner = ms.paraformer_multistream(params, TINY, 2)
+    calls = []
+
+    def extract(outs, i, st):
+        calls.append(i)
+        raise RuntimeError("always failing")
+
+    httpd, srv, _ = start_stream_background(runner, TINY.chunk_samples,
+                                            extract=extract, tick_wait_ms=10.0,
+                                            ticks_per_sync=3)
+    port = httpd.server_address[1]
+    try:
+        # one shot: all six chunks buffer before the burst gathers, so the
+        # first sync really fuses multiple subticks of the failing stream
+        evs = stream_pcm_over_http("127.0.0.1", port, _pcm(5, chunks=6),
+                                   send_chunk=200_000)
+        errs = [e for e in evs if "error" in e]
+        assert len(errs) == 1, evs          # exactly one failure event
+        assert not any("ids" in e for e in evs)
+        # the failed stream was extracted once, never re-driven afterwards
+        assert len(calls) == 1, calls
+    finally:
+        httpd.shutdown()
+        srv.close()

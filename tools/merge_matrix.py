@@ -25,8 +25,9 @@ def main() -> None:
         with open(path) as f:
             doc = json.load(f)
         meta = meta or doc
-        if doc.get("device_kind") != meta.get("device_kind"):
-            raise SystemExit(f"device mismatch: {path}")
+        for key in ("device_kind", "precision"):
+            if doc.get(key) != meta.get(key):
+                raise SystemExit(f"{key} mismatch: {path}")
         src = os.path.basename(path)
         for rec in doc["results"]:
             rec = dict(rec, source_run=src)
