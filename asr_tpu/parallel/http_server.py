@@ -171,7 +171,12 @@ class SessionServer:
             # TPU; a cold first client request would eat it otherwise).
             self.batcher.submit(np.zeros(self.window, np.float32)).result()
 
-    def transcribe_bytes(self, data: bytes) -> dict:
+    def transcribe_bytes(self, data: bytes, seed: int | None = None) -> dict:
+        if seed is not None:
+            raise ValueError(
+                "?seed= is only supported on the continuous surface "
+                "(serve --continuous); the lockstep micro-batcher shares "
+                "one decode dispatch across requests")
         samples = decode_audio_bytes(data, self.sample_rate)
         if self.pcm_scale != 32768.0:
             samples = samples * np.float32(self.pcm_scale / 32768.0)
@@ -254,13 +259,18 @@ def make_http_server(server: SessionServer, host: str = "127.0.0.1", port: int =
                 self._reply(404, {"error": "not found"})
 
         def do_POST(self):
-            if self.path != "/transcribe":
+            from urllib.parse import parse_qs, urlsplit
+
+            parts = urlsplit(self.path)
+            if parts.path != "/transcribe":
                 self._reply(404, {"error": "not found"})
                 return
             length = int(self.headers.get("Content-Length", "0"))
             data = self.rfile.read(length)
             try:
-                self._reply(200, server.transcribe_bytes(data))
+                q = parse_qs(parts.query)
+                seed = int(q["seed"][0]) if "seed" in q else None
+                self._reply(200, server.transcribe_bytes(data, seed=seed))
             except Exception as exc:  # malformed audio etc.
                 self._reply(400, {"error": str(exc)})
 

@@ -36,15 +36,20 @@ from asr_tpu.runtime import audio as audio_io
 
 
 class _Req:
-    __slots__ = ("samples", "event", "ids", "error", "t_enqueue", "t_admit")
+    __slots__ = ("samples", "event", "ids", "error", "t_enqueue", "t_admit",
+                 "seed")
 
-    def __init__(self, samples: np.ndarray):
+    def __init__(self, samples: np.ndarray, seed: int | None = None):
         self.samples = samples
         self.event = threading.Event()
         self.ids: list[int] | None = None
         self.error: Exception | None = None
         self.t_enqueue = time.perf_counter()
         self.t_admit = 0.0
+        # optional per-request PRNG seed: sampling strategies become
+        # reproducible regardless of batching history (the batcher reseeds
+        # the slot key from fold_in(base_key, seed) at insert)
+        self.seed = seed
 
 
 class _Replica:
@@ -316,7 +321,7 @@ class ContinuousSessionServer:
                     small = jax.device_put(small, rep.device)
                     lg0 = jax.device_put(lg0, rep.device)
                 slot = rep.batcher.try_submit(small, pre["p_len"], lg0,
-                                              pre["tc_valid"])
+                                              pre["tc_valid"], seed=req.seed)
             else:
                 with self._embed_lock:
                     embeds, valid = self.session.prompt_embeds(
@@ -326,7 +331,8 @@ class ContinuousSessionServer:
                     import jax
 
                     embeds = jax.device_put(np.asarray(embeds), rep.device)
-                slot = rep.batcher.try_submit(embeds, max(valid, 1))
+                slot = rep.batcher.try_submit(embeds, max(valid, 1),
+                                              seed=req.seed)
         except Exception as exc:  # bad audio shape etc. — fail THIS request
             req.error = exc
             req.event.set()
@@ -363,8 +369,8 @@ class ContinuousSessionServer:
         req.event.set()
 
     # ── handler-thread API ──────────────────────────────────────────────────
-    def submit(self, samples: np.ndarray) -> _Req:
-        req = _Req(np.ascontiguousarray(samples, np.float32))
+    def submit(self, samples: np.ndarray, seed: int | None = None) -> _Req:
+        req = _Req(np.ascontiguousarray(samples, np.float32), seed=seed)
         with self._cv:
             if self._stop:
                 raise (self._fatal or RuntimeError("server shut down"))
@@ -375,14 +381,18 @@ class ContinuousSessionServer:
             self._cv.notify_all()
         return req
 
-    def transcribe_bytes(self, data: bytes) -> dict:
+    def transcribe_bytes(self, data: bytes, seed: int | None = None) -> dict:
         samples = decode_audio_bytes(data, self.sample_rate)
         if self.pcm_scale != 32768.0:
             samples = samples * np.float32(self.pcm_scale / 32768.0)
         n = len(samples)
         w = self.window
         starts = audio_io.iter_windows(n, w, w)
-        reqs = [self.submit(samples[s: s + w]) for s in starts]
+        # per-window derived seeds keep multi-window requests reproducible
+        # while giving each window's decode an independent sample stream
+        reqs = [self.submit(samples[s: s + w],
+                            seed=None if seed is None else seed + k)
+                for k, s in enumerate(starts)]
         ids: list[int] = []
         texts: list[str] = []
         tok = self.session.tokenizer

@@ -6,6 +6,7 @@ import io
 import json
 import struct
 import threading
+import urllib.error
 import urllib.request
 import wave
 
@@ -323,3 +324,27 @@ def test_join_window_texts_boundaries():
     assert _join_window_texts(["", "only"]) == "only"
     assert _join_window_texts(["mixed 中文", "tail"]) == "mixed 中文tail"
     assert _join_window_texts(["abc", "123"]) == "abc 123"
+
+
+def test_lockstep_surface_rejects_seed_param():
+    """The lockstep micro-batcher shares one decode dispatch across
+    requests, so a per-request seed cannot be honored — ``?seed=`` must
+    fail loudly (HTTP 400) instead of being silently ignored."""
+    sess = _sensevoice_session()
+    httpd, srv, thread = start_background(sess, port=0, max_batch=2,
+                                          max_wait_ms=5.0)
+    port = httpd.server_address[1]
+    try:
+        wav = _wav_bytes(np.zeros(2000, np.float32))
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/transcribe?seed=3",
+            data=wav, method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "seed" in json.loads(e.read())["error"]
+    finally:
+        httpd.shutdown()
+        srv.close()

@@ -321,3 +321,27 @@ def test_continuous_server_tensor_parallel_identity():
         assert st["step_kernel"] == "rowwise"  # megakernel is single-chip
     finally:
         srv.close()
+
+
+def test_http_seed_param_routes_to_continuous_engine():
+    """``POST /transcribe?seed=N`` parses and reaches the continuous
+    engine's per-request PRNG reseed (determinism under sampling is
+    exercised at the batcher level, ``test_llm_batcher.py``); under the
+    greedy default the seed is a no-op and output still matches solo."""
+    sess = _qwen_session()
+    httpd, srv, thread = start_background_continuous(sess, port=0, n_slots=2,
+                                                     warmup=False)
+    port = httpd.server_address[1]
+    try:
+        rng = np.random.default_rng(5)
+        pcm = (rng.standard_normal(5000) * 800).astype(np.int16)
+        want = sess.transcribe(pcm.astype(np.float32) / 32768.0)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/transcribe?seed=7",
+            data=_wav_bytes(pcm), method="POST")
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            out = json.loads(resp.read())
+        assert out["token_ids"] == want.token_ids
+    finally:
+        httpd.shutdown()
+        srv.close()

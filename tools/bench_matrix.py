@@ -622,17 +622,19 @@ def bench_qwen_asr_continuous():
              analytic_bytes_per_iter=50 * (wbytes + kv_bytes))
 
 
-def bench_whisper_continuous8():
+def bench_whisper_continuous8(n_slots: int = 8):
     """Continuous AED batching steady state (parallel/aed_batcher.py):
-    8 live Whisper-Turbo requests advanced by ONE multi-slot pallas_call
+    N live Whisper-Turbo requests advanced by ONE multi-slot pallas_call
     per token (ops/fused_aed_multi.py — all 4 decoder layers, per-slot
     self + cross attention over per-slot encoder outputs, and the q8 tied
-    head, with the weight strips streamed once for all 8 slots; bf16 KV/
+    head, with the weight strips streamed once for all N slots; bf16 KV/
     cross planes). Timed as 50 steps chained inside one jit
     (tunnel-immune); the row's RTF is chip-level throughput (divided by
-    the 8 concurrent requests) for 200-token / 30 s windows — multiply by
-    8 for the per-request latency RTF. A join costs one solo prefill
-    dispatch (wh.prefill_window) and does not stall the running slots."""
+    the N concurrent requests) for 200-token / 30 s windows — multiply by
+    N for the per-request latency RTF. A join costs one solo prefill
+    dispatch (wh.prefill_window) and does not stall the running slots.
+    The weight stream amortizes with N, so deeper slot counts trade
+    per-request latency for aggregate throughput (the 16-slot row)."""
     from jax import lax
     from asr_tpu.decode.ar import DecodeConfig
     from asr_tpu.models import whisper as wh
@@ -647,17 +649,18 @@ def bench_whisper_continuous8():
                         quantize_embeddings=True), jnp.bfloat16)
     stk = stack_whisper_step_params(params, cfg)
     dc = DecodeConfig(max_new_tokens=200, eot_id=-1)
-    bat = ContinuousAedBatcher(params, spec_for_whisper(cfg), dc, n_slots=8,
+    n = n_slots
+    bat = ContinuousAedBatcher(params, spec_for_whisper(cfg), dc, n_slots=n,
                                kv_dtype=jnp.bfloat16, stacked=stk)
     kernel = "fused megakernel" if bat.stacked is not None else "rowwise"
-    # Steady state: 8 slots mid-decode just past the 4-token prompt, each
+    # Steady state: N slots mid-decode just past the 4-token prompt, each
     # with a full 30 s window's cross length. KV contents don't affect the
     # timing — shapes are fixed.
-    pos = jnp.full((8,), 40, jnp.int32)
-    tcv = jnp.full((8,), 1500, jnp.int32)
-    last = jnp.arange(8, dtype=jnp.int32) + 10
-    count = jnp.full((8,), 36, jnp.int32)
-    active = jnp.ones((8,), bool)
+    pos = jnp.full((n,), 40, jnp.int32)
+    tcv = jnp.full((n,), 1500, jnp.int32)
+    last = jnp.arange(n, dtype=jnp.int32) + 10
+    count = jnp.full((n,), 36, jnp.int32)
+    active = jnp.ones((n,), bool)
 
     def loop(state, gen, pos, tcv, last, count, active, keys, dec, stk):
         def body(_, carry):
@@ -668,25 +671,25 @@ def bench_whisper_continuous8():
     fn = jax.jit(loop)
     args = (bat.state, bat.gen_buf, pos, tcv, last, count, active, bat.keys,
             bat.dec, bat.stacked)
-    # 50 steps = a quarter of a 200-step window over 8 slots -> batch 8 x
+    # 50 steps = a quarter of a 200-step window over N slots -> batch N x
     # 7.5 s of audio per timed call (same chip-level-throughput convention
     # as the lockstep whisper_q8 batch-8 row).
     # analytic per-iter flops (cost model sees neither fori nor pallas):
     # per slot per token = 6 decoder linears + self attn over 448 + cross
-    # attn over 1504 + q8 tied head; x 8 slots x 50 steps.
+    # attn over 1504 + q8 tied head; x N slots x 50 steps.
     d, f_, v = cfg.d_model, cfg.ffn_dim, cfg.vocab_size
     per_tok = (cfg.decoder_layers * (12 * d * d + 4 * d * f_
                                      + 4 * d * (448 + 1504)) + 2 * d * v)
     # analytic per-step HBM traffic: stacked weight strips stream ONCE for
-    # all 8 slots; each slot reads bf16 self-KV (448-slot planes the kernel
+    # all N slots; each slot reads bf16 self-KV (448-slot planes the kernel
     # tiles over) + bf16 cross-KV (1504 encoder positions), k+v each.
     wbytes = sum(l.size * l.dtype.itemsize for l in jax.tree.leaves(bat.stacked))
-    kv_bytes = 8 * cfg.decoder_layers * 2 * 2 * (448 + 1504) * cfg.d_model
-    _measure("whisper_large_v3_turbo_q8_continuous8", fn, args, 8, 7.5, 5,
-             0.073, f"continuous AED batching steady state: 8 slots, {kernel} "
+    kv_bytes = n * cfg.decoder_layers * 2 * 2 * (448 + 1504) * cfg.d_model
+    _measure(f"whisper_large_v3_turbo_q8_continuous{n}", fn, args, n, 7.5, 5,
+             0.073, f"continuous AED batching steady state: {n} slots, {kernel} "
              "step (per-slot cross-KV, q8 tied head), bf16 KV/cross planes; "
-             "per-request latency RTF = 8x this row; ref README.md:55",
-             analytic_flops_per_iter=8 * 50 * per_tok,
+             f"per-request latency RTF = {n}x this row; ref README.md:55",
+             analytic_flops_per_iter=n * 50 * per_tok,
              analytic_bytes_per_iter=50 * (wbytes + kv_bytes))
 
 
@@ -1104,6 +1107,7 @@ BENCHES = {
     "whisper_q8_bf16": bench_whisper_q8_bf16,
     "whisper_batch1": bench_whisper_batch1,
     "whisper_continuous8": bench_whisper_continuous8,
+    "whisper_continuous16": lambda: bench_whisper_continuous8(16),
     "qwen_asr_q4": bench_qwen_asr_q4,
     "qwen_asr_q4_qembed": bench_qwen_asr_q4_qembed,
     "qwen_asr_q4_batch8": bench_qwen_asr_q4_batch8,
